@@ -1,0 +1,122 @@
+"""Unit + property tests for the pure-Python extraction core (no Spark).
+
+Mirrors SURVEY.md §5.5: extractor total on arbitrary bytes; spans in-bounds
+and non-overlapping; deterministic; plain-text extraction idempotent-ish.
+"""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from textextract_spark.core import (
+    decode_payload,
+    extract_document,
+    extract_html,
+    extract_pdf,
+    sniff_format,
+)
+from textextract_spark.datagen import make_html, make_pdf, make_plain
+
+
+def test_charset_utf8_and_latin1():
+    assert decode_payload("café".encode()) == "café"
+    latin = b'<meta charset="iso-8859-1"><p>caf\xe9</p>'
+    assert "café" in decode_payload(latin)
+    assert decode_payload(b"\xef\xbb\xbfhi") == "hi"
+    # invalid utf-8 falls back to latin-1, never raises
+    assert decode_payload(b"\xff\xfe\x00bad\x80") != ""
+
+
+def test_sniff_format():
+    assert sniff_format(b"%PDF-1.4 junk") == "pdf"
+    assert sniff_format(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_format(b"  <DIV>x</DIV>") == "html"
+    assert sniff_format(b"just plain words") == "text"
+
+
+def test_html_drops_boilerplate_keeps_content():
+    html = """<html><head><title>T</title><style>.x{}</style>
+    <script>var a=1;</script></head><body>
+    <nav><a href="/a">home</a> <a href="/b">about</a> <a href="/c">more</a></nav>
+    <h1>A real heading</h1>
+    <p>This is a long enough content paragraph that should clearly be kept
+    by the density classifier because it has plenty of plain text.</p>
+    <footer><a href="/tos">terms</a> <a href="/p">privacy</a></footer>
+    </body></html>"""
+    text, spans = extract_html(html)
+    assert "real heading" in text
+    assert "content paragraph" in text
+    assert "var a=1" not in text
+    assert "home" not in text  # nav links are boilerplate
+    assert "terms" not in text
+    tags = [t for t, _, _ in spans]
+    assert "h1" in tags and "p" in tags
+
+
+def test_html_entities_decoded():
+    text, _ = extract_html(
+        "<p>Caf&eacute; &amp; bar &mdash; a long paragraph of text that "
+        "passes the minimum block length threshold easily.</p>")
+    assert "Café & bar —" in text
+
+
+def test_spans_in_bounds_non_overlapping():
+    rng = random.Random(7)
+    for _ in range(25):
+        payload = make_html(rng, "en")
+        res = extract_document(payload)
+        prev_end = -1
+        for tag, start, end in res.spans:
+            assert 0 <= start <= end <= len(res.text)
+            assert start > prev_end
+            assert res.text[start:end].strip() == res.text[start:end]
+            prev_end = end
+
+
+def test_pdf_roundtrip():
+    rng = random.Random(3)
+    payload = make_pdf(rng)
+    text, spans = extract_pdf(payload)
+    assert text
+    assert all(text[s:e] == ln for (_, s, e), ln
+               in zip(spans, text.split("\n")))
+
+
+def test_plain_strip_and_idempotence():
+    rng = random.Random(5)
+    payload = make_plain(rng, "en")
+    res = extract_document(payload)
+    assert res.fmt == "text"
+    assert res.text == res.text.strip()
+    # extracting the extracted text again is identity (SURVEY §5.5)
+    again = extract_document(res.text.encode("utf-8"))
+    assert again.text == res.text
+
+
+def test_empty_and_none():
+    assert extract_document(b"").status == "empty"
+    assert extract_document(None).status == "empty"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extractor_total_on_arbitrary_bytes(payload):
+    res = extract_document(payload)
+    assert res.status.split(":")[0] in ("ok", "empty", "error")
+    for tag, start, end in res.spans:
+        assert 0 <= start <= end <= len(res.text)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extractor_deterministic(payload):
+    a = extract_document(payload)
+    b = extract_document(payload)
+    assert (a.text, a.spans, a.status, a.fmt) == (b.text, b.spans, b.status, b.fmt)
+
+
+def test_datagen_deterministic():
+    from textextract_spark.datagen import generate_pages
+    assert generate_pages(100, 42) == generate_pages(100, 42)
+    assert generate_pages(100, 42) != generate_pages(100, 43)

@@ -1,0 +1,117 @@
+"""End-to-end Spark pipeline tests: golden byte-identity, format-gate
+lockstep, dedup-latest, lineage metrics, checkpoint resume (SURVEY.md §5)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from textextract_spark.datagen import generate_pages, golden_rows
+from textextract_spark.pipeline import (
+    dedup_latest,
+    extract_pages,
+    lineage_metrics,
+    run_pipeline,
+    with_format,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return golden_rows(generate_pages(400, seed=42))
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark, corpus_dir):
+    df = extract_pages(spark.read.parquet(corpus_dir), num_parts=16,
+                       n_salts=4)
+    return df.collect()
+
+
+def test_byte_identical_vs_golden(extracted_rows, golden):
+    """THE invariant: byte-identical text + spans + status per url."""
+    assert len(extracted_rows) == len(golden)
+    for r in extracted_rows:
+        g = golden[r.url]
+        assert r.text == g["text"], r.url
+        assert [(s.tag, s.start, s.end) for s in (r.spans or [])] == g["spans"]
+        assert r.status == g["status"]
+        assert r.meta.fmt == g["fmt"]
+
+
+def test_format_gate_matches_python_sniff(spark, corpus_dir):
+    """Spark predicate fmt == core.sniff_format for every payload."""
+    from textextract_spark.core import sniff_format
+    rows = with_format(spark.read.parquet(corpus_dir)) \
+        .select("url", "warc_ts", "html", "fmt").collect()
+    for r in rows:
+        assert r.fmt == sniff_format(bytes(r.html)), r.url
+
+
+def test_dedup_latest(spark, corpus_dir):
+    pages = spark.read.parquet(corpus_dir)
+    deduped = dedup_latest(pages)
+    assert deduped.groupBy("url").count().filter("count > 1").count() == 0
+    # kept row per url is the max warc_ts
+    expected = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    assert deduped.select("url", "warc_ts").exceptAll(expected).count() == 0
+
+
+def test_lineage_metrics_consistent(spark, corpus_dir, golden):
+    ext = extract_pages(spark.read.parquet(corpus_dir), num_parts=16,
+                        n_salts=4)
+    m = lineage_metrics(ext, run_id="t", input_split="corpus").collect()
+    assert sum(r.doc_count for r in m) == len(golden)
+    n_errors = sum(1 for g in golden.values()
+                   if g["status"].startswith("error"))
+    assert sum(r.failure_count for r in m) == n_errors
+    assert all(r.byte_count > 0 for r in m)
+    assert all(r.warc_ts_min <= r.warc_ts_max for r in m)
+
+
+def test_run_pipeline_and_resume(spark, corpus_dir, golden):
+    """Kill after chunk 1, rerun, assert final table == single-run table
+    and already-committed part_keys are not reprocessed (§5.4)."""
+    out1 = tempfile.mkdtemp(prefix="textx-out1-")
+    out2 = tempfile.mkdtemp(prefix="textx-out2-")
+
+    # single uninterrupted run
+    res1 = run_pipeline(spark, corpus_dir, out1, num_parts=8, chunks=4,
+                        run_id="single")
+    full = {r.url: r.text for r in res1["extracted"].read(spark).collect()}
+    assert full == {u: g["text"] for u, g in golden.items()}
+
+    # interrupted run: crash injected after first chunk commit
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, corpus_dir, out2, num_parts=8, chunks=4,
+                     run_id="r1", fail_after_chunk=1)
+    from textextract_spark.io.table import ManifestTable
+    partial = ManifestTable(os.path.join(out2, "extracted"))
+    committed_before = partial.committed_part_keys()
+    assert 0 < len(committed_before) < 8
+
+    # resume: completes remaining chunks only
+    res2 = run_pipeline(spark, corpus_dir, out2, num_parts=8, chunks=4,
+                        run_id="r2")
+    assert sorted(res2["committed_part_keys"]) == list(range(8))
+    resumed = {r.url: r.text for r in res2["extracted"].read(spark).collect()}
+    assert resumed == full
+    # committed part_keys were skipped: their snapshots still carry run_id r1
+    snaps = partial._load()["snapshots"]
+    rerun_keys = {k for s in snaps if s["run_id"] == "r2"
+                  for k in s["part_keys"]}
+    assert rerun_keys.isdisjoint(committed_before)
+
+
+def test_extraction_deterministic_across_partitionings(spark, corpus_dir):
+    """Same input, different num_parts/salts => identical per-url output
+    (stands in for N vs 4N cluster sizes; full two-session proof in BENCH)."""
+    pages = spark.read.parquet(corpus_dir)
+    a = extract_pages(pages, num_parts=4, n_salts=2) \
+        .select("url", "text", "status").collect()
+    b = extract_pages(pages, num_parts=32, n_salts=8) \
+        .select("url", "text", "status").collect()
+    da = {r.url: (r.text, r.status) for r in a}
+    db = {r.url: (r.text, r.status) for r in b}
+    assert da == db

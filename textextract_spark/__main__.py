@@ -1,0 +1,63 @@
+"""Job entrypoint: ``python -m textextract_spark`` (spark-submit analog).
+
+On a real cluster this module is the ``spark-submit --py-files app.zip``
+driver script (BASELINE.json north_rule deploy mode; reference analog:
+staged install at /root/reference/src/updater.py:210-470 → M4).
+
+    python -m textextract_spark --pages pages.parquet --out outdir \
+        [--num-parts 64] [--chunks 4] [--cores 8] [--run-id r1]
+
+Prints a one-line JSON summary (docs, failures, elapsed seconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="textextract_spark")
+    ap.add_argument("--pages", required=True,
+                    help="input pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True, help="output table directory")
+    ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import run_pipeline
+    from .session import get_spark
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    spark = get_spark(app_name=f"textextract-{run_id}", cores=args.cores)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, args.pages, args.out,
+                       num_parts=args.num_parts, n_salts=args.n_salts,
+                       chunks=args.chunks, run_id=run_id)
+    metrics = res["metrics"].read(spark)
+    summary = metrics.agg(
+        F.coalesce(F.sum("doc_count"), F.lit(0)).alias("docs"),
+        F.coalesce(F.sum("failure_count"), F.lit(0)).alias("failures"),
+        F.coalesce(F.sum("byte_count"), F.lit(0)).alias("bytes"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "run_id": run_id,
+        "docs": summary.docs,
+        "failures": summary.failures,
+        "input_bytes": summary.bytes,
+        "committed_part_keys": len(res["committed_part_keys"]),
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round((summary.docs or 0) / elapsed, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Deterministic synthetic Common-Crawl-style `pages` corpus generator.
+
+Schema fixed by BASELINE.json input_hint / FIXTURES.md §1:
+    url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+
+Properties (FIXTURES.md §1):
+  * host ids Zipf-like so a few hosts are hot (exercises salting)
+  * ~1-3% duplicate urls with strictly increasing warc_ts (dedup-latest)
+  * payload mix ~80% HTML / ~10% PDF / ~8% plain / ~2% malformed bytes
+  * HTML has boilerplate nav/footer, script/style, entities, utf-8 + latin-1
+  * fully seeded — same (seed, n) => byte-identical corpus on any machine
+
+No external data; everything is synthesized (graft brief requirement).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_WORDS = (
+    "analytics spark arrow parquet shuffle partition executor catalyst "
+    "tungsten broadcast salting lineage snapshot checkpoint density anchor "
+    "boilerplate content extraction corpus crawl document heuristic token "
+    "stream batch vector column pushdown pruning codegen window latency "
+    "throughput cluster scale replica manifest commit merge append schema"
+).split()
+
+_DE_WORDS = ("daten seite inhalt text absatz beispiel nachricht artikel "
+             "verarbeitung geschwindigkeit").split()
+_BN_WORDS = ("তথ্য পাতা লেখা অনুচ্ছেদ উদাহরণ সংবাদ নিবন্ধ বিশ্লেষণ").split()
+
+_LANGS = ("en", "en", "en", "en", "en", "en", "de", "de", "bn", "fr")
+
+EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _sentence(rng: random.Random, lang: str, nw: int) -> str:
+    pool = _WORDS if lang in ("en", "fr") else (_DE_WORDS if lang == "de" else _BN_WORDS)
+    words = [rng.choice(pool) for _ in range(nw)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    return " ".join(_sentence(rng, lang, rng.randint(6, 16))
+                    for _ in range(rng.randint(2, 6)))
+
+
+def _nav_links(rng: random.Random, n: int) -> str:
+    return " ".join(
+        f'<a href="/{rng.choice(_WORDS)}/{i}">{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a>'
+        for i in range(n)
+    )
+
+
+def make_html(rng: random.Random, lang: str) -> bytes:
+    """One synthetic page: real content paragraphs + boilerplate chrome."""
+    title = _sentence(rng, lang, 4)
+    n_paras = rng.randint(2, 8)
+    paras = "\n".join(
+        f"<p>{_paragraph(rng, lang)}</p>" for _ in range(n_paras)
+    )
+    heading = _sentence(rng, "en", rng.randint(2, 5))
+    entity_para = (f"<p>Caf&eacute; results &amp; more &mdash; "
+                   f"{_paragraph(rng, lang)}</p>")
+    charset = "utf-8" if lang != "fr" or rng.random() < 0.5 else "iso-8859-1"
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="{charset}"><title>{title}</title>
+<style>body {{ margin:0; color:#333 }}</style>
+<script>var tracker = "{rng.randint(0, 10 ** 6)}"; load();</script>
+</head>
+<body>
+<header><nav>{_nav_links(rng, rng.randint(4, 12))}</nav></header>
+<div class="content"><article>
+<h1>{heading}</h1>
+{entity_para}
+{paras}
+</article></div>
+<aside>{_nav_links(rng, rng.randint(3, 8))}</aside>
+<footer><p>&copy; 2025 host — <a href="/tos">terms</a> <a href="/priv">privacy</a></p></footer>
+</body></html>"""
+    enc = "latin-1" if charset == "iso-8859-1" else "utf-8"
+    return doc.encode(enc, errors="replace")
+
+
+def make_pdf(rng: random.Random) -> bytes:
+    """Minimal valid PDF 1.4, uncompressed content stream, known layout."""
+    lines = [_sentence(rng, "en", rng.randint(4, 10))
+             for _ in range(rng.randint(3, 10))]
+    parts = ["BT /F1 12 Tf 72 720 Td"]
+    for i, ln in enumerate(lines):
+        esc = ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        if i:
+            parts.append("0 -14 Td")
+        parts.append(f"({esc}) Tj")
+    parts.append("ET")
+    content = " ".join(parts).encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def make_plain(rng: random.Random, lang: str) -> bytes:
+    body = "\n\n".join(_paragraph(rng, lang) for _ in range(rng.randint(1, 4)))
+    return ("  " + body + "  \n").encode("utf-8")
+
+
+def make_malformed(rng: random.Random) -> bytes:
+    kind = rng.randint(0, 3)
+    if kind == 0:  # random bytes
+        return bytes(rng.randrange(256) for _ in range(rng.randint(1, 400)))
+    if kind == 1:  # truncated html
+        return make_html(rng, "en")[: rng.randint(5, 120)]
+    if kind == 2:  # truncated pdf
+        return make_pdf(rng)[: rng.randint(6, 100)]
+    return b"\x00\xff\xfe" + bytes(rng.randrange(256) for _ in range(50))
+
+
+def _host(rng: random.Random, n_hosts: int) -> int:
+    """Zipf-ish host pick: host 0 gets ~p(1), heavy head."""
+    # inverse-CDF of 1/k over [1, n_hosts]
+    r = rng.random()
+    harmonic = sum(1.0 / k for k in range(1, n_hosts + 1))
+    acc = 0.0
+    for k in range(1, n_hosts + 1):
+        acc += (1.0 / k) / harmonic
+        if r <= acc:
+            return k - 1
+    return n_hosts - 1
+
+
+def generate_pages(n: int, seed: int = 42) -> list[dict]:
+    """Return n+duplicates page rows, deterministic in (n, seed)."""
+    rng = random.Random(seed)
+    n_hosts = max(8, n // 40)
+    rows: list[dict] = []
+    for i in range(n):
+        lang = rng.choice(_LANGS)
+        h = _host(rng, n_hosts)
+        url = f"https://host{h}.example/p/{i}"
+        ts = EPOCH + dt.timedelta(seconds=i * 17 + rng.randint(0, 13))
+        roll = rng.random()
+        if roll < 0.80:
+            payload = make_html(rng, lang)
+        elif roll < 0.90:
+            payload = make_pdf(rng)
+        elif roll < 0.98:
+            payload = make_plain(rng, lang)
+        else:
+            payload = make_malformed(rng)
+        raw_text = _paragraph(rng, lang) if rng.random() < 0.5 else ""
+        rows.append({"url": url, "warc_ts": ts, "html": payload,
+                     "text": raw_text, "lang": lang})
+        # ~2% of urls get a superseding later crawl (dedup-latest fodder)
+        if rng.random() < 0.02:
+            ts2 = ts + dt.timedelta(hours=rng.randint(1, 72))
+            rows.append({"url": url, "warc_ts": ts2,
+                         "html": make_html(rng, lang),
+                         "text": raw_text, "lang": lang})
+    return rows
+
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def write_pages_parquet(path: str, n: int, seed: int = 42) -> int:
+    """Write the corpus as a single parquet file; returns row count."""
+    rows = generate_pages(n, seed)
+    # strip tz for parquet timestamp[us] (naive UTC, matching testdata style)
+    arrays = {
+        "url": [r["url"] for r in rows],
+        "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in rows],
+        "html": [r["html"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    }
+    table = pa.table(arrays, schema=PAGES_SCHEMA)
+    pq.write_table(table, path)
+    return len(rows)
+
+
+def golden_rows(rows: list[dict]) -> dict[str, dict]:
+    """Golden output per url: latest warc_ts wins, then pure extraction.
+
+    Returns {url: {"text":…, "spans":[(tag,start,end)…], "status":…,
+    "fmt":…}} — the byte-identity oracle (FIXTURES.md §2).
+    """
+    from .core import extract_document
+
+    latest: dict[str, dict] = {}
+    for r in rows:
+        cur = latest.get(r["url"])
+        if cur is None or r["warc_ts"] > cur["warc_ts"]:
+            latest[r["url"]] = r
+    out: dict[str, dict] = {}
+    for url, r in latest.items():
+        res = extract_document(r["html"], r["lang"])
+        out[url] = {"text": res.text, "spans": res.spans,
+                    "status": res.status, "fmt": res.fmt}
+    return out

@@ -1,0 +1,264 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 rebuild trace).
+
+    pages --dedup-latest(url)--> format gate --salted repartition-->
+    mapInPandas(extract) --> extracted table + per-partition lineage
+    metrics + checkpoint commit
+
+Design notes (north_rule):
+  * No per-row Python at the plan level: dedup, format gate, partitioning,
+    and lineage are DataFrame expressions; the extractor runs once per
+    Arrow batch via ``mapInPandas`` (Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame]).
+  * Explicit url-hash partitioning + salting: ``part_key =
+    pmod(xxhash64(url), num_parts)`` is the checkpoint/lineage unit;
+    ``salt = pmod(xxhash64(url, warc_ts), n_salts)`` spreads hot hosts
+    across executors inside a part_key (SURVEY.md §4 skew row).
+  * Deterministic output: extracted ``text``/``spans``/``status`` are pure
+    functions of (html bytes); only ``meta.ms`` (timing) varies run-to-run
+    and it is excluded from identity checks.
+  * Checkpoint resume: part_keys are processed in chunks; each chunk is an
+    atomic snapshot append recording its part_keys; a rerun skips committed
+    part_keys (ManifestTable — Iceberg stand-in).
+
+Reference trace being re-expressed: capture -> preprocess -> extract ->
+audit row -> usage upsert (/root/reference/src/ocr.py:126-278,
+/root/reference/backend/routes/api_routes.py:21-132).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType, IntegerType,
+)
+
+from .core.extract import HTML_MARKERS, SNIFF_BYTES, extract_document
+from .io.table import ManifestTable
+
+SPAN_TYPE = ArrayType(StructType([
+    StructField("tag", StringType()),
+    StructField("start", LongType()),
+    StructField("end", LongType()),
+]))
+
+META_TYPE = StructType([
+    StructField("ms", DoubleType()),
+    StructField("in_bytes", LongType()),
+    StructField("fmt", StringType()),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("part_key", IntegerType()),
+    StructField("lang", StringType()),
+    StructField("text", StringType()),
+    StructField("spans", SPAN_TYPE),
+    StructField("status", StringType()),
+    StructField("meta", META_TYPE),
+])
+
+
+# ---------------------------------------------------------------------------
+# Plan-level stages (pure DataFrame expressions)
+# ---------------------------------------------------------------------------
+
+def dedup_latest(df: DataFrame, key: str = "url",
+                 order: str = "warc_ts") -> DataFrame:
+    """Latest crawl per url wins (SURVEY.md §2.5 W3).
+
+    Tie-break on payload hash so the result is deterministic even if two
+    crawls share a timestamp. Reference analog: first-row-wins active
+    subscription (/root/reference/backend/database/models.py:571-583).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.desc(order), F.desc(F.xxhash64(F.col("html"))))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+def with_format(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Format gate as DataFrame predicates BEFORE UDF dispatch (north_rule).
+
+    Mirrors ``core.extract.sniff_format`` exactly: PDF by magic bytes,
+    HTML by marker scan over the lowercased first SNIFF_BYTES decoded
+    latin-1 (total — latin-1 decode never fails), else plain text.
+    Reference analog: platform/suffix asset match
+    (/root/reference/backend/routes/update_routes.py:252-256).
+    """
+    head = F.lower(F.decode(
+        F.substring(F.col(payload_col), 1, SNIFF_BYTES), "ISO-8859-1"))
+    is_html = reduce(lambda a, b: a | b,
+                     [head.contains(m) for m in HTML_MARKERS])
+    return df.withColumn(
+        "fmt",
+        F.when(F.substring(F.col(payload_col), 1, 5) == F.lit(b"%PDF-"),
+               F.lit("pdf"))
+         .when(is_html, F.lit("html"))
+         .otherwise(F.lit("text")),
+    )
+
+
+def with_partitioning(df: DataFrame, num_parts: int = 64,
+                      n_salts: int = 8) -> DataFrame:
+    """Explicit url-hash part_key + salt, then repartition on both.
+
+    part_key is the checkpoint/lineage unit (stable across cluster sizes);
+    salt spreads a hot host's documents across n_salts shuffle targets so
+    one giant host cannot serialize a stage (SURVEY.md §7 hard part (b)).
+    On Iceberg this is hidden partitioning ``bucket(num_parts, url)``.
+    """
+    df = (df.withColumn(
+            "part_key",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
+             .cast(IntegerType()))
+            .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("url"), F.col("warc_ts")),
+                   F.lit(n_salts)).cast(IntegerType())))
+    return df.repartition(num_parts, "part_key", "salt")
+
+
+# ---------------------------------------------------------------------------
+# The Arrow-batched extractor
+# ---------------------------------------------------------------------------
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: one call per Arrow batch, vectorized I/O.
+
+    Parsing is inherently per-document, but dispatch, (de)serialization and
+    column assembly are batch-level via Arrow — the reference's
+    1-HTTP-request-per-image loop (/root/reference/src/ocr.py:196-204)
+    becomes ~ARROW_MAX_RECORDS documents per Python invocation.
+    """
+    for pdf in batches:
+        n = len(pdf)
+        texts: list[str] = [""] * n
+        spans: list[list[dict]] = [[] for _ in range(n)]
+        statuses: list[str] = [""] * n
+        metas: list[dict] = [{}] * n
+        payloads = pdf["html"].tolist()
+        langs = pdf["lang"].tolist()
+        for i in range(n):
+            t0 = time.perf_counter()
+            res = extract_document(payloads[i], langs[i])
+            ms = (time.perf_counter() - t0) * 1000.0
+            texts[i] = res.text
+            spans[i] = [{"tag": t, "start": s, "end": e}
+                        for (t, s, e) in res.spans]
+            statuses[i] = res.status
+            metas[i] = {
+                "ms": ms,
+                "in_bytes": len(payloads[i]) if payloads[i] is not None else 0,
+                "fmt": res.fmt,
+            }
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "part_key": pdf["part_key"],
+            "lang": pdf["lang"],
+            "text": texts,
+            "spans": spans,
+            "status": statuses,
+            "meta": metas,
+        })
+
+
+def extract_pages(pages: DataFrame, num_parts: int = 64,
+                  n_salts: int = 8) -> DataFrame:
+    """Lazy end-to-end extraction plan over a raw pages DataFrame."""
+    df = dedup_latest(pages)
+    df = with_format(df)
+    df = with_partitioning(df, num_parts=num_parts, n_salts=n_salts)
+    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Lineage metrics (SURVEY.md §2.4 A7 — north_rule requirement)
+# ---------------------------------------------------------------------------
+
+def lineage_metrics(extracted: DataFrame, run_id: str,
+                    input_split: str) -> DataFrame:
+    """Per-part_key lineage rollup: warc_ts range, doc/byte/failure counts.
+
+    Reference analog: per-request metrics capture into api_requests /
+    usage_stats (/root/reference/backend/routes/api_routes.py:110-123,
+    create_tables.sql:41-45). Hash aggregation with map-side partials —
+    the shuffle carries num_parts rows, not documents.
+    """
+    return (extracted.groupBy("part_key").agg(
+        F.min("warc_ts").alias("warc_ts_min"),
+        F.max("warc_ts").alias("warc_ts_max"),
+        F.count("*").alias("doc_count"),
+        F.sum(F.col("meta.in_bytes")).alias("byte_count"),
+        F.sum(F.when(F.col("status").startswith("error"), 1)
+               .otherwise(0)).alias("failure_count"),
+        F.sum(F.when(F.col("status") == "empty", 1)
+               .otherwise(0)).alias("empty_count"),
+        F.sum(F.col("meta.ms")).cast(LongType()).alias("ms_total"),
+    ).withColumn("run_id", F.lit(run_id))
+     .withColumn("input_split", F.lit(input_split))
+     .withColumn("committed_at", F.current_timestamp()))
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: chunked snapshot commits + resume
+# ---------------------------------------------------------------------------
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    num_parts: int = 64,
+    n_salts: int = 8,
+    chunks: int = 4,
+    run_id: str = "run-0",
+    fail_after_chunk: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job with chunked snapshot commits.
+
+    part_keys are grouped into ``chunks`` commit units (chunk = part_key %%
+    chunks); each unit is extracted and appended as one atomic snapshot to
+    the ``extracted`` table, its lineage appended to ``metrics``, and its
+    part_keys recorded — a rerun skips committed part_keys entirely (the
+    filter prunes at the scan on a bucket-partitioned Iceberg table).
+    ``fail_after_chunk`` injects a crash for the resume test (§5.4).
+    """
+    out = ManifestTable(f"{out_dir}/extracted")
+    metrics_tbl = ManifestTable(f"{out_dir}/metrics")
+
+    pages = spark.read.parquet(pages_path)
+    plan = extract_pages(pages, num_parts=num_parts, n_salts=n_salts)
+
+    committed = out.committed_part_keys()
+    all_keys = list(range(num_parts))
+    done_chunks = 0
+    for chunk in range(chunks):
+        chunk_keys = [k for k in all_keys if k % chunks == chunk]
+        todo = [k for k in chunk_keys if k not in committed]
+        if not todo:
+            continue
+        chunk_df = plan.filter(F.col("part_key").isin(todo))
+        snapshot_id = out.append(chunk_df, part_keys=todo, run_id=run_id)
+        written = spark.read.parquet(
+            f"{out.path}/snap-{snapshot_id}")
+        metrics_tbl.append(
+            lineage_metrics(written, run_id=run_id,
+                            input_split=pages_path),
+            part_keys=todo, run_id=run_id)
+        done_chunks += 1
+        if fail_after_chunk is not None and done_chunks >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {chunk}")
+    return {
+        "extracted": out,
+        "metrics": metrics_tbl,
+        "committed_part_keys": sorted(out.committed_part_keys()),
+    }

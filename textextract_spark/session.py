@@ -1,0 +1,47 @@
+"""SparkSession construction with scale-oriented defaults.
+
+All knobs here are the ones SURVEY.md §4 calls out as manual work:
+Arrow batch size (UDF memory: multi-MB html blobs x records/batch must fit
+the Python worker), AQE (runtime re-plan + skew-join), shuffle partition
+count, and a pinned session timezone (determinism across machines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Cap records per Arrow batch: html payloads can be multi-MB; at 100 TB scale
+# a batch must fit executor-python memory. 512 x ~200KB ≈ 100MB worst case.
+ARROW_MAX_RECORDS = 512
+
+
+def get_spark(
+    app_name: str = "textextract-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_MAX_RECORDS))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
