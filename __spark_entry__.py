@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: run the full extraction pipeline (dedup-latest →
+format gate → salted repartition → Arrow-batched mapInPandas extractor)
+over pages synthesized deterministically from sf0.001 documents.
+
+queries()    — SURVEY.md §2 operator inventory + training-data ops, each a
+(spark, sf_dir) -> DataFrame callable.
+
+oracle_sql() — DuckDB ANSI-SQL twins for every SQL-expressible query
+(textextract_spark.operators.oracles). Hash-sketch / UDF-based ops are
+rows-only by design (no portable cross-engine hash); their correctness is
+asserted in pytest against brute-force oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +18,98 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from textextract_spark.operators import multimodal, relational, similarity, sketch, textdata
+from textextract_spark.operators.oracles import ORACLES
+from textextract_spark.pipeline import extract_pages
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a pages table (input_hint schema) from the driver's
+    documents table — deterministic, no external data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.encode(
+        F.concat(F.lit("<html><head><title>doc</title></head><body>"
+                       "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a>"
+                       " <a href=\"/c\">contact</a></nav><article><p>"),
+                 F.col("text"),
+                 F.lit("</p></article><footer><a href=\"/tos\">terms</a>"
+                       "</footer></body></html>")),
+        "UTF-8")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, num_parts=16, n_salts=4)
+    return out.select("url", "part_key", "text", "spans", "status",
+                      F.col("meta.fmt").alias("fmt"),
+                      F.col("meta.in_bytes").alias("in_bytes"))
+
+
+def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline as a driver query (rows-only check; the
+    byte-identity oracle runs in pytest against golden files)."""
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, num_parts=16, n_salts=4)
+    return (out.select("url", "status",
+                       F.col("meta.fmt").alias("fmt"),
+                       F.length("text").alias("text_len"),
+                       F.size("spans").alias("n_spans"))
+            .orderBy("url"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational inventory (SURVEY.md §2.2-2.7)
+        "filter_eq_project": relational.filter_eq_project,
+        "range_filter": relational.range_filter,
+        "quota_case": relational.quota_case,
+        "fk_broadcast_join": relational.fk_broadcast_join,
+        "anti_join_missing": relational.anti_join_missing,
+        "semi_join_active": relational.semi_join_active,
+        "pricing_summary": relational.pricing_summary,
+        "period_sum": relational.period_sum,
+        "daily_counters": relational.daily_counters,
+        "window_ratelimit": relational.window_ratelimit,
+        "resp_stats": relational.resp_stats,
+        "month_rollup": relational.month_rollup,
+        "distinct_users": relational.distinct_users,
+        "latest_event_per_user": relational.latest_event_per_user,
+        "top1_per_type": relational.top1_per_type,
+        "version_rank": relational.version_rank,
+        "topk_orders": relational.topk_orders,
+        "pagination": relational.pagination,
+        "union_branches": relational.union_branches,
+        # text analysis / dedup (graft brief)
+        "dedup_exact": textdata.dedup_exact,
+        "doc_fingerprint": textdata.doc_fingerprint,
+        "token_stats": textdata.token_stats,
+        "quality_score": textdata.quality_score,
+        "lang_guess": textdata.lang_guess,
+        # similarity
+        "cosine_topk": similarity.cosine_topk,
+        "ivf_topk": similarity.ivf_topk,                    # rows-only
+        "ann_lsh_pairs": similarity.ann_lsh_pairs,          # rows-only
+        # sketch dedup (rows-only: engine-specific hashes)
+        "minhash_neardup": sketch.minhash_neardup,          # rows-only
+        "ngram_jaccard_pairs": sketch.ngram_jaccard_pairs,  # rows-only
+        "simhash_neardup": sketch.simhash_neardup,          # rows-only
+        # multimodal plumbing (rows-only: pandas UDF features)
+        "media_features": multimodal.media_features,        # rows-only
+        # the extraction pipeline itself (rows-only: golden oracle in pytest)
+        "extract_docs": _extract_docs,                      # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

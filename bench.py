@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship extraction pipeline on a
+deterministic generated corpus, and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: extract_docs, extract_docs_per_sec (the BASELINE.json target
+metric). Query timings force full computation via the noop sink (no driver
+collect cost, no output I/O cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "fk_broadcast_join",
+    "quota_case",
+    "daily_counters",
+    "window_ratelimit",
+    "latest_event_per_user",
+    "topk_orders",
+    "dedup_exact",
+    "quality_score",
+    "token_stats",
+    "minhash_neardup",
+    "simhash_neardup",
+    "cosine_topk",
+    "ivf_topk",
+]
+
+
+def _bench_corpus(n_docs: int) -> str:
+    """Generated pages corpus, cached by (n, seed) under .bench_cache."""
+    from textextract_spark.datagen import write_pages_parquet
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_{n_docs}_s42.parquet")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n_docs, seed=42)
+    return path
+
+
+def run_bench(sf_dir: str, cores: str, n_docs: int,
+              queries: list[str] | None = None) -> dict:
+    import __spark_entry__ as entry_mod
+    from textextract_spark.pipeline import extract_pages
+    from textextract_spark.session import get_spark
+
+    corpus = _bench_corpus(n_docs)
+    spark = get_spark(app_name="textextract-bench", cores=cores)
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    qmap = entry_mod.queries()
+    for name in queries or BENCH_QUERIES:
+        t0 = time.perf_counter()
+        noop(qmap[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship extraction throughput (the BASELINE.json metric)
+    pages = spark.read.parquet(corpus)
+    t0 = time.perf_counter()
+    noop(extract_pages(pages, num_parts=64, n_salts=8))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_corpus"] = round(extract_sec, 3)
+    n_urls = pages.select("url").distinct().count()
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_plus_extraction_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extract_docs": n_urls,
+        "extract_docs_per_sec": round(n_urls / extract_sec, 1),
+        "cores": cores,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    print(json.dumps(run_bench(sf_dir, cores, n_docs)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Brute-force oracles for the hash-sketch dedup + ANN operators (the
+rows-only queries): MinHash estimates track exact Jaccard, SimHash finds
+exact dups, LSH recovers planted near-duplicate vectors."""
+
+import math
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def _shingles(text: str, k: int = 3) -> set:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(tmp_path_factory):
+    """Synthetic documents with planted exact + near duplicates."""
+    rng = random.Random(11)
+    words = "spark arrow shuffle partition filter join scan merge agg".split()
+    base = [" ".join(rng.choice(words) for _ in range(60)) for _ in range(40)]
+    texts = list(base)
+    texts += base[:5]  # exact dups (ids 40-44 dup 0-4)
+    for i in range(5, 10):  # near dups: mutate 3 words
+        toks = base[i].split()
+        for j in (3, 17, 41):
+            toks[j] = rng.choice(words)
+        texts.append(" ".join(toks))
+    d = tmp_path_factory.mktemp("dupdocs")
+    tbl = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["synthetic"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_minhash_matches_exact_jaccard(spark, docs_with_dups):
+    from textextract_spark.operators.sketch import minhash_neardup
+    sf_dir, texts = docs_with_dups
+    pairs = minhash_neardup(spark, sf_dir, threshold=0.5).collect()
+    assert pairs, "planted duplicates must be found"
+    found = {(r.a_id, r.b_id): r.est_jaccard for r in pairs}
+    # every exact dup pair found with est 1.0
+    for i in range(5):
+        assert found.get((i, 40 + i)) == 1.0
+    # estimates track exact jaccard within minhash stderr (~1/sqrt(64))
+    for (a, b), est in found.items():
+        exact = _jaccard(_shingles(texts[a]), _shingles(texts[b]))
+        assert abs(est - exact) < 0.25, (a, b, est, exact)
+
+
+def test_ngram_jaccard_exact(spark, docs_with_dups):
+    from textextract_spark.operators.sketch import ngram_jaccard_pairs
+    sf_dir, texts = docs_with_dups
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.4).collect()
+    assert pairs
+    for r in pairs:
+        exact = _jaccard(_shingles(texts[r.a_id]), _shingles(texts[r.b_id]))
+        assert abs(r.jaccard - exact) <= 5e-5  # round(.,4) in the operator
+
+
+def test_simhash_exact_dups_zero_hamming(spark, docs_with_dups):
+    from textextract_spark.operators.sketch import simhash_neardup
+    sf_dir, _ = docs_with_dups
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in simhash_neardup(spark, sf_dir, max_hamming=10).collect()}
+    for i in range(5):
+        assert pairs.get((i, 40 + i)) == 0
+
+
+@pytest.fixture(scope="module")
+def vecs_with_dups(tmp_path_factory):
+    """64-dim embeddings with planted near-duplicates (cos > 0.99)."""
+    rng = random.Random(23)
+    dim = 64
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(50)]
+    vecs = list(base)
+    for i in range(10):  # ids 50-59 are jittered copies of 0-9
+        vecs.append([v + rng.gauss(0, 0.02) for v in base[i]])
+    d = tmp_path_factory.mktemp("dupvecs")
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 5 for i in range(len(vecs))], pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d), vecs
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a))
+                  * math.sqrt(sum(y * y for y in b)))
+
+
+def test_ann_lsh_recovers_planted_dups(spark, vecs_with_dups):
+    from textextract_spark.operators.similarity import ann_lsh_pairs
+    sf_dir, vecs = vecs_with_dups
+    pairs = ann_lsh_pairs(spark, sf_dir, min_cosine=0.95).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    planted = {(i, 50 + i) for i in range(10)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall} too low; found {found}"
+    # reported cosines are exact (within float32 storage noise)
+    for r in pairs:
+        assert abs(r.cosine - _cos(vecs[r.a_id], vecs[r.b_id])) < 1e-3
+
+
+def test_cosine_topk_matches_bruteforce(spark, vecs_with_dups):
+    from textextract_spark.operators.similarity import cosine_topk
+    sf_dir, vecs = vecs_with_dups
+    got = cosine_topk(spark, sf_dir).collect()
+    sims = sorted(((round(_cos(vecs[0], vecs[i]), 4), i)
+                   for i in range(1, len(vecs))),
+                  key=lambda t: (-t[0], t[1]))
+    expected = [i for _, i in sims[:20]]
+    assert [r.vec_id for r in got] == expected
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with nprobe=3 of 10 labels must recover most of the true
+    top-10 on the driver embeddings table."""
+    from textextract_spark.operators.similarity import cosine_topk, ivf_topk
+    exact = [r.vec_id for r in cosine_topk(spark, sf_dir).collect()[:10]]
+    approx = [r.vec_id for r in
+              ivf_topk(spark, sf_dir, nprobe=3, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF recall@10 {recall}"

@@ -69,6 +69,26 @@ class ManifestTable:
         self._store(manifest)
         return snapshot_id
 
+    def overwrite(self, df: DataFrame) -> str:
+        """Replace table contents with df as a single new snapshot.
+
+        Emulates an Iceberg REPLACE/MERGE commit: the new snapshot is
+        written first, then the manifest swap makes it the only visible
+        state (old snapshot dirs remain for time travel, unreferenced).
+        """
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        manifest = self._load()
+        manifest["snapshots"] = [{
+            "snapshot_id": snapshot_id,
+            "dir": f"snap-{snapshot_id}",
+            "part_keys": [],
+            "run_id": None,
+        }]
+        self._store(manifest)
+        return snapshot_id
+
     # -- reads -------------------------------------------------------------
     def snapshot_dirs(self) -> list[str]:
         return [os.path.join(self.path, s["dir"])

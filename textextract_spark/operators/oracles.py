@@ -1,0 +1,257 @@
+"""DuckDB oracle SQL twins for every SQL-expressible query in the driver
+contract (__spark_entry__.oracle_sql). Keys match queries() exactly; column
+aliases match the Spark DataFrames exactly (driver hashes values after
+sorting columns by name).
+
+DuckDB notes: regexp_replace needs the 'g' flag (Spark's is global by
+default); time_bucket is the epoch-aligned twin of Spark's window().
+"""
+
+ORACLES: dict[str, str] = {
+    # -- relational ---------------------------------------------------------
+    "filter_eq_project": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey
+    """,
+    "range_filter": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-06-30 00:00:00'
+          AND o_orderstatus = 'F'
+        ORDER BY o_orderkey
+    """,
+    "quota_case": """
+        WITH usage AS (
+            SELECT o_custkey, count(*) AS order_count
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.order_count, 0) AS order_count,
+               CASE WHEN c.c_acctbal < 0 THEN 'no:negative_balance'
+                    WHEN COALESCE(u.order_count, 0) >= 15
+                         THEN 'no:quota_exceeded'
+                    WHEN c.c_acctbal > 5000 THEN 'yes:premium'
+                    ELSE 'yes:standard' END AS can_order
+        FROM customer c LEFT JOIN usage u ON c.c_custkey = u.o_custkey
+        ORDER BY c.c_custkey
+    """,
+    "fk_broadcast_join": """
+        SELECT r.r_name,
+               count(*) AS customer_count,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "anti_join_missing": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        ORDER BY c_custkey
+    """,
+    "semi_join_active": """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "period_sum": """
+        SELECT user_id,
+               round(sum(value), 2) AS period_value,
+               count(*) AS period_events
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                     AND TIMESTAMP '2024-02-01 00:00:00'
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "daily_counters": """
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               count(*) AS requests_count,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS billable_count,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error_count
+        FROM events GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+        ORDER BY user_id, event_date
+    """,
+    "window_ratelimit": """
+        SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR)
+                   AS window_start,
+               user_id, count(*) AS hits
+        FROM events
+        GROUP BY 1, user_id HAVING count(*) >= 2
+        ORDER BY window_start, user_id
+    """,
+    "resp_stats": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error_count
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "month_rollup": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS month_total
+        FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month
+    """,
+    "distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "top1_per_type": """
+        SELECT event_type, event_id, round(value, 2) AS value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id ASC)
+                       AS rn
+            FROM events) WHERE rn = 1
+        ORDER BY event_type
+    """,
+    "version_rank": """
+        SELECT p_brand, brand_num,
+               CAST(row_number() OVER (ORDER BY brand_num) AS INT)
+                   AS brand_rank
+        FROM (SELECT DISTINCT p_brand,
+                     CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num
+              FROM part)
+        ORDER BY brand_num
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "pagination": """
+        SELECT rn, o_orderkey, o_custkey FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY o_orderdate DESC, o_orderkey ASC) AS INT)
+                       AS rn,
+                   o_orderkey, o_custkey
+            FROM orders)
+        WHERE rn > 40 AND rn <= 60 ORDER BY rn
+    """,
+    "union_branches": """
+        SELECT branch, count(*) AS n,
+               round(sum(value), 2) AS branch_value
+        FROM (
+            SELECT 'purchase_hi' AS branch, value FROM events
+            WHERE event_type = 'purchase' AND value > 100
+            UNION ALL
+            SELECT 'error' AS branch, value FROM events
+            WHERE event_type = 'error')
+        GROUP BY branch ORDER BY branch
+    """,
+    # -- text / dedup -------------------------------------------------------
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS norm_len
+        FROM documents ORDER BY doc_id
+    """,
+    "token_stats": """
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_tokens,
+               length(trim(text)) AS n_chars_trim,
+               round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     / len(string_split_regex(trim(text), '\\s+')), 4)
+                   AS avg_token_len
+        FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
+    """,
+    "quality_score": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               round((length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / length(text), 4) AS digit_ratio,
+               round((length(text)
+                      - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / length(text), 4) AS punct_ratio,
+               round((length(text) - length(replace(text, ' ', '')))
+                     / length(text), 4) AS space_ratio,
+               CASE WHEN length(text) < 50 THEN 'too_short'
+                    WHEN (length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / length(text) > 0.3 THEN 'too_numeric'
+                    WHEN (length(text) - length(replace(text, ' ', '')))
+                         / length(text) < 0.05 THEN 'no_spaces'
+                    ELSE 'ok' END AS quality
+        FROM documents WHERE length(text) > 0 ORDER BY doc_id
+    """,
+    "lang_guess": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   ' ' || lower(text) || ' ' AS padded FROM documents),
+        hits AS (
+            SELECT doc_id, lang,
+                   CAST((length(padded)
+                         - length(replace(padded, ' the ', ''))) / 5
+                        AS BIGINT) AS en_hits,
+                   CAST((length(padded)
+                         - length(replace(padded, ' der ', ''))) / 5
+                        AS BIGINT) AS de_hits,
+                   CAST((length(padded)
+                         - length(replace(padded, ' le ', ''))) / 4
+                        AS BIGINT) AS fr_hits
+            FROM t)
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+               CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, de_hits, fr_hits)
+                         THEN 'en'
+                    WHEN de_hits = greatest(en_hits, de_hits, fr_hits)
+                         THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+        FROM hits ORDER BY doc_id
+    """,
+    # -- similarity ---------------------------------------------------------
+    "cosine_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.q_vec), 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 20
+    """,
+}

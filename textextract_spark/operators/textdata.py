@@ -1,0 +1,118 @@
+"""Text-analysis + deduplication operators over the `documents` table —
+the training-data-pipeline layer (graft brief: dedup, quality, token
+counting, fingerprinting, language-ID).
+
+SQL-expressible ones have DuckDB oracle twins (operators.oracles); the
+hash-sketch ones (MinHash/SimHash) are rows-only checks because portable
+cross-engine 64-bit hashing doesn't exist — their correctness is covered by
+pytest against brute-force pairs (tests/test_dedup.py).
+
+Everything is built-in pyspark.sql.functions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- exact dedup / fingerprints ---------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep min doc_id per md5(text).
+
+    At 100 TB this is the cheap first pass — hash-shuffle on a 32-char key
+    instead of the document body; the groupBy carries (hash -> min id,
+    count) only.
+    """
+    return (_docs(spark, sf_dir)
+            .withColumn("content_hash", F.md5(F.col("text")))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("dup_count"))
+            .orderBy("keeper_doc_id"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint: md5 over lowercased,
+    whitespace-collapsed text — catches trivial near-dupes (case/space)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.md5(F.trim(norm)).alias("fingerprint"),
+                    F.length(F.trim(norm)).alias("norm_len"))
+            .orderBy("doc_id"))
+
+
+# -- token / quality stats ---------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + mean token length (quality features)."""
+    t = F.trim(F.col("text"))
+    tokens = F.split(t, r"\s+")
+    return (_docs(spark, sf_dir)
+            .filter(F.length(t) > 0)
+            .select("doc_id", "lang",
+                    F.size(tokens).alias("n_tokens"),
+                    F.length(t).alias("n_chars_trim"),
+                    F.round(
+                        F.length(F.regexp_replace(t, r"\s+", ""))
+                        / F.size(tokens), 4).alias("avg_token_len"))
+            .orderBy("doc_id"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: digit/punct/space ratios + a CASE label.
+
+    The same shape a pretraining filter uses (length + symbol ratios);
+    thresholds are arbitrary-but-fixed and mirrored in the oracle SQL.
+    """
+    t = F.col("text")
+    n = F.length(t)
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    punct = n - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    spaces = n - F.length(F.regexp_replace(t, " ", ""))
+    return (_docs(spark, sf_dir)
+            .filter(n > 0)
+            .select(
+                "doc_id",
+                n.alias("n_chars"),
+                F.round(digits / n, 4).alias("digit_ratio"),
+                F.round(punct / n, 4).alias("punct_ratio"),
+                F.round(spaces / n, 4).alias("space_ratio"),
+                F.when(n < 50, F.lit("too_short"))
+                 .when(digits / n > 0.3, F.lit("too_numeric"))
+                 .when(spaces / n < 0.05, F.lit("no_spaces"))
+                 .otherwise(F.lit("ok")).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID: count occurrences of per-language stopword
+    markers via replace-length arithmetic (portable to ANSI SQL), pick the
+    argmax with a deterministic priority order."""
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def marker_count(marker: str):
+        return ((F.length(t)
+                 - F.length(F.replace(t, F.lit(marker), F.lit(""))))
+                / len(marker)).cast("long")
+
+    en = marker_count(" the ")
+    de = marker_count(" der ")
+    fr = marker_count(" le ")
+    best = F.greatest(en, de, fr)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "lang",
+                    en.alias("en_hits"), de.alias("de_hits"),
+                    fr.alias("fr_hits"),
+                    F.when(best == 0, F.lit("und"))
+                     .when(en == best, F.lit("en"))
+                     .when(de == best, F.lit("de"))
+                     .otherwise(F.lit("fr")).alias("lang_guess"))
+            .orderBy("doc_id"))
