@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": relational.topk_orders,
         "pagination": relational.pagination,
         "union_branches": relational.union_branches,
+        "json_props_stats": relational.json_props_stats,
         # text analysis / dedup (graft brief)
         "dedup_exact": textdata.dedup_exact,
         "doc_fingerprint": textdata.doc_fingerprint,

@@ -68,7 +68,10 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
         noop(qmap[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # flagship extraction throughput (the BASELINE.json metric)
+    # flagship extraction throughput (the BASELINE.json metric);
+    # python workers warmed first — steady-state, not fork+import cost
+    from tools.bench_scaling import _warm_python_workers
+    _warm_python_workers(spark, 64)
     pages = spark.read.parquet(corpus)
     t0 = time.perf_counter()
     noop(extract_pages(pages, num_parts=64, n_salts=8))

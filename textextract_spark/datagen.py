@@ -58,30 +58,46 @@ def _nav_links(rng: random.Random, n: int) -> str:
 
 
 def make_html(rng: random.Random, lang: str) -> bytes:
-    """One synthetic page: real content paragraphs + boilerplate chrome."""
+    """One synthetic page: content paragraphs + boilerplate chrome at
+    realistic web-page size (~10-40KB — real crawl pages are KBs of
+    markup, not hundreds of bytes; extractor cost must dominate I/O in
+    benchmarks the way it does at 100 TB)."""
     title = _sentence(rng, lang, 4)
-    n_paras = rng.randint(2, 8)
-    paras = "\n".join(
-        f"<p>{_paragraph(rng, lang)}</p>" for _ in range(n_paras)
-    )
     heading = _sentence(rng, "en", rng.randint(2, 5))
     entity_para = (f"<p>Caf&eacute; results &amp; more &mdash; "
                    f"{_paragraph(rng, lang)}</p>")
+    sections = []
+    for _ in range(rng.randint(5, 14)):
+        sec_head = _sentence(rng, "en", rng.randint(2, 4))
+        paras = "\n".join(f"<p>{_paragraph(rng, lang)}</p>"
+                          for _ in range(rng.randint(4, 12)))
+        sections.append(
+            f'<section><h2>{sec_head}</h2>\n{paras}\n'
+            f'<ul>{"".join(f"<li>{_sentence(rng, lang, rng.randint(3, 8))}</li>" for _ in range(rng.randint(2, 8)))}</ul>'
+            f"</section>")
+    comments = "\n".join(
+        f'<div class="comment"><span class="who">user{rng.randint(1, 999)}'
+        f"</span><p>{_paragraph(rng, lang)}</p></div>"
+        for _ in range(rng.randint(0, 12)))
     charset = "utf-8" if lang != "fr" or rng.random() < 0.5 else "iso-8859-1"
     doc = f"""<!DOCTYPE html>
 <html><head><meta charset="{charset}"><title>{title}</title>
-<style>body {{ margin:0; color:#333 }}</style>
-<script>var tracker = "{rng.randint(0, 10 ** 6)}"; load();</script>
+<style>body {{ margin:0; color:#333 }} .nav a {{ padding: 2px 4px }}</style>
+<script>var tracker = "{rng.randint(0, 10 ** 6)}"; load();
+function init() {{ var xs = [{",".join(str(rng.randint(0, 99)) for _ in range(40))}]; render(xs); }}
+</script>
 </head>
 <body>
-<header><nav>{_nav_links(rng, rng.randint(4, 12))}</nav></header>
+<header><nav>{_nav_links(rng, rng.randint(8, 24))}</nav></header>
 <div class="content"><article>
 <h1>{heading}</h1>
 {entity_para}
-{paras}
+{chr(10).join(sections)}
 </article></div>
-<aside>{_nav_links(rng, rng.randint(3, 8))}</aside>
-<footer><p>&copy; 2025 host — <a href="/tos">terms</a> <a href="/priv">privacy</a></p></footer>
+<div class="comments">{comments}</div>
+<aside>{_nav_links(rng, rng.randint(6, 16))}</aside>
+<footer><nav>{_nav_links(rng, rng.randint(4, 10))}</nav>
+<p>&copy; 2025 host — <a href="/tos">terms</a> <a href="/priv">privacy</a></p></footer>
 </body></html>"""
     enc = "latin-1" if charset == "iso-8859-1" else "utf-8"
     return doc.encode(enc, errors="replace")
@@ -202,7 +218,9 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> int:
         "lang": [r["lang"] for r in rows],
     }
     table = pa.table(arrays, schema=PAGES_SCHEMA)
-    pq.write_table(table, path)
+    # small row groups keep the scan splittable — a single giant row group
+    # would serialize the read stage (and no real crawl ships one file)
+    pq.write_table(table, path, row_group_size=1024)
     return len(rows)
 
 

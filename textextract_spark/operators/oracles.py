@@ -173,6 +173,14 @@ ORACLES: dict[str, str] = {
             WHERE event_type = 'error')
         GROUP BY branch ORDER BY branch
     """,
+    "json_props_stats": """
+        SELECT event_type, count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                   AS k_avg
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     # -- text / dedup -------------------------------------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash,

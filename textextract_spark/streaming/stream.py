@@ -1,0 +1,65 @@
+"""Structured Streaming ingestion: the batch extractor reused unchanged
+via foreachBatch (SURVEY.md §2.10 / §7 step 8).
+
+The reference's only stream-like structure is a command queue drained on a
+timer (/root/reference/src/main.py:345-371); continuous crawl ingestion is
+its web-scale analog. Design: `readStream` over the pages directory →
+`foreachBatch(extract + append)` with a streaming checkpoint — exactly-once
+per micro-batch lands on the same ManifestTable the batch job writes, so
+downstream readers can't tell which mode produced a snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType, TimestampNTZType,
+)
+
+from ..io.table import ManifestTable
+from ..pipeline import extract_pages
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampNTZType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_parts: int = 16,
+    n_salts: int = 4,
+    available_now: bool = True,
+):
+    """Start a streaming extraction job over a growing pages directory.
+
+    With ``available_now`` the stream drains everything currently present
+    and stops — the batch-equivalence test mode. In production the same
+    call runs continuously with a processing-time trigger.
+
+    Note: dedup-latest inside a micro-batch only dedups within that batch;
+    cross-batch url dedup is a downstream MERGE (the batch pipeline's
+    dedup-latest covers full-corpus reruns).
+    """
+    out = ManifestTable(out_dir)
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        extracted = extract_pages(batch_df, num_parts=num_parts,
+                                  n_salts=n_salts)
+        out.append(extracted, part_keys=[], run_id=f"stream-epoch-{epoch_id}")
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "8")
+              .parquet(pages_dir))
+    writer = (stream.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
