@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md §4 relies
+on must actually appear in the executed plans — filters reaching the
+parquet scan, column pruning, broadcast joins for tiny dims, and exactly
+one exchange feeding the extraction UDF."""
+
+import pytest
+
+from textextract_spark.operators import relational, similarity
+from textextract_spark.pipeline import extract_pages
+
+
+def _plan(spark, df, mode="formatted"):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, relational.filter_eq_project(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), " \
+           "EqualTo(c_mktsegment,BUILDING)]" in p
+    # column pruning: html-free 4-column read, not the full table
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "c_custkey" in read and "c_nationkey" not in read
+
+
+def test_range_predicate_pushdown(spark, sf_dir):
+    p = _plan(spark, relational.range_filter(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThanOrEqual(o_orderdate" in p
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    p = _plan(spark, relational.fk_broadcast_join(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cosine_probe_is_broadcast_no_shuffle_scan(spark, sf_dir):
+    p = _plan(spark, similarity.cosine_topk(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # top-k must not globally sort: TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in p
+
+
+def test_extraction_plan_shape(spark, corpus_dir):
+    """Exactly ONE full-payload exchange (the explicit salted
+    repartition) feeds the UDF; dedup-latest is a two-small-column agg +
+    semi join, never a Window over payloads."""
+    df = extract_pages(spark.read.parquet(corpus_dir), 16, 4)
+    p = _plan(df.sparkSession, df, "simple")
+    assert "MapInPandas" in p
+    assert p.count("REPARTITION_BY_NUM") == 1
+    assert "Window" not in p, "payload-wide window crept back in"
+    # format gate happens before the UDF (predicate gating, north_rule)
+    assert p.index("CASE WHEN") > p.index("MapInPandas"), \
+        "fmt CASE must be below (before) MapInPandas in the plan tree"
+    # the dedup aggregation's scan must prune to (url, warc_ts) only
+    formatted = _plan(df.sparkSession, df, "formatted")
+    reads = [line for line in formatted.splitlines()
+             if "ReadSchema" in line]
+    assert any("url:string,warc_ts:timestamp" in r and "html" not in r
+               for r in reads), \
+        f"winner-agg scan should not read html:\n" + "\n".join(reads)
+
+
+def test_lineage_uses_partial_aggregation(spark, corpus_dir):
+    from textextract_spark.pipeline import lineage_metrics
+    ext = extract_pages(spark.read.parquet(corpus_dir), 16, 4)
+    p = _plan(spark, lineage_metrics(ext, "r", "s"), "simple")
+    assert "partial_" in p.lower() or "HashAggregate" in p

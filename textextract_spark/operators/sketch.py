@@ -17,6 +17,7 @@ shingles) are capped via size limits before the join.
 
 from __future__ import annotations
 
+import random as _random
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,8 +39,6 @@ def _with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "tokens", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
 
-
-import random as _random
 
 # Universal-hash coefficients for the K permutations, seeded once.
 # Kept < 2^30 so a*h32+b stays under 2^63 — overflow-free in ANSI mode.

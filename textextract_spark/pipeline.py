@@ -11,8 +11,9 @@ Design notes (north_rule):
     Iterator[pd.DataFrame]).
   * Explicit url-hash partitioning + salting: ``part_key =
     pmod(xxhash64(url), num_parts)`` is the checkpoint/lineage unit;
-    ``salt = pmod(xxhash64(url, warc_ts), n_salts)`` spreads hot hosts
-    across executors inside a part_key (SURVEY.md §4 skew row).
+    ``salt`` (an independent url hash) splits each part_key across
+    n_salts shuffle targets so a hot bucket cannot serialize a stage
+    (SURVEY.md §4 skew row).
   * Deterministic output: extracted ``text``/``spans``/``status`` are pure
     functions of (html bytes); only ``meta.ms`` (timing) varies run-to-run
     and it is excluded from identity checks.
@@ -80,15 +81,13 @@ def dedup_latest(df: DataFrame, key: str = "url",
     crawls share a timestamp. Reference analog: first-row-wins active
     subscription (/root/reference/backend/database/models.py:571-583).
 
-    Cost note (measured): WindowExec row-copies its buffered rows, so
-    this should run over the NARROWEST rows available — the pipeline
-    dedups AFTER extraction (≈3KB text rows) rather than before (≈15KB
-    html rows); extraction is pure per-row, so extract-then-dedup is
-    semantically identical and the ~2% duplicate extraction work is far
-    cheaper than windowing full payloads. (groupBy+max_by(payload) is
-    25x worse still: ObjectHashAggregate, no codegen.) On Iceberg with
-    bucket(N, url) hidden partitioning the shuffle disappears — the scan
-    is already clustered by url.
+    Cost note (measured, see SCALE.md): WindowExec row-copies its
+    buffered rows, so NEVER run this over payload-wide rows — the
+    extraction pipeline instead selects winners with a payload-free
+    (url, max(warc_ts)) aggregation + semi join (extract_pages). This
+    general window form remains for narrow-row dedup (events, metrics).
+    (groupBy+max_by(payload_struct) is 25x worse still:
+    ObjectHashAggregate, no codegen.)
     """
     w = Window.partitionBy(key).orderBy(
         F.desc(order), F.desc(F.xxhash64(F.col(payload_col))))
@@ -123,10 +122,16 @@ def with_partitioning(df: DataFrame, num_parts: int = 64,
                       n_salts: int = 8) -> DataFrame:
     """Explicit url-hash part_key + salt, then repartition on both.
 
-    part_key is the checkpoint/lineage unit (stable across cluster sizes);
-    salt spreads a hot host's documents across n_salts shuffle targets so
-    one giant host cannot serialize a stage (SURVEY.md §7 hard part (b)).
-    On Iceberg this is hidden partitioning ``bucket(num_parts, url)``.
+    part_key is the checkpoint/lineage unit (stable across cluster
+    sizes); salt is an independent second url hash that splits each
+    part_key across n_salts shuffle targets, so one hot bucket (small
+    num_parts, or a host whose urls collide into one part_key) cannot
+    serialize a stage (SURVEY.md §7 hard part (b)). Both are functions
+    of url ONLY, so every crawl version of a url lands in the same task
+    (and exact (url, warc_ts) input duplicates — a crawl anomaly — pass
+    through as duplicate outputs; content-hash dedup upstream is the
+    remedy, see operators.textdata.dedup_exact). On Iceberg
+    this is hidden partitioning ``bucket(num_parts, url)``.
     """
     df = (df.withColumn(
             "part_key",
@@ -134,8 +139,8 @@ def with_partitioning(df: DataFrame, num_parts: int = 64,
              .cast(IntegerType()))
             .withColumn(
             "salt",
-            F.pmod(F.xxhash64(F.col("url"), F.col("warc_ts")),
-                   F.lit(n_salts)).cast(IntegerType())))
+            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_salts))
+             .cast(IntegerType())))
     return df.repartition(num_parts, "part_key", "salt")
 
 
@@ -215,20 +220,26 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
                   n_salts: int = 8) -> DataFrame:
     """Lazy end-to-end extraction plan over a raw pages DataFrame.
 
-    Stage order: format gate -> salted repartition -> extract -> dedup.
-    Dedup runs LAST, over extracted text rows, because extraction is a
-    pure per-row function: same winner, same bytes, but the window never
-    buffers multi-KB html payloads (see dedup_latest cost note). The
-    ~1-3%% superseded crawls cost their extraction (~ms each) instead of
-    a payload-wide shuffle+sort.
+    Stage order: payload-free dedup-latest (winner agg + semi join) ->
+    format gate -> salted repartition -> Arrow extract.
     """
-    df = with_format(pages)
+    # dedup-latest BEFORE extraction, payload-free: the winner per url is
+    # determined by (url, max(warc_ts)) alone, so the aggregation scans
+    # only two small columns (parquet column pruning — html never read),
+    # its shuffle carries ~16 bytes/url, and AQE broadcasts the winner
+    # set into a map-side semi join. Net: the ONLY full-payload movement
+    # in the whole job is the explicit salted repartition. (A row_number
+    # window here would shuffle + buffer every payload: measured 3-10x
+    # the extraction cost itself.)
+    winners = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    latest = pages.join(winners, ["url", "warc_ts"], "left_semi")
+    df = with_format(latest)
     df = with_partitioning(df, num_parts=num_parts, n_salts=n_salts)
     # ship ONLY what the UDF reads — the raw crawl `text` column and the
     # salt never cross the JVM->Python boundary
     df = df.select("url", "warc_ts", "html", "lang", "fmt", "part_key")
     raw = df.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
-    extracted = raw.select(
+    return raw.select(
         "url", "warc_ts", "part_key", "lang", "text",
         F.arrays_zip(F.col("span_tag").alias("tag"),
                      F.col("span_start").alias("start"),
@@ -236,7 +247,6 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
         "status",
         F.struct(F.col("ms"), F.col("in_bytes"), F.col("fmt"))
          .alias("meta"))
-    return dedup_latest(extracted, payload_col="text")
 
 
 # ---------------------------------------------------------------------------

@@ -29,8 +29,12 @@ def main() -> None:
     spark = get_spark(app_name=f"probe-{cores}", cores=cores)
     spark.range(1).count()
     _warm_python_workers(spark, 64)
-    pages = spark.read.parquet(corpus).cache()
-    n_rows = pages.count()  # materialize the cache outside the window
+    # NO .cache(): feeding an exchange from InMemoryColumnar is ~4x
+    # slower than re-scanning parquet (measured) — production reads
+    # parquet/Iceberg, so should the probe. count() warms the OS page
+    # cache outside the timed window.
+    pages = spark.read.parquet(corpus)
+    n_rows = pages.count()
 
     ext = extract_pages(pages, num_parts=64, n_salts=8)
     times = []
