@@ -61,6 +61,11 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
     def noop(df):
         df.write.mode("overwrite").format("noop").save()
 
+    # JVM/codegen warmup so the first timed query doesn't pay session
+    # startup (steady-state measurement)
+    noop(spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .groupBy("l_returnflag").count())
+
     timings: dict[str, float] = {}
     qmap = entry_mod.queries()
     for name in queries or BENCH_QUERIES:
@@ -69,12 +74,15 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # flagship extraction throughput (the BASELINE.json metric);
-    # python workers warmed first — steady-state, not fork+import cost
+    # python workers warmed + one untimed run — steady-state, not
+    # fork+import or cold-page-cache cost
     from tools.bench_scaling import _warm_python_workers
     _warm_python_workers(spark, 64)
     pages = spark.read.parquet(corpus)
+    ext_plan = extract_pages(pages, num_parts=64, n_salts=8)
+    noop(ext_plan)
     t0 = time.perf_counter()
-    noop(extract_pages(pages, num_parts=64, n_salts=8))
+    noop(ext_plan)
     extract_sec = time.perf_counter() - t0
     timings["extract_corpus"] = round(extract_sec, 3)
     n_urls = pages.select("url").distinct().count()

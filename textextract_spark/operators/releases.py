@@ -1,0 +1,48 @@
+"""Release-feed operators: the update-check path (SURVEY.md §3.3) as one
+declarative plan over a JSON source.
+
+Reference: GET releases JSON -> skip draft/prerelease -> pick newest by
+version -> match platform asset suffix -> force_update if CRITICAL in
+body (/root/reference/backend/routes/update_routes.py:62-277, version
+compare at 167-183). The reference does this in Python over the parsed
+list; here it is spark.read.json (S4) + filters (P6) + a version-ordering
+window (W1/W2/F6) + array filtering (F4/F7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def parse_version(col):
+    """'v1.2.3' -> [1,2,3] (F5/F6: strip prefix, split, cast)."""
+    return F.transform(
+        F.split(F.regexp_replace(col, r"^v", ""), r"\."),
+        lambda x: x.cast("int"))
+
+
+def latest_release(releases: DataFrame, platform_suffix: str = ".exe") -> DataFrame:
+    """Top-1 non-draft, non-prerelease release by semantic version, with
+    the platform asset and the force-update flag."""
+    w = Window.orderBy(F.desc("version_parts"), F.desc("published_at"))
+    return (releases
+            .filter(~F.col("draft") & ~F.col("prerelease"))
+            .withColumn("version_parts", parse_version(F.col("tag_name")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "tag_name", "published_at",
+                F.filter("assets",  # a["name"]: .name collides with
+                         # Column.name (the alias method)
+                         lambda a: a["name"].endswith(platform_suffix))
+                 .getItem(0).alias("asset"),
+                F.upper(F.col("body")).contains("CRITICAL")
+                 .alias("force_update")))
+
+
+def is_newer(candidate, current) -> F.Column:
+    """W2 version gate (updater.py:168-193): candidate > current by
+    numeric part-wise comparison — array comparison is lexicographic."""
+    return parse_version(candidate) > parse_version(current)
