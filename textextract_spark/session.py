@@ -44,8 +44,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
                                "33554432"))
+        # 12g is ample for the local bench working set; a 32g ceiling
+        # measurably worsened GC behavior (larger heap-growth steps,
+        # multi-second G1 pauses while the heap resized under load)
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     # shuffle/spill scratch on tmpfs when available — local-mode analog of

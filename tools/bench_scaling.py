@@ -100,8 +100,8 @@ def main() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     smalls, larges = [], []
     for _ in range(rounds):
-        smalls.append(run_confined(n_small, corpus, repeats=1))
-        larges.append(run_confined(n_large, corpus, repeats=1))
+        smalls.append(run_confined(n_small, corpus, repeats=2))
+        larges.append(run_confined(n_large, corpus, repeats=2))
     small = min(smalls, key=lambda r: r["best_sec"])
     large = min(larges, key=lambda r: r["best_sec"])
     small["times"] = [t for r in smalls for t in r["times"]]
