@@ -43,7 +43,8 @@ def _bench_corpus(n_docs: int) -> str:
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_{n_docs}_s42.parquet")
+    # v2: corpus generator now emits FlateDecode PDFs
+    path = os.path.join(cache, f"pages_{n_docs}_s42_v2.parquet")
     if not os.path.exists(path):
         write_pages_parquet(path, n_docs, seed=42)
     return path

@@ -83,6 +83,22 @@ def test_pdf_roundtrip():
                in zip(spans, text.split("\n")))
 
 
+def test_pdf_flatedecode_matches_uncompressed():
+    """FlateDecode streams must extract byte-identically to the same
+    document uncompressed (real-world PDFs are ~all Flate)."""
+    t_plain = extract_pdf(make_pdf(random.Random(3)))
+    t_comp = extract_pdf(make_pdf(random.Random(3), compress=True))
+    assert t_plain == t_comp
+    assert t_plain[0]  # non-vacuous: there IS text
+
+
+def test_pdf_flatedecode_truncated_is_total():
+    payload = make_pdf(random.Random(3), compress=True)
+    for cut in (10, 60, len(payload) - 5):
+        res = extract_document(payload[:cut])
+        assert res.status.split(":")[0] in ("ok", "empty")
+
+
 def test_plain_strip_and_idempotence():
     rng = random.Random(5)
     payload = make_plain(rng, "en")

@@ -1,16 +1,16 @@
-"""Layout-ordered text extraction from minimal (uncompressed) PDF payloads.
+"""Layout-ordered text extraction from minimal PDF payloads.
 
 pdfminer-style but pure stdlib: pdfminer is not installed in this
-environment, and the corpus generator (textextract_spark.datagen) emits
-minimal PDF 1.4 files with uncompressed content streams, so a deterministic
-content-stream tokenizer is both sufficient and pin-free (SURVEY.md §7 hard
-part (c): PDF text ordering must be stable).
+environment, so a deterministic content-stream tokenizer stands in
+(SURVEY.md §7 hard part (c): PDF text ordering must be stable).
 
 Supported subset: BT/ET text objects; Tj and TJ show-text operators; Td/TD
 and T* line moves (a new line is started on every vertical move); literal
 strings with the standard escapes (\\ \\( \\) \\n \\r \\t \\b \\f \\ooo) and
-hex strings <...>. Compressed (FlateDecode) streams yield no text — they are
-reported as empty rather than an error, matching "extractor must not raise"
+hex strings <...>; **FlateDecode content streams** (stdlib zlib) — nearly
+every real-world PDF compresses its streams, so this branch is the one
+that matters at crawl scale. Streams whose Flate data is corrupt/truncated
+are skipped (not an error), matching "extractor must not raise"
 (FIXTURES.md §1).
 
 Reference analog: the PDF branch has no direct reference twin — the reference
@@ -21,9 +21,48 @@ invariant (/root/reference/backend/routes/api_routes.py:78).
 from __future__ import annotations
 
 import re
+import zlib
+from collections.abc import Iterator
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# stream dict + data start; the dict may contain one level of nested <<>>
+_STREAM_START_RE = re.compile(
+    rb"<<(?P<d>(?:[^<>]|<<[^<>]*>>)*?)>>\s*stream(?:\r\n|\n|\r)",
+    re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+
+
+def _iter_streams(payload: bytes) -> Iterator[bytes]:
+    """Yield decoded content-stream bytes in document order.
+
+    Stream data is sliced by /Length when the dict carries a direct
+    length (the reliable path — Flate data may contain any byte
+    sequence, including ``endstream``); otherwise it falls back to the
+    first ``endstream`` marker. /FlateDecode streams are zlib-inflated;
+    undecodable streams are skipped, never raised.
+    """
+    for m in _STREAM_START_RE.finditer(payload):
+        d = m.group("d")
+        start = m.end()
+        data: bytes | None = None
+        ln = _LENGTH_RE.search(d)
+        if ln:
+            end = start + int(ln.group(1))
+            if (end <= len(payload)
+                    and payload[end:end + 16].lstrip(b"\r\n ")
+                        .startswith(b"endstream")):
+                data = payload[start:end]
+        if data is None:  # no/indirect /Length, or it didn't line up
+            em = payload.find(b"endstream", start)
+            if em < 0:
+                continue
+            data = payload[start:em].rstrip(b"\r\n")
+        if b"/FlateDecode" in d:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        yield data
 
 _ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
@@ -105,12 +144,11 @@ def extract_pdf(payload: bytes) -> tuple[str, list[tuple[str, int, int]]]:
     """Extract layout-ordered text + line spans from a minimal PDF.
 
     Returns ``(text, spans)`` with one ``("line", start, end)`` span per
-    output line. Unsupported/compressed PDFs return ``("", [])``.
+    output line. Unsupported PDFs return ``("", [])``.
     """
     lines: list[str] = []
     cur: list[str] = []
-    for sm in _STREAM_RE.finditer(payload):
-        stream = sm.group(1)
+    for stream in _iter_streams(payload):
         for tm in _TEXTOBJ_RE.finditer(stream):
             for chunk in _extract_textobj(tm.group(1)):
                 if chunk == "\n":

@@ -6,7 +6,8 @@ Schema fixed by BASELINE.json input_hint / FIXTURES.md §1:
 Properties (FIXTURES.md §1):
   * host ids Zipf-like so a few hosts are hot (exercises salting)
   * ~1-3% duplicate urls with strictly increasing warc_ts (dedup-latest)
-  * payload mix ~80% HTML / ~10% PDF / ~8% plain / ~2% malformed bytes
+  * payload mix ~80% HTML / ~10% PDF (~2/3 FlateDecode-compressed,
+    matching real crawls) / ~8% plain / ~2% malformed bytes
   * HTML has boilerplate nav/footer, script/style, entities, utf-8 + latin-1
   * fully seeded — same (seed, n) => byte-identical corpus on any machine
 
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 import datetime as dt
 import random
+import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -103,8 +105,10 @@ function init() {{ var xs = [{",".join(str(rng.randint(0, 99)) for _ in range(40
     return doc.encode(enc, errors="replace")
 
 
-def make_pdf(rng: random.Random) -> bytes:
-    """Minimal valid PDF 1.4, uncompressed content stream, known layout."""
+def make_pdf(rng: random.Random, compress: bool = False) -> bytes:
+    """Minimal valid PDF 1.4 with a known layout. ``compress=True`` emits
+    the content stream FlateDecode-compressed (stdlib zlib) — the shape of
+    nearly every real-world PDF."""
     lines = [_sentence(rng, "en", rng.randint(4, 10))
              for _ in range(rng.randint(3, 10))]
     parts = ["BT /F1 12 Tf 72 720 Td"]
@@ -115,12 +119,19 @@ def make_pdf(rng: random.Random) -> bytes:
         parts.append(f"({esc}) Tj")
     parts.append("ET")
     content = " ".join(parts).encode("latin-1")
+    if compress:
+        content = zlib.compress(content, 6)
+        stream_obj = (b"<< /Length %d /Filter /FlateDecode >>"
+                      b"\nstream\n%s\nendstream" % (len(content), content))
+    else:
+        stream_obj = (b"<< /Length %d >>\nstream\n%s\nendstream"
+                      % (len(content), content))
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
          b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        stream_obj,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -148,8 +159,8 @@ def make_malformed(rng: random.Random) -> bytes:
         return bytes(rng.randrange(256) for _ in range(rng.randint(1, 400)))
     if kind == 1:  # truncated html
         return make_html(rng, "en")[: rng.randint(5, 120)]
-    if kind == 2:  # truncated pdf
-        return make_pdf(rng)[: rng.randint(6, 100)]
+    if kind == 2:  # truncated pdf (half of them compressed)
+        return make_pdf(rng, compress=rng.random() < 0.5)[: rng.randint(6, 100)]
     return b"\x00\xff\xfe" + bytes(rng.randrange(256) for _ in range(50))
 
 
@@ -180,7 +191,8 @@ def generate_pages(n: int, seed: int = 42) -> list[dict]:
         if roll < 0.80:
             payload = make_html(rng, lang)
         elif roll < 0.90:
-            payload = make_pdf(rng)
+            # ~2/3 compressed: real-world PDFs are FlateDecode
+            payload = make_pdf(rng, compress=rng.random() < 0.67)
         elif roll < 0.98:
             payload = make_plain(rng, lang)
         else:
@@ -225,17 +237,26 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> int:
 
 
 def golden_rows(rows: list[dict]) -> dict[str, dict]:
-    """Golden output per url: latest warc_ts wins, then pure extraction.
+    """Golden output per url: max (warc_ts, md5(html)) wins, then pure
+    extraction. The md5 hex digest is the deterministic tie-break for two
+    crawls sharing a timestamp — the identical key the Spark pipeline's
+    winner aggregation uses (pipeline.extract_pages), so golden and
+    pipeline agree on ties byte-for-byte.
 
     Returns {url: {"text":…, "spans":[(tag,start,end)…], "status":…,
     "fmt":…}} — the byte-identity oracle (FIXTURES.md §2).
     """
+    import hashlib
+
     from .core import extract_document
+
+    def key(r: dict) -> tuple:
+        return (r["warc_ts"], hashlib.md5(r["html"] or b"").hexdigest())
 
     latest: dict[str, dict] = {}
     for r in rows:
         cur = latest.get(r["url"])
-        if cur is None or r["warc_ts"] > cur["warc_ts"]:
+        if cur is None or key(r) > key(cur):
             latest[r["url"]] = r
     out: dict[str, dict] = {}
     for url, r in latest.items():
