@@ -78,6 +78,36 @@ def test_simhash_exact_dups_zero_hamming(spark, docs_with_dups):
         assert pairs.get((i, 40 + i)) == 0
 
 
+def test_simhash_pairs_full_recall_at_radius(spark):
+    """Pigeonhole guarantee: EVERY pair within max_hamming must be found,
+    including worst-case pairs whose differing bits spread across all the
+    old 16-bit chunks (the r1 4x16 scheme silently missed Hamming 4-8)."""
+    from textextract_spark.operators.sketch import simhash_pairs
+    base = 0x5A5A_F00D_DEAD_BEEF
+    flips = {  # doc_id -> bits flipped vs base
+        1: [],                                  # hamming 0
+        2: [0],                                 # hamming 1
+        3: [0, 8, 16, 24, 32],                  # hamming 5, spread
+        4: [1, 9, 17, 25, 33, 41],              # hamming 6, spread
+        5: [2, 10, 18, 26, 34, 42, 50],         # hamming 7, spread
+        6: [3, 11, 19, 27, 35, 43, 51, 59],     # hamming 8, all 8 bytes
+        7: [4, 12, 20, 28, 36, 44, 52, 60, 61],  # hamming 9 -> excluded
+    }
+
+    def sim(bits):
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(0, sim([]))] + [(i, sim(b)) for i, b in flips.items()]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.a_id, r.b_id): r.hamming
+           for r in simhash_pairs(sh, max_hamming=8).collect()
+           if r.a_id == 0}
+    assert got == {(0, i): len(b) for i, b in flips.items() if len(b) <= 8}
+
+
 @pytest.fixture(scope="module")
 def vecs_with_dups(tmp_path_factory):
     """64-dim embeddings with planted near-duplicates (cos > 0.99)."""

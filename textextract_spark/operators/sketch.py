@@ -3,22 +3,23 @@ n-gram Jaccard verification (graft brief: dedup family for training-data
 pipelines).
 
 Spark-first: shingling, the K minhash permutations, banding, bit-votes and
-Hamming distances are ALL built-in higher-order / bit functions — zero
-Python UDFs. Hash values are Spark's xxhash64, so these are rows-only
-checks for the driver (no portable cross-engine hash); exactness is
-asserted in pytest against brute-force Jaccard on planted duplicates
-(tests/test_dedup.py).
+Hamming distances are ALL built-in functions — zero Python UDFs. MinHash
+signatures are computed via explode + a 64-column hash aggregation
+(whole-stage codegen) rather than 64 higher-order ``transform`` calls:
+lambda functions are interpreted per element, and 64 × shingles × docs
+interpreted evals measured ~10x slower than the codegen agg path.
 
-Scale shape (10^9 docs): the only shuffles are (a) groupBy(band_key) with
-~(K/R) small keys per doc and (b) the candidate-pair self-join on band
-buckets — never an all-pairs cross join. Skewed buckets (boilerplate-heavy
-shingles) are capped via size limits before the join.
+Scale shape (10^9 docs): the only shuffles are (a) the doc_id hash-agg
+for signatures, (b) groupBy(band/chunk key) bucketing, and (c) a
+broadcast-sized join of surviving candidate pairs back to shingle sets —
+never an all-pairs cross join, never payload arrays through the bucket
+shuffle. Degenerate buckets are capped (MAX_BUCKET) before pair expansion
+on BOTH the minhash and simhash paths.
 """
 
 from __future__ import annotations
 
 import random as _random
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,9 +36,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions to parallelize the CPU-heavy tokenize/
+    shingle stages: a small single-file parquet scan yields ONE partition
+    and would serialize the stage (measured: the whole minhash signature
+    job ran on 1 of 32 cores). At crawl scale the scan already has
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "tokens", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+
+
+def with_shingles(df: DataFrame) -> DataFrame:
+    """Add the distinct word-`shingles` array (SHINGLE-word windows)."""
+    df = _with_tokens(_spread(df)).filter(F.size("tokens") >= SHINGLE)
+    return df.withColumn(
+        "shingles",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE)))))
 
 
 # Universal-hash coefficients for the K permutations, seeded once.
@@ -46,38 +69,39 @@ _rng = _random.Random(9176)
 _MH_A = [(_rng.randrange(1, 1 << 30)) | 1 for _ in range(K_HASHES)]
 _MH_B = [_rng.randrange(0, (1 << 31) - 1) for _ in range(K_HASHES)]
 
+# mod prime must be far below a*h's range so the hash wraps many times —
+# otherwise min(a*h+b) stays monotone in h and every "permutation"
+# degenerates to the same argmin shingle. With p = 2^31-1 and a*h up to
+# ~2^62 each permutation wraps ~2^31 times.
+_P31 = (1 << 31) - 1
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, minhash): the K-element signature array.
+
+    Each shingle is hashed ONCE (xxhash64 -> low 32 bits) after an
+    explode; the K permutations are K ``min(a_k*h+b_k mod p)`` aggregate
+    columns in ONE codegen'd hash aggregation keyed on doc_id (map-side
+    partials; the shuffle carries K longs per doc). Duplicate shingles
+    don't affect a min, so no distinct is needed on this path.
+    """
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    exploded = (with_shingles(df)
+                .select("doc_id", F.explode("shingles").alias("shingle"))
+                .select("doc_id", h32.alias("h")))
+    mins = exploded.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P31)))
+         .alias(f"mh{k}")
+        for k, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{k}") for k in range(K_HASHES)]).alias("minhash"))
+
 
 def with_minhash(df: DataFrame) -> DataFrame:
-    """Add `shingles` and the K-element `minhash` array, all JVM-side.
-
-    Each shingle string is hashed ONCE (xxhash64 -> low 32 bits); the K
-    permutations are cheap linear hashes a_k*h+b_k over that value —
-    64x less string hashing than per-seed rehashing.
-    """
-    df = _with_tokens(df).filter(F.size("tokens") >= SHINGLE)
-    df = df.withColumn(
-        "shingles",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE)))))
-    df = df.withColumn(
-        "h32",
-        F.transform("shingles",
-                    lambda s: F.xxhash64(s)
-                               .bitwiseAND(F.lit((1 << 32) - 1))))
-    # mod prime must be far below a*h's range so the hash wraps many
-    # times — otherwise min(a*h+b) stays monotone in h and every
-    # "permutation" degenerates to the same argmin shingle. With
-    # p = 2^31-1 and a*h up to ~2^62 each permutation wraps ~2^31 times.
-    p31 = (1 << 31) - 1
-
-    def _perm(a: int, b: int):
-        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p31))
-
-    return df.withColumn(
-        "minhash",
-        F.array(*[F.array_min(F.transform("h32", _perm(a, b)))
-                  for a, b in zip(_MH_A, _MH_B)])).drop("h32")
+    """Add `shingles` and the `minhash` signature (join of the two paths;
+    use minhash_signatures directly when shingles aren't needed)."""
+    return with_shingles(df).join(minhash_signatures(df), "doc_id")
 
 
 def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFrame:
@@ -97,29 +121,32 @@ def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFr
         .alias("band_id", "band_key"))
 
 
-def _candidate_pairs(bands: DataFrame, payload_col: str) -> DataFrame:
-    """LSH band buckets -> deduped candidate pairs carrying each side's
-    payload (signature or shingles), in ONE aggregation + ONE dedup —
-    no join back to the source, nothing recomputed.
+def _candidate_pairs(bands: DataFrame, payload_col: str | None) -> DataFrame:
+    """Bucketed candidates -> deduped pairs, optionally carrying each
+    side's payload, in ONE aggregation + ONE dedup — no join back to the
+    source. Input needs columns (band_id, band_key, doc_id[, payload]).
 
-    Skew guard: degenerate buckets (a boilerplate band shared by
-    thousands of docs) are dropped before pair expansion, capping the
-    quadratic blowup at MAX_BUCKET^2 per bucket.
+    Skew guard: degenerate buckets (a boilerplate band / low-entropy
+    chunk shared by thousands of docs) are dropped before pair
+    expansion, capping the quadratic blowup at MAX_BUCKET^2 per bucket.
     """
+    member = (F.struct("doc_id", payload_col) if payload_col
+              else F.struct("doc_id"))
     members = (bands.groupBy("band_id", "band_key")
-               .agg(F.collect_list(F.struct("doc_id", payload_col))
-                    .alias("members"))
+               .agg(F.collect_list(member).alias("members"))
                .filter((F.size("members") > 1)
                        & (F.size("members") <= MAX_BUCKET)))
+
+    def mk_pair(a, b):
+        fields = [a.doc_id.alias("a_id"), b.doc_id.alias("b_id")]
+        if payload_col:
+            fields += [a[payload_col].alias("pa"), b[payload_col].alias("pb")]
+        return F.struct(*fields)
+
     pairs = members.select(F.explode(F.filter(
         F.flatten(F.transform(
             "members",
-            lambda a: F.transform(
-                "members",
-                lambda b: F.struct(a.doc_id.alias("a_id"),
-                                   b.doc_id.alias("b_id"),
-                                   a[payload_col].alias("pa"),
-                                   b[payload_col].alias("pb"))))),
+            lambda a: F.transform("members", lambda b: mk_pair(a, b)))),
         lambda p: p.a_id < p.b_id)).alias("p")).select("p.*")
     return pairs.dropDuplicates(["a_id", "b_id"])
 
@@ -128,7 +155,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str,
                     threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs by MinHash LSH + signature-estimated
     Jaccard >= threshold. One pass: signature -> bands -> bucket pairs."""
-    mh = with_minhash(_docs(spark, sf_dir)).select("doc_id", "minhash")
+    mh = minhash_signatures(_docs(spark, sf_dir))
     pairs = _candidate_pairs(minhash_bands(mh), "minhash")
     est = F.round(
         F.aggregate(F.zip_with("pa", "pb",
@@ -143,67 +170,98 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.4) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs (verify pass
     after minhash banding — the two-stage dedup a real pipeline runs).
-    Shingle sets ride along through the band buckets; no re-join."""
-    docs = with_minhash(_docs(spark, sf_dir))
-    pairs = _candidate_pairs(minhash_bands(docs, keep=("shingles",)),
-                             "shingles")
+
+    The banding shuffle is payload-free (doc ids only); shingle sets are
+    joined back ONLY for the surviving candidate pairs — at 10^9 docs the
+    pair set is orders of magnitude smaller than docs x 16 bands, so the
+    shingle payload never rides the bucket shuffle (r1 carried it 16x).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = _candidate_pairs(
+        minhash_bands(minhash_signatures(docs)), None)
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    joined = (pairs
+              .join(sh.select(F.col("doc_id").alias("a_id"),
+                              F.col("shingles").alias("pa")), "a_id")
+              .join(sh.select(F.col("doc_id").alias("b_id"),
+                              F.col("shingles").alias("pb")), "b_id"))
     inter = F.size(F.array_intersect("pa", "pb"))
     union = F.size(F.array_union("pa", "pb"))
-    return (pairs.select("a_id", "b_id",
-                         F.round(inter / union, 4).alias("jaccard"))
+    return (joined.select("a_id", "b_id",
+                          F.round(inter / union, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .orderBy(F.desc("jaccard"), "a_id", "b_id"))
 
 
 def with_simhash(df: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc via token-hash bit votes (two hash-aggs)."""
-    toks = (_with_tokens(df)
+    """64-bit SimHash per doc via token-hash bit votes (one hash-agg).
+
+    The signature is assembled with bit arithmetic over the 64 vote
+    sums: sum(2^b * [votes_b > 0]) computed as two 32-bit halves then
+    combined, avoiding a 64-deep nested expression tree.
+    """
+    toks = (_with_tokens(_spread(df))
             .select("doc_id", F.explode("tokens").alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
-    # one hash-agg with 64 vote sums (partial aggregation map-side) —
-    # no 64x row blowup, single shuffle keyed on doc_id
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
         for b in range(SIMHASH_BITS)])
-    sim = reduce(
-        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0,
-                                    F.lit(1 << b).cast("long"))
-                             .otherwise(F.lit(0).cast("long")),
-        range(1, SIMHASH_BITS - 1),
-        F.when(F.col("v0") > 0, F.lit(1).cast("long"))
-         .otherwise(F.lit(0).cast("long")))
-    # top bit via unsigned-safe arithmetic: 1<<63 overflows signed long,
-    # so place it with a negative literal (two's complement)
-    sim = sim + F.when(F.col(f"v{SIMHASH_BITS - 1}") > 0,
-                       F.lit(-(1 << 63)).cast("long")) \
-                 .otherwise(F.lit(0).cast("long"))
+    lo = sum((F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+               .otherwise(F.lit(0).cast("long"))
+              for b in range(32)), F.lit(0).cast("long"))
+    hi = sum((F.when(F.col(f"v{32 + b}") > 0, F.lit(1 << b).cast("long"))
+               .otherwise(F.lit(0).cast("long"))
+              for b in range(31)), F.lit(0).cast("long"))
+    # top bit via two's complement: 1<<63 overflows signed long
+    top = (F.when(F.col(f"v{SIMHASH_BITS - 1}") > 0,
+                  F.lit(-(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    sim = lo + F.shiftleft(hi, 32) + top
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) for max_hamming+1 chunks covering all 64 bits.
+
+    Pigeonhole: a pair within Hamming distance d <= max_hamming differs
+    in at most d chunks, so with d+1 chunks at least one chunk matches
+    exactly — candidate recall is guaranteed at the advertised radius
+    (r1 used 4x16-bit chunks, which only guarantees d <= 3).
+    """
+    n = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n)
+    chunks = []
+    shift = 0
+    for i in range(n):
+        width = base + (1 if i < extra else 0)
+        chunks.append((shift, width))
+        shift += width
+    return chunks
+
+
+def simhash_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming from a (doc_id, simhash)
+    DataFrame. Candidates via (max_hamming+1)-chunk equality buckets with
+    the same MAX_BUCKET skew cap as the minhash path."""
+    chunks = _simhash_chunks(max_hamming)
+    buckets = sh.select(
+        "doc_id", F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", shift)
+             .bitwiseAND(F.lit((1 << width) - 1))
+            for shift, width in chunks]))
+        .alias("band_id", "band_key"))
+    pairs = _candidate_pairs(buckets, "simhash")
+    return (pairs.select(
+                "a_id", "b_id",
+                F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                 .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("hamming", "a_id", "b_id"))
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str,
                     max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance <= max_hamming,
-    candidate-generated by 16-bit chunk equality (pigeonhole: any pair
-    within hamming 3 of 4 chunks shares at least one exact chunk)."""
-    sh = with_simhash(_docs(spark, sf_dir))
-    chunks = sh.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash", i * 16)
-             .bitwiseAND(F.lit(0xFFFF)) for i in range(4)]))
-        .alias("chunk_id", "chunk_val"))
-    a = chunks.select(F.col("doc_id").alias("a_id"),
-                      F.col("simhash").alias("sh_a"),
-                      "chunk_id", "chunk_val")
-    b = chunks.select(F.col("doc_id").alias("b_id"),
-                      F.col("simhash").alias("sh_b"),
-                      "chunk_id", "chunk_val")
-    return (a.join(b, ["chunk_id", "chunk_val"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-                     .alias("hamming"))
-            .dropDuplicates(["a_id", "b_id"])
-            .filter(F.col("hamming") <= max_hamming)
-            .orderBy("hamming", "a_id", "b_id"))
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming."""
+    return simhash_pairs(with_simhash(_docs(spark, sf_dir)), max_hamming)
