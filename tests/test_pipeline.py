@@ -115,3 +115,83 @@ def test_extraction_deterministic_across_partitionings(spark, corpus_dir):
     da = {r.url: (r.text, r.status) for r in a}
     db = {r.url: (r.text, r.status) for r in b}
     assert da == db
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency (Iceberg M1 semantics): two writers that
+    both loaded manifest version N race to publish N+1 — exactly one
+    wins, the loser raises instead of silently dropping a snapshot."""
+    from textextract_spark.io.table import CommitConflictError, ManifestTable
+
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    tbl.append(spark.range(3), part_keys=[0], run_id="w0")
+
+    # writer A and writer B both observe version 1
+    ver_a, manifest_a = tbl._load_with_version()
+    ver_b, manifest_b = tbl._load_with_version()
+    assert ver_a == ver_b == 1
+
+    manifest_a["snapshots"].append({"snapshot_id": "aaaa", "dir": "snap-aaaa",
+                                    "part_keys": [1], "run_id": "wA",
+                                    "parent": None})
+    tbl._publish(manifest_a, ver_a)  # A wins
+
+    manifest_b["snapshots"].append({"snapshot_id": "bbbb", "dir": "snap-bbbb",
+                                    "part_keys": [2], "run_id": "wB",
+                                    "parent": None})
+    with pytest.raises(CommitConflictError):
+        tbl._publish(manifest_b, ver_b)  # B must fail, not overwrite
+
+    # A's commit is intact; B's never became visible
+    ids = [s["snapshot_id"] for s in tbl.snapshots()]
+    assert "aaaa" in ids and "bbbb" not in ids
+    assert tbl.committed_part_keys() == {0, 1}
+
+
+def test_dedup_tiebreak_deterministic(spark, tmp_path):
+    """Two crawls of one url with the SAME max warc_ts must keep exactly
+    one deterministic winner (max md5 payload) — matching golden_rows."""
+    import datetime as dt
+
+    from textextract_spark.datagen import golden_rows
+
+    ts = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        {"url": "https://t.example/a", "warc_ts": ts,
+         "html": b"tie payload one", "text": "", "lang": "en"},
+        {"url": "https://t.example/a", "warc_ts": ts,
+         "html": b"tie payload TWO", "text": "", "lang": "en"},
+        {"url": "https://t.example/b", "warc_ts": ts,
+         "html": b"solo", "text": "", "lang": "en"},
+    ]
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    got = {r.url: r.text
+           for r in extract_pages(df, num_parts=4, n_salts=2).collect()}
+    golden = golden_rows(rows)
+    assert len(got) == 2
+    assert got == {u: g["text"] for u, g in golden.items()}
+
+
+def test_metrics_backfill_on_resume(spark, corpus_dir):
+    """A crash between the data commit and the lineage commit must be
+    healed on resume: every committed part_key gets metrics rows."""
+    import shutil
+
+    from textextract_spark.io.table import ManifestTable
+
+    out = tempfile.mkdtemp(prefix="textx-backfill-")
+    res = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=4,
+                       run_id="first")
+    # simulate the crash window: drop the metrics table entirely for the
+    # part_keys of the last snapshot (data committed, lineage lost)
+    shutil.rmtree(os.path.join(out, "metrics"))
+    res2 = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=4,
+                        run_id="resume")
+    metrics = ManifestTable(os.path.join(out, "metrics"))
+    assert metrics.committed_part_keys() == set(range(8))
+    m = metrics.read(spark)
+    ext = res2["extracted"].read(spark)
+    assert (m.agg(F.sum("doc_count")).collect()[0][0] == ext.count())

@@ -54,13 +54,17 @@ def test_extraction_plan_shape(spark, corpus_dir):
     # format gate happens before the UDF (predicate gating, north_rule)
     assert p.index("CASE WHEN") > p.index("MapInPandas"), \
         "fmt CASE must be below (before) MapInPandas in the plan tree"
-    # the dedup aggregation's scan must prune to (url, warc_ts) only
+    # the dedup aggregation reads html ONLY to md5 it at the scan (the
+    # tie-break); the payload itself must never enter the winner agg or
+    # its shuffle — assert the winner-side scan's projection hashes html
+    # away and the aggregate buffers carry (warc_ts, md5) only
     formatted = _plan(df.sparkSession, df, "formatted")
-    reads = [line for line in formatted.splitlines()
-             if "ReadSchema" in line]
-    assert any("url:string,warc_ts:timestamp" in r and "html" not in r
-               for r in reads), \
-        f"winner-agg scan should not read html:\n" + "\n".join(reads)
+    fn_lines = [line for line in formatted.splitlines()
+                if line.strip().startswith("Functions")]
+    assert any("max(struct(warc_ts" in line for line in fn_lines), fn_lines
+    assert all("html" not in line for line in fn_lines), \
+        "winner agg must aggregate (warc_ts, md5), never the payload:\n" \
+        + "\n".join(fn_lines)
 
 
 def test_lineage_uses_partial_aggregation(spark, corpus_dir):

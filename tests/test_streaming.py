@@ -26,3 +26,31 @@ def test_stream_matches_batch(spark, corpus_dir):
     got = {r.url: (r.text, r.status) for r in out.collect()}
     golden = golden_rows(generate_pages(400, seed=42))
     assert got == {u: (g["text"], g["status"]) for u, g in golden.items()}
+
+
+def test_stream_replayed_epochs_are_idempotent(spark, corpus_dir):
+    """foreachBatch is at-least-once; a replay of already-committed epochs
+    (same checkpoint identity, e.g. checkpoint lost after the manifest
+    commit) must not duplicate output snapshots."""
+    workdir = tempfile.mkdtemp(prefix="textx-replay-")
+    pages_dir = os.path.join(workdir, "pages")
+    os.makedirs(pages_dir)
+    shutil.copy(corpus_dir, os.path.join(pages_dir, "part-0.parquet"))
+    out_dir = os.path.join(workdir, "extracted")
+
+    q = stream_extract(spark, pages_dir, out_dir=out_dir,
+                       checkpoint_dir=os.path.join(workdir, "ckpt"))
+    q.awaitTermination(300)
+    tbl = ManifestTable(out_dir)
+    n_snaps = len(tbl.snapshots())
+    n_rows = tbl.read(spark).count()
+    assert n_snaps > 0
+
+    # replay: fresh checkpoint state, same checkpoint identity -> same
+    # epoch ids re-delivered; the sink must skip them all
+    shutil.rmtree(os.path.join(workdir, "ckpt"))
+    q2 = stream_extract(spark, pages_dir, out_dir=out_dir,
+                        checkpoint_dir=os.path.join(workdir, "ckpt"))
+    q2.awaitTermination(300)
+    assert len(tbl.snapshots()) == n_snaps
+    assert tbl.read(spark).count() == n_rows

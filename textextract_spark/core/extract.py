@@ -67,18 +67,22 @@ def extract_plain(payload: bytes) -> tuple[str, list[tuple[str, int, int]]]:
     return text, [("text", 0, len(text))]
 
 
-def extract_document(payload: bytes | None, lang: str | None = None) -> ExtractResult:
+def extract_document(payload: bytes | None, lang: str | None = None,
+                     fmt: str | None = None) -> ExtractResult:
     """Total extraction of a single document. NEVER raises.
 
     ``lang`` is accepted for parity with the reference's threaded-through
     ``language`` parameter (src/ocr.py:201) — like the reference, the
-    current branches do not vary behavior on it; the Spark pipeline gates
-    on format, which is derived from the bytes.
+    current branches do not vary behavior on it. ``fmt`` lets the Spark
+    pipeline's plan-level format gate (pipeline.with_format) drive the
+    dispatch directly; when omitted (pure-Python/golden path) the same
+    sniff runs here — the two are lockstep-tested
+    (tests/test_pipeline.py).
     """
     if payload is None or len(payload) == 0:
         return ExtractResult(status="empty")
     try:
-        fmt = sniff_format(bytes(payload))
+        fmt = fmt or sniff_format(bytes(payload))
         if fmt == FMT_PDF:
             text, spans = extract_pdf(bytes(payload))
         elif fmt == FMT_HTML:

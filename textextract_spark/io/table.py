@@ -1,92 +1,147 @@
 """Manifest-backed parquet table: snapshot commits + checkpoint semantics.
 
 Iceberg stand-in (SURVEY.md §7 hard part (e)): the Iceberg runtime jar is
-not available in this sandbox, so a parquet directory + JSON manifest
-emulates the two Iceberg behaviors the pipeline depends on:
+not available in this sandbox, so a parquet directory + versioned JSON
+manifests emulate the three Iceberg behaviors the pipeline depends on:
 
   * snapshot-based append commits — each ``append`` writes files to a new
-    snapshot directory, then atomically (write-tmp + rename) extends the
-    manifest; readers only see manifest-listed files, so a killed job never
-    exposes partial output;
+    snapshot directory, then atomically publishes a new manifest version;
+    readers only see manifest-listed files, so a killed job never exposes
+    partial output;
+  * **optimistic concurrency** — a commit is the creation of manifest
+    version ``parent+1`` via ``os.link`` (atomic fail-if-exists on POSIX):
+    two writers that both loaded version N race to create N+1; exactly one
+    wins, the loser gets ``CommitConflictError`` and its snapshot directory
+    is left unreferenced (Iceberg orphan-file semantics). This is the M1
+    single-writer guard (SURVEY.md §2.11) — the r1 load→append→replace
+    scheme was last-writer-wins and silently lost snapshots;
   * checkpoint/resume — each snapshot records the ``part_key`` set it
     covers; ``committed_part_keys()`` drives the rerun filter
     (``WHERE part_key NOT IN committed`` — SURVEY.md §4).
 
 On a real cluster this module is replaced by
 ``df.writeTo("db.extracted").append()`` + an Iceberg checkpoints table;
-the pipeline only touches the 4 methods below, so the swap is local.
+the pipeline only touches the 4 read/write methods, so the swap is local.
 
 Reference analog of the persisted watermark: last-update-check time written
-to the config file (/root/reference/src/updater.py:44-65).
+to the config file (/root/reference/src/updater.py:44-65). Reference analog
+of the commit conflict: single-instance lock via port bind
+(/root/reference/src/main.py:100-109).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"_manifest-v(\d{8})\.json$")
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same manifest version first."""
 
 
 class ManifestTable:
     def __init__(self, path: str) -> None:
         self.path = path
+        # legacy single-file manifest (pre-CAS layout) — read-only fallback
         self.manifest_path = os.path.join(path, "_manifest.json")
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
-    def _load(self) -> dict:
-        if not os.path.exists(self.manifest_path):
-            return {"snapshots": []}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+    def _versions(self) -> list[tuple[int, str]]:
+        out = []
+        for name in os.listdir(self.path):
+            m = _VERSION_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.path, name)))
+        return sorted(out)
 
-    def _store(self, manifest: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
+    def _load_with_version(self) -> tuple[int, dict]:
+        versions = self._versions()
+        if versions:
+            ver, p = versions[-1]
+            with open(p) as f:
+                return ver, json.load(f)
+        if os.path.exists(self.manifest_path):  # legacy layout = version 0
+            with open(self.manifest_path) as f:
+                return 0, json.load(f)
+        return 0, {"snapshots": []}
+
+    def _load(self) -> dict:
+        return self._load_with_version()[1]
+
+    def _publish(self, manifest: dict, parent_version: int) -> None:
+        """Atomically publish ``manifest`` as version parent_version+1.
+
+        ``os.link`` fails with EEXIST if any other writer already created
+        that version — the compare-and-swap commit point.
+        """
+        new_ver = parent_version + 1
+        target = os.path.join(self.path, f"_manifest-v{new_ver:08d}.json")
+        tmp = os.path.join(self.path,
+                           f".manifest-{uuid.uuid4().hex[:12]}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self.manifest_path)  # atomic commit point
+        try:
+            os.link(tmp, target)
+        except FileExistsError as exc:
+            raise CommitConflictError(
+                f"manifest version {new_ver} already committed by a "
+                f"concurrent writer (parent was {parent_version})") from exc
+        finally:
+            os.remove(tmp)
 
     # -- writes ------------------------------------------------------------
     def append(self, df: DataFrame, part_keys: list[int] | None = None,
                run_id: str | None = None) -> str:
         """Write df as a new snapshot; returns the snapshot id.
 
-        The parquet write lands in an uncommitted directory first; the
-        manifest rename is the commit point (crash before it = invisible).
+        The parquet write lands in an unreferenced directory first; the
+        manifest-version link is the commit point (crash before it =
+        invisible; losing a commit race = CommitConflictError, snapshot
+        dir left orphaned).
         """
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
         df.write.mode("overwrite").parquet(snap_dir)
-        manifest = self._load()
-        manifest["snapshots"].append({
+        ver, manifest = self._load_with_version()
+        snaps = manifest["snapshots"]
+        manifest["snapshots"] = snaps + [{
             "snapshot_id": snapshot_id,
             "dir": f"snap-{snapshot_id}",
             "part_keys": sorted(part_keys or []),
             "run_id": run_id,
-        })
-        self._store(manifest)
+            "parent": snaps[-1]["snapshot_id"] if snaps else None,
+        }]
+        self._publish(manifest, ver)
         return snapshot_id
 
     def overwrite(self, df: DataFrame) -> str:
         """Replace table contents with df as a single new snapshot.
 
         Emulates an Iceberg REPLACE/MERGE commit: the new snapshot is
-        written first, then the manifest swap makes it the only visible
-        state (old snapshot dirs remain for time travel, unreferenced).
+        written first, then the manifest-version publish makes it the only
+        visible state (old snapshot dirs remain for time travel,
+        unreferenced).
         """
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
         df.write.mode("overwrite").parquet(snap_dir)
-        manifest = self._load()
+        ver, manifest = self._load_with_version()
+        snaps = manifest["snapshots"]
         manifest["snapshots"] = [{
             "snapshot_id": snapshot_id,
             "dir": f"snap-{snapshot_id}",
             "part_keys": [],
             "run_id": None,
+            "parent": snaps[-1]["snapshot_id"] if snaps else None,
         }]
-        self._store(manifest)
+        self._publish(manifest, ver)
         return snapshot_id
 
     # -- reads -------------------------------------------------------------
@@ -109,3 +164,7 @@ class ManifestTable:
     def current_snapshot_id(self) -> str | None:
         snaps = self._load()["snapshots"]
         return snaps[-1]["snapshot_id"] if snaps else None
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshot records (id, dir, part_keys, run_id)."""
+        return list(self._load()["snapshots"])

@@ -188,9 +188,13 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fmts: list[str] = [""] * n
         payloads = pdf["html"].tolist()
         langs = pdf["lang"].tolist()
+        fmts_in = pdf["fmt"].tolist()
         for i in range(n):
             t0 = time.perf_counter()
-            res = extract_document(payloads[i], langs[i])
+            # fmt comes from the plan-level gate (with_format) so the
+            # DataFrame predicate really drives dispatch — no per-row
+            # re-sniff that could silently drift from the gate
+            res = extract_document(payloads[i], langs[i], fmt=fmts_in[i])
             ms[i] = (time.perf_counter() - t0) * 1000.0
             texts[i] = res.text
             if res.spans:
@@ -224,19 +228,31 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     format gate -> salted repartition -> Arrow extract.
     """
     # dedup-latest BEFORE extraction, payload-free: the winner per url is
-    # determined by (url, max(warc_ts)) alone, so the aggregation scans
-    # only two small columns (parquet column pruning — html never read),
-    # its shuffle carries ~16 bytes/url, and AQE broadcasts the winner
-    # set into a map-side semi join. Net: the ONLY full-payload movement
-    # in the whole job is the explicit salted repartition. (A row_number
-    # window here would shuffle + buffer every payload: measured 3-10x
-    # the extraction cost itself.)
-    winners = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    latest = pages.join(winners, ["url", "warc_ts"], "left_semi")
+    # determined by (url, max(warc_ts, md5(html))) alone, so the
+    # aggregation reads the payload only to hash it at the scan (no
+    # payload in the agg buffer or shuffle — ~48 bytes/url), and AQE
+    # broadcasts the winner set into a map-side semi join. Net: the ONLY
+    # full-payload movement in the whole job is the explicit salted
+    # repartition. (A row_number window here would shuffle + buffer every
+    # payload: measured 3-10x the extraction cost itself.) The md5 in the
+    # max-struct is the deterministic tie-break: two crawls of a url
+    # sharing the max warc_ts keep exactly one winner — the max-digest
+    # payload — matching datagen.golden_rows; md5 (not xxhash64) so the
+    # pure-Python golden oracle can compute the identical key.
+    hashed = pages.withColumn(
+        "__h", F.md5(F.coalesce(F.col("html"), F.lit(b""))))
+    winners = (hashed.groupBy("url")
+               .agg(F.max(F.struct("warc_ts", "__h")).alias("w"))
+               .select("url", F.col("w.warc_ts").alias("warc_ts"),
+                       F.col("w.__h").alias("__h")))
+    latest = (hashed.join(winners, ["url", "warc_ts", "__h"], "left_semi")
+              .drop("__h"))
     df = with_format(latest)
     df = with_partitioning(df, num_parts=num_parts, n_salts=n_salts)
     # ship ONLY what the UDF reads — the raw crawl `text` column and the
-    # salt never cross the JVM->Python boundary
+    # salt never cross the JVM->Python boundary; `fmt` IS read: the
+    # plan-level format gate drives UDF dispatch (north_rule), the
+    # extractor does not re-sniff per row
     df = df.select("url", "warc_ts", "html", "lang", "fmt", "part_key")
     raw = df.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
     return raw.select(
@@ -302,6 +318,25 @@ def run_pipeline(
     """
     out = ManifestTable(f"{out_dir}/extracted")
     metrics_tbl = ManifestTable(f"{out_dir}/metrics")
+
+    # Heal the non-atomic data/lineage commit pair: a crash between
+    # out.append and metrics_tbl.append leaves part_keys committed in
+    # `extracted` with no lineage rows — and resume skips committed
+    # part_keys, so they would stay unmetered forever. Backfill lineage
+    # from the committed snapshot dirs before doing new work.
+    orphaned = out.committed_part_keys() - metrics_tbl.committed_part_keys()
+    if orphaned:
+        for s in out.snapshots():
+            keys = sorted(set(s["part_keys"]) & orphaned)
+            if not keys:
+                continue
+            snap_df = spark.read.parquet(f"{out.path}/{s['dir']}")
+            metrics_tbl.append(
+                lineage_metrics(
+                    snap_df.filter(F.col("part_key").isin(keys)),
+                    run_id=s.get("run_id") or run_id,
+                    input_split=pages_path),
+                part_keys=keys, run_id=s.get("run_id") or run_id)
 
     pages = spark.read.parquet(pages_path)
     plan = extract_pages(pages, num_parts=num_parts, n_salts=n_salts)

@@ -39,23 +39,22 @@ STATE_SCHEMA = StructType([StructField("best_micros", LongType())])
 
 def _dedup_fn(key: Any, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
+    # vectorized per batch: one argmax over the timestamp column (first
+    # occurrence wins ties, matching the batch dedup tie order) — no
+    # per-row python loop
     best = state.get[0] if state.exists else None
-    winner = None  # (micros, row-dict)
+    winner: tuple[int, pd.DataFrame] | None = None
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            micros = int(row["warc_ts"].value // 1000)
-            if (best is None or micros > best) and \
-               (winner is None or micros > winner[0]):
-                winner = (micros, row)
-    if winner is not None:
+        if pdf.empty:
+            continue
+        ns = pdf["warc_ts"].to_numpy().astype("datetime64[ns]").view("int64")
+        i = int(ns.argmax())
+        micros = int(ns[i]) // 1000
+        if winner is None or micros > winner[0]:
+            winner = (micros, pdf.iloc[[i]])
+    if winner is not None and (best is None or winner[0] > best):
         state.update((winner[0],))
-        row = winner[1]
-        yield pd.DataFrame({
-            "url": [row["url"]],
-            "warc_ts": [row["warc_ts"]],
-            "html": [row["html"]],
-            "lang": [row["lang"]],
-        })
+        yield winner[1][["url", "warc_ts", "html", "lang"]]
 
 
 def dedup_latest_stream(pages_stream: DataFrame) -> DataFrame:

@@ -4,12 +4,21 @@ via foreachBatch (SURVEY.md §2.10 / §7 step 8).
 The reference's only stream-like structure is a command queue drained on a
 timer (/root/reference/src/main.py:345-371); continuous crawl ingestion is
 its web-scale analog. Design: `readStream` over the pages directory →
-`foreachBatch(extract + append)` with a streaming checkpoint — exactly-once
-per micro-batch lands on the same ManifestTable the batch job writes, so
-downstream readers can't tell which mode produced a snapshot.
+`foreachBatch(extract + append)` with a streaming checkpoint, landing on
+the same ManifestTable the batch job writes, so downstream readers can't
+tell which mode produced a snapshot.
+
+Delivery semantics: foreachBatch is at-least-once — if the job dies after
+the manifest commit but before the streaming checkpoint advances, the
+micro-batch is REPLAYED on restart. The sink is therefore idempotent on
+(checkpoint, epoch_id): each snapshot records run_id
+``stream-{checkpoint}-epoch-{epoch}``, and a replayed epoch whose run_id
+is already committed is skipped — effectively-once output.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
@@ -48,11 +57,16 @@ def stream_extract(
     dedup-latest covers full-corpus reruns).
     """
     out = ManifestTable(out_dir)
+    ckpt_tag = os.path.basename(os.path.normpath(checkpoint_dir))
 
     def _sink(batch_df, epoch_id: int) -> None:
+        run_id = f"stream-{ckpt_tag}-epoch-{epoch_id}"
+        if any(s.get("run_id") == run_id for s in out.snapshots()):
+            return  # replayed micro-batch (crash after commit, before
+            #         checkpoint advance) — already committed, skip
         extracted = extract_pages(batch_df, num_parts=num_parts,
                                   n_salts=n_salts)
-        out.append(extracted, part_keys=[], run_id=f"stream-epoch-{epoch_id}")
+        out.append(extracted, part_keys=[], run_id=run_id)
 
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", "8")
