@@ -20,7 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from textextract_spark.operators import multimodal, relational, similarity, sketch, textdata
+from textextract_spark.operators import (
+    multimodal, relational, releases, similarity, sketch, textdata)
 from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
@@ -57,12 +58,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The extraction pipeline as a driver query (rows-only check; the
-    byte-identity oracle runs in pytest against golden files)."""
+    """The extraction pipeline as a driver query WITH a full DuckDB
+    oracle: the synthesized pages wrap documents.text in a fixed HTML
+    chrome, and the extractor's output for that chrome is exactly
+    trim(text) with one <p> span — so the oracle reconstructs the
+    byte-identical expected text in pure SQL. (The broader byte-identity
+    oracle over the mixed html/pdf/plain corpus runs in pytest against
+    golden files.)"""
     pages = _pages_from_documents(spark, sf_dir)
     out = extract_pages(pages, num_parts=16, n_salts=4)
     return (out.select("url", "status",
                        F.col("meta.fmt").alias("fmt"),
+                       "text",
                        F.length("text").alias("text_len"),
                        F.size("spans").alias("n_spans"))
             .orderBy("url"))
@@ -97,18 +104,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textdata.token_stats,
         "quality_score": textdata.quality_score,
         "lang_guess": textdata.lang_guess,
+        # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)
+        "latest_release": releases.latest_release_feed,
         # similarity
         "cosine_topk": similarity.cosine_topk,
         "ivf_topk": similarity.ivf_topk,                    # rows-only
-        "ann_lsh_pairs": similarity.ann_lsh_pairs,          # rows-only
-        # sketch dedup (rows-only: engine-specific hashes)
-        "minhash_neardup": sketch.minhash_neardup,          # rows-only
-        "ngram_jaccard_pairs": sketch.ngram_jaccard_pairs,  # rows-only
-        "simhash_neardup": sketch.simhash_neardup,          # rows-only
-        # multimodal plumbing (rows-only: pandas UDF features)
-        "media_features": multimodal.media_features,        # rows-only
-        # the extraction pipeline itself (rows-only: golden oracle in pytest)
-        "extract_docs": _extract_docs,                      # rows-only
+        "ann_lsh_pairs": similarity.ann_lsh_planted,        # oracled via
+        #   planted duplicates (all-pairs cosine in DuckDB)
+        # sketch dedup
+        "minhash_neardup": sketch.minhash_neardup,          # rows-only:
+        #   engine-specific xxhash64 signatures (pytest brute-force oracle)
+        "ngram_jaccard_pairs": sketch.ngram_jaccard_pairs,  # oracled:
+        #   exact jaccard, all-pairs twin in DuckDB
+        "simhash_neardup": sketch.simhash_neardup,          # rows-only:
+        #   engine-specific xxhash64 bit votes (pytest pigeonhole oracle)
+        # multimodal plumbing (sha/size columns oracled; entropy pytest-only)
+        "media_features": multimodal.media_features_checked,
+        # the extraction pipeline itself — full text oracle (see
+        # _extract_docs docstring); mixed-format byte identity in pytest
+        "extract_docs": _extract_docs,
     }
 
 

@@ -240,18 +240,140 @@ ORACLES: dict[str, str] = {
                         AS BIGINT) AS de_hits,
                    CAST((length(padded)
                          - length(replace(padded, ' le ', ''))) / 4
-                        AS BIGINT) AS fr_hits
+                        AS BIGINT) AS fr_hits,
+                   CAST((length(padded)
+                         - length(replace(padded, ' el ', ''))) / 4
+                        AS BIGINT) AS es_hits,
+                   CAST((length(padded)
+                         - length(replace(padded, ' তথ্য ', ''))) / 6
+                        AS BIGINT) AS bn_hits
             FROM t)
-        SELECT doc_id, lang, en_hits, de_hits, fr_hits,
-               CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
-                    WHEN en_hits = greatest(en_hits, de_hits, fr_hits)
-                         THEN 'en'
-                    WHEN de_hits = greatest(en_hits, de_hits, fr_hits)
-                         THEN 'de'
-                    ELSE 'fr' END AS lang_guess
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, bn_hits,
+               CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits,
+                                  bn_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, de_hits, fr_hits,
+                                            es_hits, bn_hits) THEN 'en'
+                    WHEN de_hits = greatest(en_hits, de_hits, fr_hits,
+                                            es_hits, bn_hits) THEN 'de'
+                    WHEN fr_hits = greatest(en_hits, de_hits, fr_hits,
+                                            es_hits, bn_hits) THEN 'fr'
+                    WHEN es_hits = greatest(en_hits, de_hits, fr_hits,
+                                            es_hits, bn_hits) THEN 'es'
+                    ELSE 'bn' END AS lang_guess
         FROM hits ORDER BY doc_id
     """,
+    # -- release feed (deterministic synthetic feed; twin of
+    # operators.releases.synth_feed — every field is a pure function of
+    # the row index i) ------------------------------------------------------
+    "latest_release": """
+        WITH feed AS (
+            SELECT i,
+                   concat('v', CAST(i % 4 AS VARCHAR), '.',
+                          CAST((i * 7) % 10 AS VARCHAR), '.',
+                          CAST((i * 3) % 8 AS VARCHAR)) AS tag_name,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + CAST(i AS INT) * INTERVAL 1 DAY AS published_at,
+                   (i % 11 = 0) AS draft,
+                   (i % 7 = 0) AS prerelease,
+                   (i % 5 = 0) AS critical
+            FROM range(24) t(i))
+        SELECT tag_name,
+               strftime(published_at, '%Y-%m-%d %H:%M:%S') AS published_at,
+               concat('TextExtract-', tag_name, '.exe') AS asset_name,
+               critical AS force_update
+        FROM feed
+        WHERE NOT draft AND NOT prerelease
+        ORDER BY (i % 4) DESC, ((i * 7) % 10) DESC, ((i * 3) % 8) DESC,
+                 published_at DESC
+        LIMIT 1
+    """,
+    # -- dedup verify pass: exact all-pairs jaccard (the Spark side is
+    # LSH-candidates + exact verify; at driver scale every pair >= the
+    # threshold is high-jaccard and banding recall is 1, so the two agree
+    # exactly — pytest additionally asserts the per-pair values) ------------
+    "ngram_jaccard_pairs": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                      toks[CAST(i AS INT) + 1],
+                                      toks[CAST(i AS INT) + 2]))) AS sh
+            FROM t)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                   AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+        ORDER BY jaccard DESC, a_id, b_id
+    """,
+    # -- multimodal plumbing: sha/size twins (no blob byte access in this
+    # DuckDB build, so entropy is pytest-only) ------------------------------
+    "media_features": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               substr(sha256(text), 1, 16) AS content_sha,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents ORDER BY media_id
+    """,
+    # -- the extraction pipeline: full byte-identity text oracle (the
+    # driver's pages are documents.text in a fixed HTML chrome; extraction
+    # returns exactly trim(text) as one <p> block) --------------------------
+    "extract_docs": """
+        SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+               'ok' AS status,
+               'html' AS fmt,
+               trim(text) AS text,
+               CAST(length(trim(text)) AS INT) AS text_len,
+               1 AS n_spans
+        FROM documents ORDER BY url
+    """,
     # -- similarity ---------------------------------------------------------
+    # IVF twin: same coarse-quantize (per-label centroid) -> nprobe=3 ->
+    # exact-cosine-within-cells shape, re-expressed in SQL. 64 = the
+    # embeddings table's fixed dim (no lateral unnest in this DuckDB).
+    "ivf_topk": """
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        dims AS (SELECT unnest(range(1, 65)) AS i),
+        cents AS (
+            SELECT label, i, avg(v[CAST(i AS INT)]) AS c
+            FROM emb, dims GROUP BY label, i),
+        cvec AS (SELECT label, list(c ORDER BY i) AS cv
+                 FROM cents GROUP BY label),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        probed AS (
+            SELECT label FROM cvec, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC LIMIT 3)
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        FROM emb e JOIN probed USING (label), q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    "ann_lsh_pairs": """
+        WITH all_v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x * 1.0009765625)
+            FROM embeddings WHERE vec_id < 10)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        ORDER BY cosine DESC, a_id, b_id
+    """,
     "cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec
                    FROM embeddings WHERE vec_id = 0)

@@ -11,9 +11,12 @@ window (W1/W2/F6) + array filtering (F4/F7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+_FEED_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+_FEED_SIZE = 24
 
 
 def parse_version(col):
@@ -40,6 +43,44 @@ def latest_release(releases: DataFrame, platform_suffix: str = ".exe") -> DataFr
                  .getItem(0).alias("asset"),
                 F.upper(F.col("body")).contains("CRITICAL")
                  .alias("force_update")))
+
+
+def synth_feed(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic releases feed (no external data): version
+    parts, draft/prerelease flags, CRITICAL bodies, and per-platform
+    assets are all pure functions of the row index, so a DuckDB oracle
+    can reconstruct the feed exactly (operators.oracles latest_release).
+    """
+    i = F.col("id")
+    tag = F.concat(F.lit("v"), (i % 4).cast("string"), F.lit("."),
+                   ((i * 7) % 10).cast("string"), F.lit("."),
+                   ((i * 3) % 8).cast("string"))
+    return spark.range(_FEED_SIZE).select(
+        tag.alias("tag_name"),
+        F.timestamp_seconds(F.lit(_FEED_EPOCH) + i * 86400)
+         .alias("published_at"),
+        (i % 11 == 0).alias("draft"),
+        (i % 7 == 0).alias("prerelease"),
+        F.when(i % 5 == 0, F.lit("Critical security fix"))
+         .otherwise(F.lit("routine notes")).alias("body"),
+        F.array(
+            F.struct(F.concat(F.lit("TextExtract-"), tag, F.lit(".exe"))
+                      .alias("name")),
+            F.struct(F.concat(F.lit("TextExtract-"), tag, F.lit(".dmg"))
+                      .alias("name"))).alias("assets"))
+
+
+def latest_release_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-correctness entry for the update-check path (SURVEY §3.3,
+    P6/W1/W2/F4-F7): top release of the synthetic feed, flattened to
+    oracle-comparable columns."""
+    top = latest_release(synth_feed(spark))
+    return top.select(
+        "tag_name",
+        F.date_format("published_at", "yyyy-MM-dd HH:mm:ss")
+         .alias("published_at"),
+        F.col("asset.name").alias("asset_name"),
+        "force_update")
 
 
 def is_newer(candidate, current) -> F.Column:

@@ -113,12 +113,40 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str, dim: int = 64,
 
     At 10^9 vectors each table's bucket join shuffles on an 8-bit-plus-
     table-id key instead of cross-joining; banding (match in ANY table)
-    gives ~1-(1-p^8)^4 recall. Rows-only for the driver; recall vs brute
-    force is asserted on planted duplicates in tests/test_similarity.py.
+    gives ~1-(1-p^8)^4 recall. Recall vs brute force is asserted on
+    planted duplicates in tests/test_dedup.py.
     """
-    planes = _planes(dim)  # N_PLANES = LSH_TABLES * PLANES_PER_TABLE
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return _ann_lsh_over(emb, dim, min_cosine)
+
+
+def ann_lsh_planted(spark: SparkSession, sf_dir: str, dim: int = 64,
+                    min_cosine: float = 0.9, n_planted: int = 10) -> DataFrame:
+    """ann_lsh_pairs over the embeddings table UNION deterministic planted
+    duplicates (scaled copies of the first n_planted vectors — scaling
+    preserves cosine exactly, so each plant pairs with its source at
+    cosine 1.0). This is the driver-correctness entry: the r1 query
+    returned 0 rows at sf0.01 (vacuously green); with plants the row set
+    is non-trivial AND oracle-checkable against DuckDB all-pairs cosine
+    (at this threshold brute force and LSH agree: same-direction vectors
+    share every hyperplane sign, so plant recall is 1).
+    """
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    plants = (emb.filter(F.col("vec_id") < n_planted)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: x * F.lit(1.0009765625))
+                       .alias("embedding")))
+    return _ann_lsh_over(
+        emb.select("vec_id", "embedding")
+           .unionByName(plants), dim, min_cosine)
+
+
+def _ann_lsh_over(emb: DataFrame, dim: int,
+                  min_cosine: float) -> DataFrame:
+    planes = _planes(dim)  # N_PLANES = LSH_TABLES * PLANES_PER_TABLE
 
     def sig_bit(plane: list[float]):
         lit_plane = F.array(*[F.lit(v) for v in plane])

@@ -106,13 +106,18 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = marker_count(" the ")
     de = marker_count(" der ")
     fr = marker_count(" le ")
-    best = F.greatest(en, de, fr)
+    es = marker_count(" el ")
+    bn = marker_count(" তথ্য ")
+    best = F.greatest(en, de, fr, es, bn)
     return (_docs(spark, sf_dir)
             .select("doc_id", "lang",
                     en.alias("en_hits"), de.alias("de_hits"),
-                    fr.alias("fr_hits"),
+                    fr.alias("fr_hits"), es.alias("es_hits"),
+                    bn.alias("bn_hits"),
                     F.when(best == 0, F.lit("und"))
                      .when(en == best, F.lit("en"))
                      .when(de == best, F.lit("de"))
-                     .otherwise(F.lit("fr")).alias("lang_guess"))
+                     .when(fr == best, F.lit("fr"))
+                     .when(es == best, F.lit("es"))
+                     .otherwise(F.lit("bn")).alias("lang_guess"))
             .orderBy("doc_id"))
