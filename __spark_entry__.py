@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_rank": relational.version_rank,
         "topk_orders": relational.topk_orders,
         "pagination": relational.pagination,
+        "keyset_pagination": relational.keyset_pagination,
         "union_branches": relational.union_branches,
         "json_props_stats": relational.json_props_stats,
         # text analysis / dedup (graft brief)

@@ -93,9 +93,11 @@ def test_decrement_credits(spark, tmp_path):
     from textextract_spark.io.table import ManifestTable
     from textextract_spark.operators.maintenance import decrement_credits
 
+    from textextract_spark.operators.maintenance import seed_credits
+
     tbl = ManifestTable(str(tmp_path / "credits"))
-    tbl.overwrite(spark.createDataFrame(
-        [(1, 10), (2, 3)], "user_id INT, credits INT"))
+    seed_credits(spark, tbl, spark.createDataFrame(
+        [(1, 10), (2, 3)], "user_id INT, credits INT"), "user_id")
     usage = spark.createDataFrame(
         [(1, 4), (2, 99)], "user_id INT, used INT")
     after = decrement_credits(spark, tbl, usage, "user_id", "credits",
@@ -103,3 +105,36 @@ def test_decrement_credits(spark, tmp_path):
     # floor at 0 (models.py:290-308 semantics)
     assert {(r.user_id, r.credits) for r in after.collect()} \
         == {(1, 6), (2, 0)}
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE stand-in must be partition-scoped (Iceberg dynamic
+    overwrite): a merge touching one key rewrites only that key's hash
+    bucket — untouched buckets keep their prior snapshot files."""
+    import os
+
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import (
+        BUCKET_COL, merge_counters)
+
+    tbl = ManifestTable(str(tmp_path / "c2"))
+    seed = spark.createDataFrame(
+        [(i, "2025-01-01", i) for i in range(40)],
+        "user_id INT, date STRING, requests_count INT")
+    merge_counters(spark, tbl, seed, ["user_id", "date"],
+                   ["requests_count"])
+    one = spark.createDataFrame(
+        [(7, "2025-01-01", 100)],
+        "user_id INT, date STRING, requests_count INT")
+    merged = merge_counters(spark, tbl, one, ["user_id", "date"],
+                            ["requests_count"])
+    got = {r.user_id: r.requests_count for r in merged.collect()}
+    assert got[7] == 107 and got[8] == 8 and len(got) == 40
+    # the second snapshot contains exactly ONE bucket directory
+    snaps = tbl.snapshots()
+    assert len(snaps) == 2
+    last_dir = os.path.join(tbl.path, snaps[-1]["dir"])
+    bucket_dirs = [d for d in os.listdir(last_dir)
+                   if d.startswith(f"{BUCKET_COL}=")]
+    assert len(bucket_dirs) == 1
+    assert len(snaps[-1]["replaces"][BUCKET_COL]) == 1

@@ -72,3 +72,11 @@ def test_lineage_uses_partial_aggregation(spark, corpus_dir):
     ext = extract_pages(spark.read.parquet(corpus_dir), 16, 4)
     p = _plan(spark, lineage_metrics(ext, "r", "s"), "simple")
     assert "partial_" in p.lower() or "HashAggregate" in p
+
+
+def test_keyset_pagination_no_global_window(spark, sf_dir):
+    """Keyset pagination must be a pruned scan + TakeOrderedAndProject —
+    no WindowExec single-task funnel."""
+    p = _plan(spark, relational.keyset_pagination(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p

@@ -144,6 +144,58 @@ class ManifestTable:
         self._publish(manifest, ver)
         return snapshot_id
 
+    def replace_partitions(self, df: DataFrame, bucket_col: str,
+                           buckets: list[int],
+                           run_id: str | None = None) -> str:
+        """Dynamic partition overwrite (Iceberg REPLACE WHERE analog):
+        commit df as the new state of exactly the given buckets; rows in
+        other buckets keep their previous snapshots. The snapshot dir is
+        physically partitioned by bucket_col so readers prune to live
+        bucket directories."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
+        (df.write.mode("overwrite").partitionBy(bucket_col)
+           .parquet(snap_dir))
+        ver, manifest = self._load_with_version()
+        snaps = manifest["snapshots"]
+        manifest["snapshots"] = snaps + [{
+            "snapshot_id": snapshot_id,
+            "dir": f"snap-{snapshot_id}",
+            "part_keys": [],
+            "run_id": run_id,
+            "parent": snaps[-1]["snapshot_id"] if snaps else None,
+            "replaces": {bucket_col: sorted(int(b) for b in buckets)},
+        }]
+        self._publish(manifest, ver)
+        return snapshot_id
+
+    def read_keyed(self, spark: SparkSession,
+                   bucket_col: str) -> DataFrame | None:
+        """Read a table maintained via replace_partitions: newest snapshot
+        wins per bucket. Each snapshot is read from its root (so the
+        partition column is restored) filtered to the buckets it still
+        owns — a partition-pruned scan, never a full-table read of dead
+        data."""
+        from pyspark.sql import functions as F
+
+        snaps = self._load()["snapshots"]
+        owner: dict[int, int] = {}  # bucket -> snapshot index (newest wins)
+        for idx in range(len(snaps) - 1, -1, -1):
+            for b in snaps[idx].get("replaces", {}).get(bucket_col, []):
+                owner.setdefault(b, idx)
+        parts = []
+        for idx, snap in enumerate(snaps):
+            mine = [b for b, i in owner.items() if i == idx]
+            if mine:
+                df = spark.read.parquet(os.path.join(self.path, snap["dir"]))
+                parts.append(df.filter(F.col(bucket_col).isin(mine)))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- reads -------------------------------------------------------------
     def snapshot_dirs(self) -> list[str]:
         return [os.path.join(self.path, s["dir"])

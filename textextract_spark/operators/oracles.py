@@ -162,6 +162,15 @@ ORACLES: dict[str, str] = {
             FROM orders)
         WHERE rn > 40 AND rn <= 60 ORDER BY rn
     """,
+    "keyset_pagination": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+           OR (o_orderdate = TIMESTAMP '1998-06-15 00:00:00'
+               AND o_orderkey > 4000)
+        ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20
+    """,
     "union_branches": """
         SELECT branch, count(*) AS n,
                round(sum(value), 2) AS branch_value

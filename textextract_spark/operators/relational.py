@@ -260,13 +260,41 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 offset pagination (limit clamped, user_routes.py:132-146):
-    page 3 of 20 by recency via row_number filter."""
+    page 3 of 20 by recency via row_number filter.
+
+    Scale note: the unpartitioned row_number funnels the table through
+    one task — offset pagination is inherently global. Offset pages are
+    small in the reference (limit <= 100), so orderBy+limit(offset+n)
+    (TakeOrderedAndProject) or keyset_pagination below is the form that
+    survives 100x; this window form is kept as the API-exact analog.
+    """
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
     return (orders.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
             .select("rn", "o_orderkey", "o_custkey")
             .orderBy("rn"))
+
+
+def keyset_pagination(spark: SparkSession, sf_dir: str,
+                      last_date: str = "1998-06-15 00:00:00",
+                      last_key: int = 4000,
+                      page: int = 20) -> DataFrame:
+    """O2 keyset ("seek") pagination — the 100-TB-safe page fetch: WHERE
+    (o_orderdate, o_orderkey) after the last-seen row, ORDER BY, LIMIT n.
+    The predicate prunes at the scan and the limit is a
+    TakeOrderedAndProject — no global row_number, no single-task funnel
+    (plan asserted in tests/test_plans.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.lit(last_date).cast("timestamp")
+    after = (F.col("o_orderdate") < d) | (
+        (F.col("o_orderdate") == d) & (F.col("o_orderkey") > last_key))
+    return (orders.filter(after)
+            .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_custkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+                     .alias("order_date"))
+            .limit(page))
 
 
 # -- set ops -----------------------------------------------------------------
