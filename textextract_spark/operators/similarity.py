@@ -158,8 +158,14 @@ def _ann_lsh_over(emb: DataFrame, dim: int,
         for p in planes[t * PLANES_PER_TABLE:(t + 1) * PLANES_PER_TABLE]:
             sig = F.shiftleft(sig, 1) + sig_bit(p)
         buckets.append(sig)
+    # explode_outer: plain explode gets an inferred size()>0 filter that
+    # re-evaluates all 32 interpreted hyperplane dot products per row.
+    # The explicit repartition on the join key makes the self-join's two
+    # sides share ONE exchange (ReusedExchange, plan-asserted): without
+    # it the 32-plane signature computation runs twice.
     with_b = (emb.select("vec_id", "embedding",
-                         F.explode(F.array(*buckets)).alias("bucket")))
+                         F.explode_outer(F.array(*buckets)).alias("bucket"))
+              .repartition("bucket"))
     left = with_b.select(F.col("vec_id").alias("a_id"),
                          F.col("embedding").alias("a_vec"), "bucket")
     right = with_b.select(F.col("vec_id").alias("b_id"),

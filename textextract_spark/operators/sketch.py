@@ -85,9 +85,16 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     partials; the shuffle carries K longs per doc). Duplicate shingles
     don't affect a min, so no distinct is needed on this path.
     """
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
+    # adds size(shingles)>0 for plain explode and pushes it below the
+    # _spread exchange — re-evaluating the whole interpreted shingle
+    # transform on the unspread scan side (measured 2.5s of the 4s
+    # signature time on ONE core). shingles is never empty here anyway
+    # (with_shingles filters size(tokens) >= SHINGLE).
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     exploded = (with_shingles(df)
-                .select("doc_id", F.explode("shingles").alias("shingle"))
+                .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull())
                 .select("doc_id", h32.alias("h")))
     mins = exploded.groupBy("doc_id").agg(*[
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P31)))
@@ -107,9 +114,12 @@ def with_minhash(df: DataFrame) -> DataFrame:
 def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFrame:
     """Explode the minhash signature into (band_id, band_key) rows,
     carrying the `keep` payload columns along."""
-    return df.select(
+    # posexplode_outer: a plain posexplode gets an inferred size()>0
+    # filter that re-evaluates the interpreted 16-band md5 transform a
+    # second time per row (see minhash_signatures note)
+    return (df.select(
         "doc_id", *keep,
-        F.posexplode(
+        F.posexplode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
                 lambda b: F.md5(F.concat_ws(
@@ -119,6 +129,7 @@ def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFr
                                 ROWS_PER_BAND),
                         lambda x: x.cast("string"))))))
         .alias("band_id", "band_key"))
+        .filter(F.col("band_key").isNotNull()))
 
 
 def _candidate_pairs(bands: DataFrame, payload_col: str | None) -> DataFrame:
@@ -200,8 +211,11 @@ def with_simhash(df: DataFrame) -> DataFrame:
     sums: sum(2^b * [votes_b > 0]) computed as two 32-bit halves then
     combined, avoiding a 64-deep nested expression tree.
     """
+    # explode_outer + null filter: see minhash_signatures (avoids the
+    # inferred size()>0 filter being pushed below the spread exchange)
     toks = (_with_tokens(_spread(df))
-            .select("doc_id", F.explode("tokens").alias("tok"))
+            .select("doc_id", F.explode_outer("tokens").alias("tok"))
+            .filter(F.col("tok").isNotNull())
             .withColumn("h", F.xxhash64("tok")))
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
@@ -247,7 +261,7 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
     chunks = _simhash_chunks(max_hamming)
     buckets = sh.select(
         "doc_id", F.col("simhash"),
-        F.posexplode(F.array(*[
+        F.posexplode_outer(F.array(*[
             F.shiftrightunsigned("simhash", shift)
              .bitwiseAND(F.lit((1 << width) - 1))
             for shift, width in chunks]))
