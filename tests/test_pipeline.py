@@ -195,3 +195,35 @@ def test_metrics_backfill_on_resume(spark, corpus_dir):
     m = metrics.read(spark)
     ext = res2["extracted"].read(spark)
     assert (m.agg(F.sum("doc_count")).collect()[0][0] == ext.count())
+
+
+def test_oversize_payload_routed_around_udf(spark):
+    """Payloads above the cap must come back as skipped:too_large without
+    crossing the Arrow boundary, and golden_rows must agree."""
+    import datetime as dt
+
+    from textextract_spark.datagen import golden_rows
+
+    ts = dt.datetime(2025, 4, 1)
+    rows = [
+        {"url": "u://small", "warc_ts": ts,
+         "html": b"<html><body><p>" + b"word " * 30 + b"</p></body></html>",
+         "text": "", "lang": "en"},
+        {"url": "u://huge", "warc_ts": ts,
+         "html": b"<html>" + b"x" * (9 * 1024 * 1024), "text": "",
+         "lang": "en"},
+    ]
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    got = {r.url: (r.status, r.text, r.meta.in_bytes, r.meta.fmt)
+           for r in extract_pages(df, num_parts=4, n_salts=2).collect()}
+    assert got["u://huge"][0] == "skipped:too_large"
+    assert got["u://huge"][1] == ""
+    assert got["u://huge"][2] == 9 * 1024 * 1024 + 6
+    assert got["u://small"][0] == "ok"
+    golden = golden_rows(rows)
+    assert golden["u://huge"]["status"] == "skipped:too_large"
+    assert {u: g["status"] for u, g in golden.items()} \
+        == {u: s for u, (s, _, _, _) in got.items()}

@@ -30,6 +30,12 @@ HTML_MARKERS = ("<html", "<!doctype", "<head", "<body", "<div", "<p>", "<p ",
                 "<h1", "<article", "<section", "<table", "<span")
 SNIFF_BYTES = 512
 
+# Plan-level payload cap (pipeline + golden oracle): documents above this
+# are status 'skipped:too_large' and never cross the Arrow boundary — one
+# row cannot be split by arrow.maxBytesPerBatch, so a multi-GB crawl
+# artifact would otherwise become a single worker-killing batch.
+MAX_PAYLOAD_BYTES = 8 * 1024 * 1024
+
 _WS_LINES_RE = re.compile(r"[ \t]+(?=\n)|[ \t]+$")
 
 

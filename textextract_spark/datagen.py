@@ -258,8 +258,16 @@ def golden_rows(rows: list[dict]) -> dict[str, dict]:
         cur = latest.get(r["url"])
         if cur is None or key(r) > key(cur):
             latest[r["url"]] = r
+    from .core.extract import MAX_PAYLOAD_BYTES
     out: dict[str, dict] = {}
     for url, r in latest.items():
+        if r["html"] is not None and len(r["html"]) > MAX_PAYLOAD_BYTES:
+            # mirrors the pipeline's oversize gate (never crosses Arrow)
+            from .core.extract import sniff_format
+            out[url] = {"text": "", "spans": [],
+                        "status": "skipped:too_large",
+                        "fmt": sniff_format(bytes(r["html"]))}
+            continue
         res = extract_document(r["html"], r["lang"])
         out[url] = {"text": res.text, "spans": res.spans,
                     "status": res.status, "fmt": res.fmt}

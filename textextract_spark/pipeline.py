@@ -40,7 +40,8 @@ from pyspark.sql.types import (
     TimestampType, IntegerType,
 )
 
-from .core.extract import HTML_MARKERS, SNIFF_BYTES, extract_document
+from .core.extract import (
+    HTML_MARKERS, MAX_PAYLOAD_BYTES, SNIFF_BYTES, extract_document)
 from .io.table import ManifestTable
 
 SPAN_TYPE = ArrayType(StructType([
@@ -118,6 +119,21 @@ def with_format(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def with_part_columns(df: DataFrame, num_parts: int = 64,
+                      n_salts: int = 8) -> DataFrame:
+    """Derive the part_key/salt columns only (no physical repartition) —
+    used when a branch needs the checkpoint key without the payload
+    shuffle (extract_pages' oversize branch)."""
+    return (df.withColumn(
+            "part_key",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
+             .cast(IntegerType()))
+            .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_salts))
+             .cast(IntegerType())))
+
+
 def with_partitioning(df: DataFrame, num_parts: int = 64,
                       n_salts: int = 8) -> DataFrame:
     """Explicit url-hash part_key + salt, then repartition on both.
@@ -133,14 +149,7 @@ def with_partitioning(df: DataFrame, num_parts: int = 64,
     remedy, see operators.textdata.dedup_exact). On Iceberg
     this is hidden partitioning ``bucket(num_parts, url)``.
     """
-    df = (df.withColumn(
-            "part_key",
-            F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
-             .cast(IntegerType()))
-            .withColumn(
-            "salt",
-            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_salts))
-             .cast(IntegerType())))
+    df = with_part_columns(df, num_parts=num_parts, n_salts=n_salts)
     return df.repartition(num_parts, "part_key", "salt")
 
 
@@ -221,11 +230,13 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_pages(pages: DataFrame, num_parts: int = 64,
-                  n_salts: int = 8) -> DataFrame:
+                  n_salts: int = 8,
+                  max_payload_bytes: int = MAX_PAYLOAD_BYTES) -> DataFrame:
     """Lazy end-to-end extraction plan over a raw pages DataFrame.
 
     Stage order: payload-free dedup-latest (winner agg + semi join) ->
-    format gate -> salted repartition -> Arrow extract.
+    format gate -> oversize gate -> salted repartition -> Arrow extract
+    -> union of the extracted and oversize branches (§2.7 branch-union).
     """
     # dedup-latest BEFORE extraction, payload-free: the winner per url is
     # determined by (url, max(warc_ts, md5(html))) alone, so the
@@ -248,14 +259,22 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     latest = (hashed.join(winners, ["url", "warc_ts", "__h"], "left_semi")
               .drop("__h"))
     df = with_format(latest)
-    df = with_partitioning(df, num_parts=num_parts, n_salts=n_salts)
+    df = with_part_columns(df, num_parts=num_parts, n_salts=n_salts)
+    # oversize gate BEFORE the payload repartition: a too-large payload
+    # never enters any shuffle or the Arrow boundary — its branch is a
+    # pruned scan + projection only
+    oversize = F.length("html") > max_payload_bytes
+    small = df.filter(~oversize) \
+        .repartition(num_parts, "part_key", "salt")
+    big = df.filter(oversize)
     # ship ONLY what the UDF reads — the raw crawl `text` column and the
     # salt never cross the JVM->Python boundary; `fmt` IS read: the
     # plan-level format gate drives UDF dispatch (north_rule), the
     # extractor does not re-sniff per row
-    df = df.select("url", "warc_ts", "html", "lang", "fmt", "part_key")
-    raw = df.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
-    return raw.select(
+    small = small.select("url", "warc_ts", "html", "lang", "fmt",
+                         "part_key")
+    raw = small.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
+    extracted = raw.select(
         "url", "warc_ts", "part_key", "lang", "text",
         F.arrays_zip(F.col("span_tag").alias("tag"),
                      F.col("span_start").alias("start"),
@@ -263,6 +282,15 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
         "status",
         F.struct(F.col("ms"), F.col("in_bytes"), F.col("fmt"))
          .alias("meta"))
+    skipped = big.select(
+        "url", "warc_ts", "part_key", "lang",
+        F.lit("").alias("text"),
+        F.array().cast(SPAN_TYPE).alias("spans"),
+        F.lit("skipped:too_large").alias("status"),
+        F.struct(F.lit(0.0).alias("ms"),
+                 F.length("html").cast(LongType()).alias("in_bytes"),
+                 F.col("fmt")).alias("meta"))
+    return extracted.unionByName(skipped)
 
 
 # ---------------------------------------------------------------------------

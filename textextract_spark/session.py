@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))
+        # byte-level batch cap (Spark 4.1 default 64MB) — the second
+        # giant-document guard; the first is the plan-level payload cap
+        # in pipeline.extract_pages (a single row can't be split here)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         # 32MB local split size: bench corpora are O(1GB), and the
         # partition-to-core ratio should mirror production (where Iceberg
         # split planning over many 128MB files gives cores >> splits);
