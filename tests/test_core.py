@@ -164,3 +164,10 @@ def test_fast_tokenizer_total_and_reference_equal_on_text(s):
     # html.parser recovery on SOME malformed edge cases differs by
     # design (e.g. unterminated tags at EOF); only well-formed-ish
     # inputs are required to agree — covered by the corpus test above.
+
+
+def test_charset_gbk_and_cyrillic():
+    gbk = '<meta charset="gb2312"><p>中文内容测试</p>'.encode("gbk")
+    assert "中文内容测试" in decode_payload(gbk)
+    w1251 = '<meta charset="windows-1251"><p>русский текст</p>'.encode("cp1251")
+    assert "русский текст" in decode_payload(w1251)

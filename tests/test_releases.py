@@ -51,3 +51,19 @@ def test_is_newer_version_gate(spark):
         is_newer(F.col("candidate"), F.col("current")).alias("newer"))
         .collect()]
     assert got == [True, False, False]
+
+
+def test_cached_feed_reuses_inmemory_relation(spark):
+    """S4 cache analog: second use of the cached dim must read the
+    InMemoryRelation, not re-evaluate the source; invalidation drops it."""
+    from textextract_spark.operators.releases import (
+        cached_feed, invalidate_feed_cache, latest_release)
+
+    invalidate_feed_cache(spark)
+    feed = cached_feed(spark)
+    first = latest_release(feed).collect()
+    again = latest_release(cached_feed(spark))
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert again.collect() == first
+    invalidate_feed_cache(spark)

@@ -83,6 +83,35 @@ def latest_release_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "force_update")
 
 
+_FEED_CACHE: dict[str, DataFrame] = {}
+
+
+def cached_feed(spark: SparkSession) -> DataFrame:
+    """S4 cache analog: the reference caches the releases feed in memory
+    for 10 minutes with a file fallback
+    (/root/reference/backend/routes/update_routes.py:62-165). The Spark
+    analog is ``df.cache()`` of the (tiny) dim — every query in the
+    session reuses the InMemoryRelation instead of re-reading the source;
+    the TTL becomes an explicit ``invalidate_feed_cache`` (on a real
+    deployment, re-reading an Iceberg snapshot id). Payload tables are
+    deliberately NEVER cached (SCALE.md: feeding an exchange from
+    InMemoryColumnar measured ~4x slower than re-scanning parquet)."""
+    key = spark.sparkContext.applicationId
+    df = _FEED_CACHE.get(key)
+    if df is None:
+        df = synth_feed(spark).cache()
+        _FEED_CACHE[key] = df
+    return df
+
+
+def invalidate_feed_cache(spark: SparkSession) -> None:
+    """The 10-min-TTL-expiry analog: drop the cached dim."""
+    key = spark.sparkContext.applicationId
+    df = _FEED_CACHE.pop(key, None)
+    if df is not None:
+        df.unpersist()
+
+
 def is_newer(candidate, current) -> F.Column:
     """W2 version gate (updater.py:168-193): candidate > current by
     numeric part-wise comparison — array comparison is lexicographic."""
