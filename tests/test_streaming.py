@@ -54,3 +54,54 @@ def test_stream_replayed_epochs_are_idempotent(spark, corpus_dir):
     q2.awaitTermination(300)
     assert len(tbl.snapshots()) == n_snaps
     assert tbl.read(spark).count() == n_rows
+
+
+def test_watermarked_window_agg_matches_batch(spark):
+    """Append-mode watermarked window counts over a drained stream must
+    equal the batch window aggregation (every window finalized once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.datagen import PAGES_SCHEMA, generate_pages
+    from textextract_spark.streaming.stream import PAGES_SCHEMA as READ_SCHEMA
+    from textextract_spark.streaming.windowed import (
+        crawl_rate_by_host, crawl_rate_by_host_batch)
+
+    rows = generate_pages(300, seed=11)
+    workdir = tempfile.mkdtemp(prefix="textx-window-")
+    pages_dir = os.path.join(workdir, "pages")
+    os.makedirs(pages_dir)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        tbl = pa.table({
+            "url": [r["url"] for r in chunk],
+            "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in chunk],
+            "html": [r["html"] for r in chunk],
+            "text": [r["text"] for r in chunk],
+            "lang": [r["lang"] for r in chunk],
+        }, schema=PAGES_SCHEMA)
+        pq.write_table(tbl, os.path.join(pages_dir, f"part-{i}.parquet"))
+
+    stream = (spark.readStream.schema(READ_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(pages_dir))
+    out_dir = os.path.join(workdir, "out")
+    q = (crawl_rate_by_host(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r.window_start, r.host): (r.crawls, r.bytes)
+           for r in spark.read.parquet(out_dir).collect()}
+    pages = spark.read.parquet(os.path.join(pages_dir, "*.parquet"))
+    expected = {(r.window_start, r.host): (r.crawls, r.bytes)
+                for r in crawl_rate_by_host_batch(pages).collect()}
+    # append mode withholds windows the watermark hasn't passed — the
+    # LAST windows may be missing; everything emitted must match batch,
+    # and most windows must have been finalized
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v, k
+    assert len(got) >= len(expected) * 0.8
