@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   engine-specific xxhash64 bit votes (pytest pigeonhole oracle)
         # multimodal plumbing (sha/size columns oracled; entropy pytest-only)
         "media_features": multimodal.media_features_checked,
+        "frame_sample": multimodal.frame_sample,
         # the extraction pipeline itself — full text oracle (see
         # _extract_docs docstring); mixed-format byte identity in pytest
         "extract_docs": _extract_docs,

@@ -32,8 +32,12 @@ BENCH_QUERIES = [
     "token_stats",
     "minhash_neardup",
     "simhash_neardup",
+    "ngram_jaccard_pairs",
     "cosine_topk",
     "ivf_topk",
+    "ann_lsh_pairs",
+    "keyset_pagination",
+    "latest_release",
 ]
 
 

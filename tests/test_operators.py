@@ -138,3 +138,34 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
                    if d.startswith(f"{BUCKET_COL}=")]
     assert len(bucket_dirs) == 1
     assert len(snaps[-1]["replaces"][BUCKET_COL]) == 1
+
+
+def test_frame_sample_non_ascii_payloads(spark, tmp_path):
+    """frame_sample's UDF is byte-based and total on arbitrary binary
+    payloads (the driver query's ASCII filter is only for its SQL
+    oracle): planted multibyte/binary blobs yield N equal frames whose
+    digests match a direct python slice."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.multimodal import (
+        N_FRAMES, _frame_batches)
+    import pandas as pd
+
+    payloads = ["বাংলা তথ্য লেখা বিশ্লেষণ".encode() * 3,
+                bytes(range(256)), b"abc", b""]
+    pdf = pd.DataFrame({"media_id": pd.Series(range(4), dtype="int64"),
+                        "media": payloads})
+    out = pd.concat(list(_frame_batches(iter([pdf]))))
+    for mid, p in enumerate(payloads):
+        flen = len(p) // N_FRAMES
+        rows = out[out.media_id == mid]
+        if flen == 0:
+            assert rows.empty
+            continue
+        assert len(rows) == N_FRAMES
+        for _, r in rows.iterrows():
+            chunk = p[r.byte_offset:r.byte_offset + flen]
+            assert r.frame_sha == hashlib.sha256(chunk).hexdigest()[:16]

@@ -83,6 +83,63 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("media_id")
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("byte_offset", LongType()),
+    StructField("frame_sha", StringType()),
+    StructField("frame_bytes", LongType()),
+])
+
+N_FRAMES = 4
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1-row-in -> N-rows-out frame sampling (the video-decode plumbing
+    shape: a real implementation replaces the equal-split offsets with
+    ffmpeg keyframe indices; everything else — schema, batch handling,
+    row explosion — is identical)."""
+    for pdf in batches:
+        ids, idxs, offs, shas, lens = [], [], [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["media"]):
+            p = payload or b""
+            flen = len(p) // N_FRAMES
+            if flen == 0:
+                continue
+            for i in range(N_FRAMES):
+                chunk = p[i * flen:(i + 1) * flen]
+                ids.append(media_id)
+                idxs.append(i)
+                offs.append(i * flen)
+                shas.append(hashlib.sha256(chunk).hexdigest()[:16])
+                lens.append(flen)
+        yield pd.DataFrame({
+            "media_id": pd.Series(ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "byte_offset": pd.Series(offs, dtype="int64"),
+            "frame_sha": pd.Series(shas, dtype="object"),
+            "frame_bytes": pd.Series(lens, dtype="int64"),
+        })
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media blobs: each blob yields N_FRAMES
+    equal-split frames with per-frame digests.
+
+    The driver query restricts to ASCII payloads (byte length == char
+    length) so the DuckDB oracle can reconstruct the byte slices with
+    character substr + sha256 — the operator itself is byte-based and
+    works on any binary payload (pytest covers non-ASCII)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.octet_length("text") == F.length("text"))
+            .filter(F.octet_length("text") >= N_FRAMES)
+            .select(F.col("doc_id").alias("media_id"),
+                    F.encode("text", "UTF-8").alias("media")))
+    frames = docs.repartition(8, "media_id") \
+        .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+    return frames.orderBy("media_id", "frame_idx")
+
+
 def media_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-correctness projection of media_features: the columns with
     exact DuckDB twins (sha256 / octet_length). Entropy stays in the full

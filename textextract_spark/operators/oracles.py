@@ -333,6 +333,24 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents ORDER BY media_id
     """,
+    "frame_sample": """
+        WITH d AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+            WHERE octet_length(encode(text)) = length(text)
+              AND octet_length(encode(text)) >= 4),
+        f AS (
+            SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+                   CAST((nb // 4) * i AS BIGINT) AS byte_offset,
+                   substr(text, CAST((nb // 4) * i + 1 AS INT),
+                          CAST(nb // 4 AS INT)) AS chunk,
+                   CAST(nb // 4 AS BIGINT) AS frame_bytes
+            FROM d, (SELECT unnest(range(0, 4)) AS i) t)
+        SELECT media_id, frame_idx, byte_offset,
+               substr(sha256(chunk), 1, 16) AS frame_sha, frame_bytes
+        FROM f ORDER BY media_id, frame_idx
+    """,
     # -- the extraction pipeline: full byte-identity text oracle (the
     # driver's pages are documents.text in a fixed HTML chrome; extraction
     # returns exactly trim(text) as one <p> block) --------------------------
