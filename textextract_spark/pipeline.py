@@ -193,12 +193,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         span_end: list[list[int]] = [[]] * n
         statuses: list[str] = [""] * n
         ms: list[float] = [0.0] * n
-        in_bytes: list[int] = [0] * n
         fmts: list[str] = [""] * n
         payloads = pdf["html"].tolist()
         langs = pdf["lang"].tolist()
         fmts_in = pdf["fmt"].tolist()
+        flags = pdf["too_large"].tolist()
         for i in range(n):
+            if flags[i]:
+                # plan-level oversize gate: the payload was nulled out
+                # before the shuffle; report without touching python
+                statuses[i] = "skipped:too_large"
+                fmts[i] = fmts_in[i]
+                continue
             t0 = time.perf_counter()
             # fmt comes from the plan-level gate (with_format) so the
             # DataFrame predicate really drives dispatch — no per-row
@@ -211,7 +217,6 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 span_start[i] = [s for (_, s, _) in res.spans]
                 span_end[i] = [e for (_, _, e) in res.spans]
             statuses[i] = res.status
-            in_bytes[i] = len(payloads[i]) if payloads[i] is not None else 0
             fmts[i] = res.fmt
         yield pd.DataFrame({
             "url": pdf["url"],
@@ -224,7 +229,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "span_end": span_end,
             "status": statuses,
             "ms": ms,
-            "in_bytes": in_bytes,
+            "in_bytes": pdf["in_bytes"],
             "fmt": fmts,
         })
 
@@ -260,21 +265,27 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
               .drop("__h"))
     df = with_format(latest)
     df = with_part_columns(df, num_parts=num_parts, n_salts=n_salts)
-    # oversize gate BEFORE the payload repartition: a too-large payload
-    # never enters any shuffle or the Arrow boundary — its branch is a
-    # pruned scan + projection only
-    oversize = F.length("html") > max_payload_bytes
-    small = df.filter(~oversize) \
-        .repartition(num_parts, "part_key", "salt")
-    big = df.filter(oversize)
+    # oversize gate BEFORE the payload repartition, in ONE branch: giant
+    # payloads are NULLED OUT at the projection (their precomputed length
+    # and a flag ride along instead), so a too-large payload never enters
+    # the shuffle or the Arrow boundary — and the upstream scan + winner
+    # semi join run exactly once. (A filter + union of two branches would
+    # duplicate the whole upstream subtree per branch — measured 2x the
+    # job time.)
+    in_bytes = F.coalesce(F.octet_length("html"), F.lit(0)).cast("long")
+    too_large = in_bytes > max_payload_bytes
+    df = (df.withColumn("in_bytes", in_bytes)
+            .withColumn("too_large", too_large)
+            .withColumn("html", F.when(~too_large, F.col("html"))))
+    df = df.repartition(num_parts, "part_key", "salt")
     # ship ONLY what the UDF reads — the raw crawl `text` column and the
     # salt never cross the JVM->Python boundary; `fmt` IS read: the
     # plan-level format gate drives UDF dispatch (north_rule), the
     # extractor does not re-sniff per row
-    small = small.select("url", "warc_ts", "html", "lang", "fmt",
-                         "part_key")
-    raw = small.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
-    extracted = raw.select(
+    df = df.select("url", "warc_ts", "html", "lang", "fmt", "part_key",
+                   "in_bytes", "too_large")
+    raw = df.mapInPandas(_extract_batches, schema=_RAW_SCHEMA)
+    return raw.select(
         "url", "warc_ts", "part_key", "lang", "text",
         F.arrays_zip(F.col("span_tag").alias("tag"),
                      F.col("span_start").alias("start"),
@@ -282,15 +293,6 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
         "status",
         F.struct(F.col("ms"), F.col("in_bytes"), F.col("fmt"))
          .alias("meta"))
-    skipped = big.select(
-        "url", "warc_ts", "part_key", "lang",
-        F.lit("").alias("text"),
-        F.array().cast(SPAN_TYPE).alias("spans"),
-        F.lit("skipped:too_large").alias("status"),
-        F.struct(F.lit(0.0).alias("ms"),
-                 F.length("html").cast(LongType()).alias("in_bytes"),
-                 F.col("fmt")).alias("meta"))
-    return extracted.unionByName(skipped)
 
 
 # ---------------------------------------------------------------------------
