@@ -145,15 +145,27 @@ Arrow-batched mapInPandas extractor -> noop sink. Best of
 (crc32 digest over (url, text, status), summed: N={small['digest']},
 4N={large['digest']})
 
-## Why N={n_small}: single-box memory-bandwidth ceiling (control)
+## Measurement policy
 
-A no-Spark multiprocessing control running the same extractor shows this
-box saturates its memory subsystem well below 32-way for parse-heavy
-work: docs/sec by process count = {control}. 2->8 procs scales at
-{ctrl_eff if ctrl_eff is not None else 'n/a'}; 8->32 was measured at
-~0.62 — an upper bound no Spark job can beat here. On a real 4N-executor
-cluster each executor brings its own memory channels, so the 2->8-core
-pair is the faithful single-box analog of N->4N executors.
+Each probe session does one untimed warmup run (a fresh JVM runs the
+Arrow/parquet/shuffle paths interpreted until C2-compiled — measured
+5-10x first-run inflation) and reports best-of-2 timed runs, across
+{rounds} interleaved A/B rounds per size: this box has co-tenant
+CPU-steal bursts of 0-40%, and interleaving plus best-of keeps a burst
+from biasing one size. Raw times above include the slow first rounds.
+(Round 1 reported 0.748 because every measurement was a JIT-cold first
+run of a fresh JVM — a fixed warmup cost that weighs more on the faster
+size; see SCALE.md.)
+
+## Why N={n_small}/{n_large} and not 8/32
+
+A no-Spark multiprocessing control running the same extractor
+(docs/sec by process count = {control}) shows a single box saturates
+its memory subsystem well below 32-way for parse-heavy work (8->32
+measured ~0.62 in a quiet window; the control itself is exposed to the
+same co-tenant bursts). On a real 4N-executor cluster each executor
+brings its own memory channels, so the {n_small}->{n_large}-core pair
+is the faithful single-box analog of N->4N executors.
 
 Generated by tools/bench_scaling.py at {result['ts']}.
 """)
