@@ -78,6 +78,30 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
     # its first run — measured 5-10x first-run inflation) and takes the
     # min over repeats to ride out this box's co-tenant CPU-steal bursts
     # (measured 0-40% steal).
+    # flagship extraction (the BASELINE.json metric) is sampled BOTH
+    # before and after the query suite — the samples sit minutes apart,
+    # so one co-tenant CPU-steal burst (they last minutes here) cannot
+    # claim every sample; min across all is the steady-state number
+    from tools.bench_scaling import _warm_python_workers
+    _warm_python_workers(spark, 64)
+    pages = spark.read.parquet(corpus)
+    ext_plan = extract_pages(pages, num_parts=64, n_salts=8)
+    # untimed warmup RUNS (plural): measured trajectory on this box is
+    # ~4 runs / ~2.5 min from fresh-JVM to steady state (tiered JIT over
+    # the whole Arrow/shuffle/codegen surface), e.g. 26s, 66s, 30s, 19s,
+    # then stable 4-5s — timing before steady state measures warmup
+    for _ in range(3):
+        noop(ext_plan)
+
+    def timed_extract(best: float, reps: int = 2) -> float:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            noop(ext_plan)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    extract_sec = timed_extract(float("inf"))
+
     timings: dict[str, float] = {}
     qmap = entry_mod.queries()
     for name in queries or BENCH_QUERIES:
@@ -88,18 +112,7 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # flagship extraction throughput (the BASELINE.json metric):
-    # python workers warmed + one untimed run, then best-of-3
-    from tools.bench_scaling import _warm_python_workers
-    _warm_python_workers(spark, 64)
-    pages = spark.read.parquet(corpus)
-    ext_plan = extract_pages(pages, num_parts=64, n_salts=8)
-    noop(ext_plan)
-    extract_sec = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        noop(ext_plan)
-        extract_sec = min(extract_sec, time.perf_counter() - t0)
+    extract_sec = timed_extract(extract_sec)
     timings["extract_corpus"] = round(extract_sec, 3)
     n_urls = pages.select("url").distinct().count()
     spark.stop()
