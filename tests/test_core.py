@@ -171,3 +171,17 @@ def test_charset_gbk_and_cyrillic():
     assert "中文内容测试" in decode_payload(gbk)
     w1251 = '<meta charset="windows-1251"><p>русский текст</p>'.encode("cp1251")
     assert "русский текст" in decode_payload(w1251)
+
+
+def test_textarea_title_not_rawtext_matches_reference():
+    """html.parser's CDATA elements are ONLY script/style: textarea and
+    title bodies are ordinary parsed data, and the fast tokenizer must
+    agree byte-for-byte (r2 review finding: treating textarea as rawtext
+    silently dropped its body on the production path only)."""
+    from textextract_spark.core.html_extract import extract_html_reference
+    html = ("<html><head><title>skip me</title></head><body>"
+            "<p>A long enough paragraph of plain prose that easily "
+            "clears the minimum block threshold for classification."
+            "<textarea>draft <b>text</b> body</textarea> tail words"
+            "</p></body></html>")
+    assert extract_html(html) == extract_html_reference(html)

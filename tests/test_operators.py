@@ -169,3 +169,27 @@ def test_frame_sample_non_ascii_payloads(spark, tmp_path):
         for _, r in rows.iterrows():
             chunk = p[r.byte_offset:r.byte_offset + flen]
             assert r.frame_sha == hashlib.sha256(chunk).hexdigest()[:16]
+
+
+def test_decrement_credits_unknown_key_is_noop(spark, tmp_path):
+    """Usage for keys absent from the credits table must be a no-op and
+    must NOT poison the table (an empty bucket snapshot has no parquet
+    schema and would break every later read)."""
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import (
+        decrement_credits, seed_credits)
+
+    tbl = ManifestTable(str(tmp_path / "c3"))
+    seed_credits(spark, tbl, spark.createDataFrame(
+        [(1, 10)], "user_id INT, credits INT"), "user_id")
+    usage = spark.createDataFrame(
+        [(999999, 4)], "user_id INT, used INT")
+    after = decrement_credits(spark, tbl, usage, "user_id", "credits",
+                              "used")
+    assert {(r.user_id, r.credits) for r in after.collect()} == {(1, 10)}
+    # table still healthy: a later real decrement works
+    after2 = decrement_credits(
+        spark, tbl,
+        spark.createDataFrame([(1, 3)], "user_id INT, used INT"),
+        "user_id", "credits", "used")
+    assert {(r.user_id, r.credits) for r in after2.collect()} == {(1, 7)}

@@ -179,8 +179,11 @@ _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
 
 # raw-text elements: their content is consumed up to the matching close
-# tag, so '<' inside script/style bodies can never be misread as markup
-_RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+# tag, so '<' inside script/style bodies can never be misread as markup.
+# EXACTLY html.parser's CDATA_CONTENT_ELEMENTS — adding textarea/title
+# here would diverge from the reference tokenizer (their bodies are
+# ordinary parsed data in html.parser).
+_RAWTEXT = frozenset({"script", "style"})
 
 
 def _iter_events(s: str) -> Iterator[tuple[str, str]]:

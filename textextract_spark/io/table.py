@@ -186,9 +186,19 @@ class ManifestTable:
         parts = []
         for idx, snap in enumerate(snaps):
             mine = [b for b, i in owner.items() if i == idx]
-            if mine:
-                df = spark.read.parquet(os.path.join(self.path, snap["dir"]))
-                parts.append(df.filter(F.col(bucket_col).isin(mine)))
+            if not mine:
+                continue
+            snap_dir = os.path.join(self.path, snap["dir"])
+            # a zero-row snapshot has no parquet files (no schema to
+            # read) — its buckets are empty by definition, skip it
+            has_data = any(
+                name.startswith(f"{bucket_col}=")
+                for name in os.listdir(snap_dir)) if os.path.isdir(
+                    snap_dir) else False
+            if not has_data:
+                continue
+            df = spark.read.parquet(snap_dir)
+            parts.append(df.filter(F.col(bucket_col).isin(mine)))
         if not parts:
             return None
         out = parts[0]

@@ -76,9 +76,17 @@ def decrement_credits(spark: SparkSession, table: ManifestTable,
     only the buckets with usage. The credits table must have been
     committed via merge_counters/seed_credits (bucketed layout)."""
     ug = _with_bucket(usage.select(key, used_col), [key], n_buckets)
-    touched = sorted(r[0] for r in
-                     ug.select(BUCKET_COL).distinct().collect())
     current = table.read_keyed(spark, BUCKET_COL)
+    # only buckets that exist in the credits table can be decremented —
+    # usage rows for unknown keys are a no-op, and committing an empty
+    # bucket snapshot would poison reads (parquet writes no schema for
+    # zero rows)
+    have = {r[0] for r in
+            current.select(BUCKET_COL).distinct().collect()}
+    touched = sorted({r[0] for r in
+                      ug.select(BUCKET_COL).distinct().collect()} & have)
+    if not touched:
+        return current.drop(BUCKET_COL)
     merged = (current.filter(F.col(BUCKET_COL).isin(touched))
               .join(ug.drop(BUCKET_COL), key, "left")
               .withColumn(

@@ -173,10 +173,10 @@ def _ann_lsh_over(emb: DataFrame, dim: int,
     pairs = (left.join(right, "bucket")
              .filter(F.col("a_id") < F.col("b_id"))
              .dropDuplicates(["a_id", "b_id"]))
-    return (pairs.select(
-                "a_id", "b_id",
-                F.round(_dot(F.col("a_vec"), F.col("b_vec"))
-                        / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
-                        4).alias("cosine"))
-            .filter(F.col("cosine") >= min_cosine)
+    raw = (_dot(F.col("a_vec"), F.col("b_vec"))
+           / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))))
+    # raw-threshold filter, rounded display (matches the DuckDB oracle)
+    return (pairs.select("a_id", "b_id", raw.alias("__raw"))
+            .filter(F.col("__raw") >= min_cosine)
+            .select("a_id", "b_id", F.round("__raw", 4).alias("cosine"))
             .orderBy(F.desc("cosine"), "a_id", "b_id"))

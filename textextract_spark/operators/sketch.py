@@ -105,12 +105,6 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
         F.array(*[F.col(f"mh{k}") for k in range(K_HASHES)]).alias("minhash"))
 
 
-def with_minhash(df: DataFrame) -> DataFrame:
-    """Add `shingles` and the `minhash` signature (join of the two paths;
-    use minhash_signatures directly when shingles aren't needed)."""
-    return with_shingles(df).join(minhash_signatures(df), "doc_id")
-
-
 def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFrame:
     """Explode the minhash signature into (band_id, band_key) rows,
     carrying the `keep` payload columns along."""
@@ -168,12 +162,17 @@ def minhash_neardup(spark: SparkSession, sf_dir: str,
     Jaccard >= threshold. One pass: signature -> bands -> bucket pairs."""
     mh = minhash_signatures(_docs(spark, sf_dir))
     pairs = _candidate_pairs(minhash_bands(mh), "minhash")
-    est = F.round(
-        F.aggregate(F.zip_with("pa", "pb",
-                               lambda x, y: (x == y).cast("int")),
-                    F.lit(0), lambda acc, x: acc + x) / F.lit(K_HASHES), 4)
-    return (pairs.select("a_id", "b_id", est.alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold)
+    # filter on the RAW estimate; round only for display (filtering on
+    # the rounded value disagrees with a raw-threshold oracle at the
+    # boundary, e.g. raw 0.39997 rounds to 0.4)
+    est_raw = (F.aggregate(F.zip_with("pa", "pb",
+                                      lambda x, y: (x == y).cast("int")),
+                           F.lit(0), lambda acc, x: acc + x)
+               / F.lit(K_HASHES))
+    return (pairs.select("a_id", "b_id", est_raw.alias("__raw"))
+            .filter(F.col("__raw") >= threshold)
+            .select("a_id", "b_id",
+                    F.round("__raw", 4).alias("est_jaccard"))
             .orderBy(F.desc("est_jaccard"), "a_id", "b_id"))
 
 
@@ -198,9 +197,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                               F.col("shingles").alias("pb")), "b_id"))
     inter = F.size(F.array_intersect("pa", "pb"))
     union = F.size(F.array_union("pa", "pb"))
+    # raw-threshold filter (see minhash_neardup note) — matches the
+    # DuckDB oracle's WHERE on the unrounded jaccard
     return (joined.select("a_id", "b_id",
-                          F.round(inter / union, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
+                          (inter / union).alias("__raw"))
+            .filter(F.col("__raw") >= threshold)
+            .select("a_id", "b_id", F.round("__raw", 4).alias("jaccard"))
             .orderBy(F.desc("jaccard"), "a_id", "b_id"))
 
 

@@ -18,6 +18,7 @@ is already committed is skipped — effectively-once output.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import SparkSession
@@ -57,7 +58,11 @@ def stream_extract(
     dedup-latest covers full-corpus reruns).
     """
     out = ManifestTable(out_dir)
-    ckpt_tag = os.path.basename(os.path.normpath(checkpoint_dir))
+    # tag = hash of the FULL checkpoint path: two different streams whose
+    # checkpoint dirs merely share a basename must not collide (a replay
+    # after checkpoint loss keeps the same path, so dedup still works)
+    ckpt_tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
     def _sink(batch_df, epoch_id: int) -> None:
         run_id = f"stream-{ckpt_tag}-epoch-{epoch_id}"
