@@ -185,3 +185,44 @@ def test_textarea_title_not_rawtext_matches_reference():
             "<textarea>draft <b>text</b> body</textarea> tail words"
             "</p></body></html>")
     assert extract_html(html) == extract_html_reference(html)
+
+
+def test_tokenizer_equivalence_fuzz_structured_html():
+    """Seeded structural fuzz: random nested tags (incl. rawtext,
+    void, self-closing, comments, entities, attrs with '>' in quoted
+    values) — fast and reference tokenizers must agree byte-for-byte."""
+    from textextract_spark.core.html_extract import extract_html_reference
+
+    tags = ["p", "div", "span", "a", "b", "i", "em", "ul", "li", "h1",
+            "h2", "section", "article", "nav", "footer", "table", "tr",
+            "td", "blockquote", "pre", "img", "br", "hr", "script",
+            "style", "textarea", "title", "form", "label", "input",
+            "code", "small"]
+    words = "alpha beta gamma delta epsilon longwordhere text".split()
+    ents = ["&amp;", "&eacute;", "&#65;", "&mdash;", "&unknown;", "&"]
+    rng = random.Random(77)
+
+    def gen(depth=0):
+        out = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.45 or depth > 4:
+                ws = [rng.choice(words) for _ in range(rng.randint(1, 12))]
+                if rng.random() < 0.3:
+                    ws.insert(rng.randrange(len(ws)), rng.choice(ents))
+                out.append(" ".join(ws))
+            elif r < 0.55:
+                t = rng.choice(tags)
+                out.append(f"<{t}/>" if rng.random() < 0.5 else f"<{t}>")
+            elif r < 0.62:
+                out.append(f"<!-- comment {rng.randint(0, 99)} -->")
+            else:
+                t = rng.choice(tags)
+                attrs = (f' class="x{rng.randint(0, 9)}" href="/a?b=c&d>e"'
+                         if rng.random() < 0.5 else "")
+                out.append(f"<{t}{attrs}>{gen(depth + 1)}</{t}>")
+        return "".join(out)
+
+    for _ in range(400):
+        doc = "<html><body>" + gen() + "</body></html>"
+        assert extract_html(doc) == extract_html_reference(doc), doc[:200]
