@@ -226,3 +226,29 @@ def test_tokenizer_equivalence_fuzz_structured_html():
     for _ in range(400):
         doc = "<html><body>" + gen() + "</body></html>"
         assert extract_html(doc) == extract_html_reference(doc), doc[:200]
+
+
+def test_pdf_nonoctal_digit_escape_is_lenient():
+    """'\\9' is not octal: Adobe-lenient behavior drops the backslash
+    instead of raising (r2 review: int(...,8) ValueError lost the whole
+    document's text)."""
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 34 >>\nstream\n"
+           b"BT (hello \\9world \\101 ok) Tj ET\nendstream\nendobj\n")
+    res = extract_document(pdf)
+    assert res.status == "ok"
+    assert "hello 9world A ok" in res.text
+
+
+def test_rawtext_close_edge_cases_match_reference():
+    from textextract_spark.core.html_extract import extract_html_reference
+    cases = [
+        "<p>Long paragraph content with plenty of words to classify."
+        "<script>x</ script>surviving words after whitespace close.</p>",
+        "<p>Paragraph words words words words words words words here."
+        "<script>x</scripts>NOTCLOSED</script>tail text follows.</p>",
+        "<p@>odd tag name paragraph with plenty of words to pass.</p@>",
+        "<p>before <style>a{}</STYLE > after words filling the block"
+        " with prose to pass thresholds easily okay.</p>",
+    ]
+    for c in cases:
+        assert extract_html(c) == extract_html_reference(c), c[:60]

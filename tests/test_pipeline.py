@@ -227,3 +227,20 @@ def test_oversize_payload_routed_around_udf(spark):
     assert golden["u://huge"]["status"] == "skipped:too_large"
     assert {u: g["status"] for u, g in golden.items()} \
         == {u: s for u, (s, _, _, _) in got.items()}
+
+
+def test_null_warc_ts_keeps_status_row(spark):
+    """A url whose only crawl has warc_ts NULL must still get an output
+    row (NULL = NULL is NULL under plain equality; the winner join is
+    null-safe)."""
+    df = spark.createDataFrame(
+        [("u://nullts", None,
+          b"<html><body><p>" + b"word " * 30 + b"</p></body></html>",
+          "", "en"),
+         ("u://ok", __import__("datetime").datetime(2025, 1, 2),
+          b"plain text body here", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    got = {r.url: r.status
+           for r in extract_pages(df, num_parts=4, n_salts=2).collect()}
+    assert set(got) == {"u://nullts", "u://ok"}
+    assert got["u://nullts"] == "ok"

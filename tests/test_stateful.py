@@ -57,3 +57,38 @@ def test_stream_dedup_matches_batch(spark):
     # monotone: at most one emission per (url, warc_ts)
     assert len(emitted) <= len(rows)
     assert len({(r.url, r.warc_ts) for r in emitted}) == len(emitted)
+
+def test_stream_dedup_tiebreak_matches_batch(spark):
+    """Two crawls sharing the max warc_ts: the stream must keep the
+    max-md5 payload, exactly like the batch winner key."""
+    import datetime as dt
+    import hashlib
+
+    d = tempfile.mkdtemp(prefix="stateful-tie-")
+    pages_dir = os.path.join(d, "pages")
+    os.makedirs(pages_dir)
+    ts = dt.datetime(2025, 5, 1, 12, 0, 0)
+    payloads = [b"tie payload one", b"tie payload TWO"]
+    tbl = pa.table({
+        "url": ["u://t", "u://t"],
+        "warc_ts": [ts, ts],
+        "html": payloads,
+        "text": ["", ""],
+        "lang": ["en", "en"],
+    }, schema=PAGES_SCHEMA)
+    pq.write_table(tbl, os.path.join(pages_dir, "part-0.parquet"))
+
+    stream = (spark.readStream.schema(
+                  "url string, warc_ts timestamp_ntz, html binary, "
+                  "text string, lang string")
+              .parquet(pages_dir))
+    q = (dedup_latest_stream(stream)
+         .writeStream.format("memory").queryName("tie_dedup")
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tie_dedup").collect()
+    assert len(rows) == 1
+    expected = max(payloads,
+                   key=lambda p: hashlib.md5(p).hexdigest())
+    assert bytes(rows[0].html) == expected

@@ -87,8 +87,10 @@ def extract_document(payload: bytes | None, lang: str | None = None,
     """
     if payload is None or len(payload) == 0:
         return ExtractResult(status="empty")
+    fmt_known = fmt or FMT_TEXT  # keep the gated format on error paths
     try:
         fmt = fmt or sniff_format(bytes(payload))
+        fmt_known = fmt
         if fmt == FMT_PDF:
             text, spans = extract_pdf(bytes(payload))
         elif fmt == FMT_HTML:
@@ -99,4 +101,4 @@ def extract_document(payload: bytes | None, lang: str | None = None,
         return ExtractResult(text=text, spans=spans, status=status, fmt=fmt)
     except Exception as exc:  # total function: per-doc failure -> status col
         return ExtractResult(status=f"error:{type(exc).__name__}",
-                             fmt=FMT_TEXT)
+                             fmt=fmt_known)

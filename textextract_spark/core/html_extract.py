@@ -169,14 +169,25 @@ def _is_content(tag: str, chars: int, link_density: float,
 
 # -- fast regex tokenizer (production path) ----------------------------------
 
-# attribute-aware tag match: quoted attr values may contain '>'
+# attribute-aware tag match: quoted attr values may contain '>'.
+# The name class mirrors html.parser's tagfind_tolerant
+# ([a-zA-Z][^\t\n\r\f />\x00]*) so sloppy names like '<p@>' tokenize as
+# tags on both paths.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9._:-]*)"
+    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
     r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
     r"\s*(/?)\s*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
+
+# rawtext close scan, mirroring html.parser's CDATA handling: the close
+# tag may have whitespace after '</', must not merely prefix a longer
+# name ('</scripts>' stays rawtext data), and needs '\s*>' to terminate
+_RAWCLOSE = {
+    name: re.compile(r"</\s*" + name + r"(?![-.a-zA-Z0-9:_])\s*>",
+                     re.IGNORECASE)
+    for name in ("script", "style")}
 
 # raw-text elements: their content is consumed up to the matching close
 # tag, so '<' inside script/style bodies can never be misread as markup.
@@ -191,7 +202,6 @@ def _iter_events(s: str) -> Iterator[tuple[str, str]]:
     events — the same event stream html.parser produces for well-formed
     input (cross-checked in tests), total on arbitrary input: anything
     unparseable is emitted as data."""
-    s_lower: str | None = None  # lazily lowered for rawtext close search
     i, n = 0, len(s)
     while i < n:
         lt = s.find("<", i)
@@ -227,14 +237,11 @@ def _iter_events(s: str) -> Iterator[tuple[str, str]]:
         else:
             yield ("start", name)
             if name in _RAWTEXT:
-                if s_lower is None:
-                    s_lower = s.lower()
-                close = s_lower.find("</" + name, i)
-                if close < 0:  # unterminated rawtext: rest is its body
+                cm = _RAWCLOSE[name].search(s, i)
+                if cm is None:  # unterminated rawtext: rest is its body
                     break
-                gt = s.find(">", close)
                 yield ("end", name)
-                i = n if gt < 0 else gt + 1
+                i = cm.end()
 
 
 def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:

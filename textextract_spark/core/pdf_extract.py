@@ -82,12 +82,16 @@ def _decode_literal(raw: bytes) -> str:
                 out.append(_ESCAPES[nxt])
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd (1-3 digits)
+            if nxt in b"01234567":  # octal \ddd (1-3 OCTAL digits)
                 j = i + 1
-                while j < min(i + 4, n) and raw[j:j + 1].isdigit():
+                while j < min(i + 4, n) and raw[j:j + 1] in b"01234567":
                     j += 1
                 out.append(chr(int(raw[i + 1:j], 8) & 0xFF))
                 i = j
+                continue
+            if nxt.isdigit():  # \8 \9: not octal — drop the backslash
+                out.append(nxt.decode("latin-1"))
+                i += 2
                 continue
             if nxt in (b"\n", b"\r"):  # line continuation
                 i += 2

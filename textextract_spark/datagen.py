@@ -16,6 +16,7 @@ No external data; everything is synthesized (graft brief requirement).
 
 from __future__ import annotations
 
+import bisect
 import datetime as dt
 import random
 import zlib
@@ -164,17 +165,26 @@ def make_malformed(rng: random.Random) -> bytes:
     return b"\x00\xff\xfe" + bytes(rng.randrange(256) for _ in range(50))
 
 
+_HOST_CDF: dict[int, list[float]] = {}
+
+
 def _host(rng: random.Random, n_hosts: int) -> int:
-    """Zipf-ish host pick: host 0 gets ~p(1), heavy head."""
-    # inverse-CDF of 1/k over [1, n_hosts]
-    r = rng.random()
-    harmonic = sum(1.0 / k for k in range(1, n_hosts + 1))
-    acc = 0.0
-    for k in range(1, n_hosts + 1):
-        acc += (1.0 / k) / harmonic
-        if r <= acc:
-            return k - 1
-    return n_hosts - 1
+    """Zipf-ish host pick: host 0 gets ~p(1), heavy head.
+
+    Inverse-CDF of 1/k over [1, n_hosts]; the cumulative table is built
+    once per n_hosts (the per-row rebuild made corpus generation
+    O(n * n_hosts)) — bisect gives the identical index the old linear
+    scan returned."""
+    cdf = _HOST_CDF.get(n_hosts)
+    if cdf is None:
+        harmonic = sum(1.0 / k for k in range(1, n_hosts + 1))
+        acc = 0.0
+        cdf = []
+        for k in range(1, n_hosts + 1):
+            acc += (1.0 / k) / harmonic
+            cdf.append(acc)
+        _HOST_CDF[n_hosts] = cdf
+    return min(bisect.bisect_left(cdf, rng.random()), n_hosts - 1)
 
 
 def generate_pages(n: int, seed: int = 42) -> list[dict]:
@@ -251,7 +261,9 @@ def golden_rows(rows: list[dict]) -> dict[str, dict]:
     from .core import extract_document
 
     def key(r: dict) -> tuple:
-        return (r["warc_ts"], hashlib.md5(r["html"] or b"").hexdigest())
+        # null timestamps sort first (mirrors Spark struct ordering)
+        ts = r["warc_ts"] or dt.datetime.min
+        return (ts, hashlib.md5(r["html"] or b"").hexdigest())
 
     latest: dict[str, dict] = {}
     for r in rows:

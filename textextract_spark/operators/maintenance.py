@@ -44,6 +44,10 @@ def merge_counters(spark: SparkSession, table: ManifestTable,
     buckets present in ``updates`` are re-read and re-committed.
     Returns the merged table state (bucket column dropped).
     """
+    # pre-aggregate: duplicate keys in updates would fan out the merge
+    # join (double-adding counters and committing duplicate key rows)
+    updates = updates.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in counter_cols])
     upd = _with_bucket(updates, keys, n_buckets)
     touched = sorted(r[0] for r in
                      upd.select(BUCKET_COL).distinct().collect())

@@ -261,7 +261,18 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
                .agg(F.max(F.struct("warc_ts", "__h")).alias("w"))
                .select("url", F.col("w.warc_ts").alias("warc_ts"),
                        F.col("w.__h").alias("__h")))
-    latest = (hashed.join(winners, ["url", "warc_ts", "__h"], "left_semi")
+    # null-safe on warc_ts: a url whose crawl has warc_ts NULL must not
+    # vanish (NULL = NULL is NULL under plain equality, so the row would
+    # never match its own winner key and lose its status row)
+    w = winners.select(F.col("url").alias("__wu"),
+                       F.col("warc_ts").alias("__wt"),
+                       F.col("__h").alias("__wh"))
+    latest = (hashed.join(
+                  w,
+                  (F.col("url") == F.col("__wu"))
+                  & F.col("warc_ts").eqNullSafe(F.col("__wt"))
+                  & (F.col("__h") == F.col("__wh")),
+                  "left_semi")
               .drop("__h"))
     df = with_format(latest)
     df = with_part_columns(df, num_parts=num_parts, n_salts=n_salts)

@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _host_window_agg(pages: DataFrame, window: str) -> DataFrame:
+    """The shared aggregation: one definition so the stream and its
+    batch equivalence oracle cannot drift apart."""
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    return (pages
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     host.alias("host"))
+            .agg(F.count("*").alias("crawls"),
+                 F.sum(F.length("html")).alias("bytes"))
+            .select(F.col("w.start").alias("window_start"), "host",
+                    "crawls", "bytes"))
+
+
 def crawl_rate_by_host(pages_stream: DataFrame,
                        window: str = "15 minutes",
                        watermark: str = "30 minutes") -> DataFrame:
@@ -28,29 +41,17 @@ def crawl_rate_by_host(pages_stream: DataFrame,
     emit only after the watermark passes the window end, so every
     emitted row is final (exactly-once per window+host downstream).
     """
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
-    return (pages_stream
-            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-            .withWatermark("warc_ts", watermark)
-            .groupBy(F.window("warc_ts", window).alias("w"),
-                     host.alias("host"))
-            .agg(F.count("*").alias("crawls"),
-                 F.sum(F.length("html")).alias("bytes"))
-            .select(F.col("w.start").alias("window_start"), "host",
-                    "crawls", "bytes"))
+    return _host_window_agg(
+        pages_stream.withColumn("warc_ts",
+                                F.col("warc_ts").cast("timestamp"))
+                    .withWatermark("warc_ts", watermark), window)
 
 
 def crawl_rate_by_host_batch(pages: DataFrame,
                              window: str = "15 minutes") -> DataFrame:
     """Batch twin of crawl_rate_by_host (equivalence oracle: on a fully
     drained stream, the streaming result must equal this)."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
-    return (pages
-            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-            .groupBy(F.window("warc_ts", window).alias("w"),
-                     host.alias("host"))
-            .agg(F.count("*").alias("crawls"),
-                 F.sum(F.length("html")).alias("bytes"))
-            .select(F.col("w.start").alias("window_start"), "host",
-                    "crawls", "bytes"))
+    return _host_window_agg(
+        pages.withColumn("warc_ts", F.col("warc_ts").cast("timestamp")),
+        window)
