@@ -252,3 +252,31 @@ def test_rawtext_close_edge_cases_match_reference():
     ]
     for c in cases:
         assert extract_html(c) == extract_html_reference(c), c[:60]
+
+
+def test_tokenizer_equivalence_fuzz_markup_soup():
+    """Adversarial soup: bare '<', whitespace end tags, sloppy names,
+    unclosed rawtext, entities, quoted '>' — fast and reference must
+    still agree byte-for-byte."""
+    from textextract_spark.core.html_extract import extract_html_reference
+
+    rng = random.Random(123)
+    tags = ["p", "div", "a", "b", "script", "style", "p@", "x-custom",
+            "foo:bar", "h1", "li", "ul", "span.cls"]
+    frags = ["word " * 8, "&amp; mix ", "<!-- c -->", "</ script>",
+             "</scripts>", '<a href="/x?a=1&b>2">', "<br/>", "<b >",
+             "< notag", "&#97;bc ", "text < more", "<B>CAPS</B>",
+             "plain prose that runs long enough "]
+    for _ in range(500):
+        parts = []
+        for _ in range(rng.randint(3, 14)):
+            r = rng.random()
+            if r < 0.5:
+                parts.append(rng.choice(frags))
+            elif r < 0.75:
+                t = rng.choice(tags)
+                parts.append(f"<{t}>{rng.choice(frags)}</{t}>")
+            else:
+                parts.append(f"<{rng.choice(tags)}>")
+        doc = "<body>" + "".join(parts) + "</body>"
+        assert extract_html(doc) == extract_html_reference(doc), doc[:200]

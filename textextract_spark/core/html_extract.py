@@ -173,8 +173,10 @@ def _is_content(tag: str, chars: int, link_density: float,
 # The name class mirrors html.parser's tagfind_tolerant
 # ([a-zA-Z][^\t\n\r\f />\x00]*) so sloppy names like '<p@>' tokenize as
 # tags on both paths.
+# End tags tolerate whitespace after '</' (html.parser does); start
+# tags require the name immediately after '<' ('< word' is data).
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"<(/\s*)?([a-zA-Z][^\t\n\r\f />\x00]*)"
     r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
     r"\s*(/?)\s*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
