@@ -244,3 +244,25 @@ def test_null_warc_ts_keeps_status_row(spark):
            for r in extract_pages(df, num_parts=4, n_salts=2).collect()}
     assert set(got) == {"u://nullts", "u://ok"}
     assert got["u://nullts"] == "ok"
+
+
+def test_precomputed_digest_column(spark, tmp_path):
+    """With a crawl-provided digest column the winner side never reads
+    payloads; output must equal the compute-md5-here default."""
+    import hashlib
+
+    rows = generate_pages(120, seed=3)
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"].replace(tzinfo=None), r["html"],
+          hashlib.md5(r["html"] or b"").hexdigest())
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, digest string") \
+        .withColumn("text", F.lit("")).withColumn("lang", F.lit("en"))
+    a = {r.url: r.text for r in
+         extract_pages(df, 8, 2, digest_col="digest").collect()}
+    b = {r.url: r.text for r in extract_pages(df, 8, 2).collect()}
+    assert a == b
+    # and the winner agg really prunes: no md5() in the digest-col plan
+    plan = extract_pages(df, 8, 2, digest_col="digest") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5(" not in plan

@@ -236,12 +236,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_pages(pages: DataFrame, num_parts: int = 64,
                   n_salts: int = 8,
-                  max_payload_bytes: int = MAX_PAYLOAD_BYTES) -> DataFrame:
+                  max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+                  digest_col: str | None = None) -> DataFrame:
     """Lazy end-to-end extraction plan over a raw pages DataFrame.
 
     Stage order: payload-free dedup-latest (winner agg + semi join) ->
     format gate -> oversize gate -> salted repartition -> Arrow extract
     -> union of the extracted and oversize branches (§2.7 branch-union).
+
+    ``digest_col``: name of a precomputed per-payload md5-hex column.
+    Real crawl tables carry one (WARC records have payload digests);
+    with it the winner-aggregation side prunes to three narrow columns
+    and never reads payload bytes at all — without it the payloads are
+    read once here solely to hash them (still never shuffled).
     """
     # dedup-latest BEFORE extraction, payload-free: the winner per url is
     # determined by (url, max(warc_ts, md5(html))) alone, so the
@@ -255,8 +262,11 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     # sharing the max warc_ts keep exactly one winner — the max-digest
     # payload — matching datagen.golden_rows; md5 (not xxhash64) so the
     # pure-Python golden oracle can compute the identical key.
-    hashed = pages.withColumn(
-        "__h", F.md5(F.coalesce(F.col("html"), F.lit(b""))))
+    if digest_col is not None:
+        hashed = pages.withColumn("__h", F.col(digest_col))
+    else:
+        hashed = pages.withColumn(
+            "__h", F.md5(F.coalesce(F.col("html"), F.lit(b""))))
     winners = (hashed.groupBy("url")
                .agg(F.max(F.struct("warc_ts", "__h")).alias("w"))
                .select("url", F.col("w.warc_ts").alias("warc_ts"),
