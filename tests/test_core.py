@@ -266,7 +266,17 @@ def test_tokenizer_equivalence_fuzz_markup_soup():
     frags = ["word " * 8, "&amp; mix ", "<!-- c -->", "</ script>",
              "</scripts>", '<a href="/x?a=1&b>2">', "<br/>", "<b >",
              "< notag", "&#97;bc ", "text < more", "<B>CAPS</B>",
-             "plain prose that runs long enough "]
+             "plain prose that runs long enough ",
+             # known-keyword marked sections (html.parser consumes these as
+             # unknown_decl; the fast path must drop the same span — incl.
+             # '>' inside the body, the r2 leak). UNKNOWN keywords are
+             # excluded by design: html.parser raises AssertionError there
+             # while the fast tokenizer stays total (documented divergence
+             # in html_extract._MS_NAME_RE's comment).
+             "<![CDATA[ a > b ]]>", "<![CDATA[no close",
+             "<![if !IE]>cond<![endif]>", "<![ignore[ x ] ]\t> y",
+             "<![rcdata[z]]>", "<!-- unterminated ", "<?pi unterminated ",
+             "<!DOCTYPE unterminated "]
     for _ in range(500):
         parts = []
         for _ in range(rng.randint(3, 14)):

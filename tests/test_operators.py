@@ -193,3 +193,60 @@ def test_decrement_credits_unknown_key_is_noop(spark, tmp_path):
         spark.createDataFrame([(1, 3)], "user_id INT, used INT"),
         "user_id", "credits", "used")
     assert {(r.user_id, r.credits) for r in after2.collect()} == {(1, 7)}
+
+
+def test_decrement_credits_duplicate_usage_rows(spark, tmp_path):
+    """The reference emits per-request usage rows, so duplicate keys are
+    the EXPECTED input: they must be summed once, not fan out the merge
+    join into duplicate key rows with conflicting credit values."""
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import (
+        decrement_credits, seed_credits)
+
+    tbl = ManifestTable(str(tmp_path / "c4"))
+    seed_credits(spark, tbl, spark.createDataFrame(
+        [(1, 10), (2, 8)], "user_id INT, credits INT"), "user_id")
+    usage = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 1), (2, 4)], "user_id INT, used INT")
+    after = decrement_credits(spark, tbl, usage, "user_id", "credits",
+                              "used")
+    rows = after.collect()
+    assert len(rows) == 2  # exactly one row per key — no join fan-out
+    assert {(r.user_id, r.credits) for r in rows} == {(1, 4), (2, 4)}
+
+
+def test_decrement_credits_unseeded_table_raises_clearly(spark, tmp_path):
+    """An unseeded credits table must raise a clear error, not an
+    AttributeError on None."""
+    import pytest as _pytest
+
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import decrement_credits
+
+    tbl = ManifestTable(str(tmp_path / "c5"))
+    usage = spark.createDataFrame([(1, 3)], "user_id INT, used INT")
+    with _pytest.raises(ValueError, match="not seeded"):
+        decrement_credits(spark, tbl, usage, "user_id", "credits", "used")
+
+
+def test_merge_counters_empty_updates_noop(spark, tmp_path):
+    """Zero-row updates must be a clean no-op on both fresh and seeded
+    tables (not a crash on a schemaless zero-row parquet snapshot)."""
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import merge_counters
+
+    tbl = ManifestTable(str(tmp_path / "c6"))
+    empty = spark.createDataFrame(
+        [], "user_id INT, date STRING, requests_count INT")
+    out = merge_counters(spark, tbl, empty, ["user_id", "date"],
+                         ["requests_count"])
+    assert out.count() == 0  # fresh table: empty result, schema intact
+    seed = spark.createDataFrame(
+        [(1, "2025-01-01", 5)],
+        "user_id INT, date STRING, requests_count INT")
+    merge_counters(spark, tbl, seed, ["user_id", "date"],
+                   ["requests_count"])
+    out2 = merge_counters(spark, tbl, empty, ["user_id", "date"],
+                          ["requests_count"])
+    assert {(r.user_id, r.requests_count) for r in out2.collect()} \
+        == {(1, 5)}

@@ -266,3 +266,52 @@ def test_precomputed_digest_column(spark, tmp_path):
     plan = extract_pages(df, 8, 2, digest_col="digest") \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "md5(" not in plan
+
+
+def test_null_digest_keeps_status_row(spark):
+    """A crawl-provided digest column may carry NULLs (WARC revisit /
+    missing-digest records): such a url must still produce its output row
+    (digests are coalesced to '' at ingestion, and the winner join is
+    null-safe on __h)."""
+    import datetime
+    df = spark.createDataFrame(
+        [("u://nodigest", datetime.datetime(2025, 1, 2),
+          b"plain text body here", None),
+         ("u://hasdigest", datetime.datetime(2025, 1, 2),
+          b"other plain body", "d41d8cd98f00b204e9800998ecf8427e")],
+        "url string, warc_ts timestamp, html binary, digest string") \
+        .withColumn("text", F.lit("")).withColumn("lang", F.lit("en"))
+    got = {r.url: r.status
+           for r in extract_pages(df, 4, 2, digest_col="digest").collect()}
+    assert set(got) == {"u://nodigest", "u://hasdigest"}
+    assert got["u://nodigest"] == "ok"
+
+
+def test_exact_input_duplicates_one_output_row(spark):
+    """Rows byte-identical on (url, warc_ts, payload) — a replayed WARC
+    segment ingested twice — must yield exactly ONE output row per url
+    (the winner semi join keeps every copy; the per-task seen-url guard
+    drops the clones), including across Arrow batch boundaries."""
+    import datetime
+    html = b"<html><body><p>" + b"word " * 30 + b"</p></body></html>"
+    rows = []
+    for i in range(40):
+        ts = datetime.datetime(2025, 1, 1, i % 24)
+        rows.append((f"u://dup/{i}", ts, html, "", "en"))
+        rows.append((f"u://dup/{i}", ts, html, "", "en"))  # exact clone
+        if i % 3 == 0:  # triple copies too
+            rows.append((f"u://dup/{i}", ts, html, "", "en"))
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    # tiny Arrow batches force the duplicates across batch boundaries
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = extract_pages(df, num_parts=4, n_salts=2).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "10000")
+    urls = [r.url for r in out]
+    assert len(urls) == 40
+    assert len(set(urls)) == 40
+    assert all(r.status == "ok" for r in out)

@@ -183,6 +183,19 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
 
+# <![...]> marked sections, mirroring html.parser's parse_marked_section:
+# cdata/temp/ignore/include/rcdata close at ']]>' (whitespace-tolerant),
+# MS-Office if/else/endif close at ']>'. Content is consumed (dropped) —
+# so '>' inside CDATA can no longer leak as visible text. For UNKNOWN
+# keywords html.parser raises AssertionError; this tokenizer stays total
+# and consumes to the first '>' like any other declaration (documented
+# divergence — the fuzz twin test only generates known keywords).
+_MS_NAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MS_STD = frozenset({"cdata", "temp", "ignore", "include", "rcdata"})
+_MS_MSO = frozenset({"if", "else", "endif"})
+_MS_STD_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_MS_MSO_CLOSE_RE = re.compile(r"]\s*>")
+
 # rawtext close scan, mirroring html.parser's CDATA handling: the close
 # tag may have whitespace after '</', must not merely prefix a longer
 # name ('</scripts>' stays rawtext data), and needs '\s*>' to terminate
@@ -213,17 +226,40 @@ def _iter_events(s: str) -> Iterator[tuple[str, str]]:
         if lt > i:
             yield ("data", s[i:lt])
         nxt = s[lt + 1:lt + 2]
-        if nxt == "!":
-            if s.startswith("<!--", lt):
+        if nxt in ("!", "?"):
+            if nxt == "?":
+                m = _PI_RE.match(s, lt)
+            elif s.startswith("<!--", lt):
                 m = _COMMENT_RE.match(s, lt)
-                i = m.end() if m else n  # unterminated comment: drop rest
+            elif s.startswith("<![", lt):
+                nm = _MS_NAME_RE.match(s, lt + 3)
+                kw = nm.group(0).lower() if nm else ""
+                close = (_MS_STD_CLOSE_RE if kw in _MS_STD
+                         else _MS_MSO_CLOSE_RE if kw in _MS_MSO else None)
+                if close is not None:
+                    m = close.search(s, lt + 3)
+                else:  # unknown keyword (html.parser raises; we stay total)
+                    m = _DECL_RE.match(s, lt)
             else:
                 m = _DECL_RE.match(s, lt)
-                i = m.end() if m else n
-            continue
-        if nxt == "?":
-            m = _PI_RE.match(s, lt)
-            i = m.end() if m else n
+            if m:
+                i = m.end()
+                continue
+            # incomplete construct at EOF — html.parser's goahead(end=1)
+            # recovery: everything through the first '>' becomes data;
+            # else up to (not including) the next '<'; else a lone '<'.
+            k = s.find(">", lt + 1)
+            if k >= 0:
+                yield ("data", s[lt:k + 1])
+                i = k + 1
+            else:
+                k = s.find("<", lt + 1)
+                if k >= 0:
+                    yield ("data", s[lt:k])
+                    i = k
+                else:
+                    yield ("data", "<")
+                    i = lt + 1
             continue
         m = _TAG_RE.match(s, lt)
         if not m:  # bare '<' (or truncated tag): literal data

@@ -51,6 +51,13 @@ def merge_counters(spark: SparkSession, table: ManifestTable,
     upd = _with_bucket(updates, keys, n_buckets)
     touched = sorted(r[0] for r in
                      upd.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        # empty updates on a fresh table: committing a zero-row snapshot
+        # would poison reads (parquet writes no schema for zero rows) —
+        # return current state (or the empty updates frame, schema intact)
+        current = table.read_keyed(spark, BUCKET_COL)
+        return (current.drop(BUCKET_COL) if current is not None
+                else updates)
     current = table.read_keyed(spark, BUCKET_COL)
     if current is None:
         merged = upd
@@ -79,8 +86,19 @@ def decrement_credits(spark: SparkSession, table: ManifestTable,
     """A4 credit decrement with floor at 0, as one set-based merge over
     only the buckets with usage. The credits table must have been
     committed via merge_counters/seed_credits (bucketed layout)."""
-    ug = _with_bucket(usage.select(key, used_col), [key], n_buckets)
+    # pre-aggregate per key: the reference emits per-request usage rows
+    # (models.py:290-308 decrements once per request), so duplicate keys
+    # are the EXPECTED input shape — joining them raw would fan out the
+    # left join and commit duplicate key rows with conflicting credit
+    # values (merge_counters has the same guard)
+    usage = (usage.select(key, used_col)
+             .groupBy(key).agg(F.sum(used_col).alias(used_col)))
+    ug = _with_bucket(usage, [key], n_buckets)
     current = table.read_keyed(spark, BUCKET_COL)
+    if current is None:
+        raise ValueError(
+            f"credits table at {table.path} is not seeded — call "
+            "seed_credits/merge_counters before decrement_credits")
     # only buckets that exist in the credits table can be decremented —
     # usage rows for unknown keys are a no-op, and committing an empty
     # bucket snapshot would poison reads (parquet writes no schema for

@@ -144,10 +144,9 @@ def with_partitioning(df: DataFrame, num_parts: int = 64,
     num_parts, or a host whose urls collide into one part_key) cannot
     serialize a stage (SURVEY.md §7 hard part (b)). Both are functions
     of url ONLY, so every crawl version of a url lands in the same task
-    (and exact (url, warc_ts) input duplicates — a crawl anomaly — pass
-    through as duplicate outputs; content-hash dedup upstream is the
-    remedy, see operators.textdata.dedup_exact). On Iceberg
-    this is hidden partitioning ``bucket(num_parts, url)``.
+    (which is what makes the extractor's per-task exact-duplicate guard
+    in ``_extract_batches`` exact). On Iceberg this is hidden
+    partitioning ``bucket(num_parts, url)``.
     """
     df = with_part_columns(df, num_parts=num_parts, n_salts=n_salts)
     return df.repartition(num_parts, "part_key", "salt")
@@ -185,7 +184,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     1-HTTP-request-per-image loop (/root/reference/src/ocr.py:196-204)
     becomes ~ARROW_MAX_RECORDS documents per Python invocation.
     """
+    # Exact-input-duplicate guard: rows byte-identical on (url, warc_ts,
+    # digest) — a replayed WARC segment ingested twice — all carry the
+    # winner key, so the semi join keeps every copy. Every crawl of a url
+    # lands in THIS task (part_key and salt are functions of url only), so
+    # a per-task seen-set is an exact one-row-per-url dedup with no extra
+    # shuffle. Memory: tasks are sized by maxPartitionBytes (~128MB-1GB of
+    # payload); at ~34KB/doc that is <=~30k urls => a few MB of set.
+    seen_urls: set = set()
     for pdf in batches:
+        mask = pdf["url"].isin(seen_urls) | pdf["url"].duplicated()
+        if mask.any():
+            pdf = pdf[~mask].reset_index(drop=True)
+        seen_urls.update(pdf["url"].tolist())
+        if not len(pdf):  # all-duplicate batch: nothing to emit
+            continue
         n = len(pdf)
         texts: list[str] = [""] * n
         span_tag: list[list[str]] = [[]] * n
@@ -263,7 +276,13 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     # payload — matching datagen.golden_rows; md5 (not xxhash64) so the
     # pure-Python golden oracle can compute the identical key.
     if digest_col is not None:
-        hashed = pages.withColumn("__h", F.col(digest_col))
+        # normalize NULL digests at ingestion: WARC revisit/missing-digest
+        # records carry none, and a NULL key would (a) never equal its own
+        # winner key in the semi join and (b) sort unpredictably inside
+        # max(struct) — coalescing to "" keeps such rows joinable and
+        # deterministically ordered (below any real hex digest)
+        hashed = pages.withColumn(
+            "__h", F.coalesce(F.col(digest_col), F.lit("")))
     else:
         hashed = pages.withColumn(
             "__h", F.md5(F.coalesce(F.col("html"), F.lit(b""))))
@@ -271,9 +290,10 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
                .agg(F.max(F.struct("warc_ts", "__h")).alias("w"))
                .select("url", F.col("w.warc_ts").alias("warc_ts"),
                        F.col("w.__h").alias("__h")))
-    # null-safe on warc_ts: a url whose crawl has warc_ts NULL must not
-    # vanish (NULL = NULL is NULL under plain equality, so the row would
-    # never match its own winner key and lose its status row)
+    # null-safe on warc_ts AND __h: a row whose warc_ts (or digest, belt
+    # and braces on top of the coalesce above) is NULL must not vanish
+    # (NULL = NULL is NULL under plain equality, so the row would never
+    # match its own winner key and lose its status row)
     w = winners.select(F.col("url").alias("__wu"),
                        F.col("warc_ts").alias("__wt"),
                        F.col("__h").alias("__wh"))
@@ -281,7 +301,7 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
                   w,
                   (F.col("url") == F.col("__wu"))
                   & F.col("warc_ts").eqNullSafe(F.col("__wt"))
-                  & (F.col("__h") == F.col("__wh")),
+                  & F.col("__h").eqNullSafe(F.col("__wh")),
                   "left_semi")
               .drop("__h"))
     df = with_format(latest)
