@@ -167,3 +167,51 @@ def test_ivf_topk_recall(spark, sf_dir):
               ivf_topk(spark, sf_dir, nprobe=3, k=10).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3, f"IVF recall@10 {recall}"
+
+
+def test_simhash_saturation_default_radius_survives(spark):
+    """Cap-vs-recall at scale: with enough docs, every 7-8-bit chunk
+    bucket of the WIDE radius (d=8, 9 chunks) exceeds MAX_BUCKET and is
+    dropped — planted near-dups silently vanish. The at-scale default
+    (d=3, 4x16-bit chunks, 65,536 buckets/chunk) must keep finding them
+    at the same corpus size. (This is the documented reason d=3 is the
+    default: see sketch._simhash_chunks.)"""
+    import pyspark.sql.functions as F
+
+    from textextract_spark.operators.sketch import MAX_BUCKET, simhash_pairs
+
+    rng = random.Random(7)
+    # corpus size chosen to saturate 8-bit buckets: n >> MAX_BUCKET * 256
+    n = MAX_BUCKET * 256 * 2  # 25,600 signatures
+    sims = [rng.getrandbits(64) - (1 << 63) for _ in range(n)]
+    planted = []  # (base_id, dup_id, hamming)
+    for i in range(20):
+        base = sims[i * 50]
+        d = i % 4  # hamming 0..3 — within BOTH radii
+        v = base
+        bits = rng.sample(range(64), d)
+        for b in bits:
+            v ^= 1 << b
+        dup_id = n + i
+        sims.append(v)
+        planted.append((i * 50, dup_id, d))
+    sh = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sims)], "doc_id long, simhash long")
+
+    def found(max_hamming):
+        rows = (simhash_pairs(sh, max_hamming=max_hamming)
+                .filter(F.col("b_id") >= n).collect())
+        return {(r.a_id, r.b_id) for r in rows}
+
+    got3 = found(3)
+    miss3 = [(a, b, d) for a, b, d in planted if (a, b) not in got3]
+    assert not miss3, f"d=3 default lost planted dups: {miss3}"
+    # and the wide radius really does saturate here (the failure mode the
+    # default guards against) — not a tautology: if this ever starts
+    # passing, the cap/keyspace interaction changed and the docstring
+    # (and default) should be revisited
+    got8 = found(8)
+    recall8 = sum((a, b) in got8 for a, b, _ in planted) / len(planted)
+    assert recall8 < 0.5, (
+        f"d=8 unexpectedly kept recall {recall8} at saturation; "
+        "revisit the documented tradeoff")

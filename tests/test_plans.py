@@ -74,6 +74,22 @@ def test_lineage_uses_partial_aggregation(spark, corpus_dir):
     assert "partial_" in p.lower() or "HashAggregate" in p
 
 
+def test_ann_lsh_plan_capped_no_self_join(spark, sf_dir):
+    """The LSH candidate stage must be a capped groupBy + pair explosion:
+    NO join operator anywhere before the pair filter (the r2 bucket
+    self-join was an uncapped quadratic blowup at 10^9 vectors), and the
+    MAX_BUCKET cap must appear as a size() filter on the bucket members."""
+    from textextract_spark.operators.sketch import MAX_BUCKET
+    p = _plan(spark, similarity.ann_lsh_pairs(spark, sf_dir), "simple")
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+        assert join_op not in p, f"{join_op} crept into the LSH path:\n{p}"
+    assert "size(members#" in p or f"<= {MAX_BUCKET}" in p
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, \
+        "signature stage must be the Arrow-batched pandas UDF"
+
+
 def test_keyset_pagination_no_global_window(spark, sf_dir):
     """Keyset pagination must be a pruned scan + TakeOrderedAndProject —
     no WindowExec single-task funnel."""

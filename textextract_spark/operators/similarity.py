@@ -2,21 +2,35 @@
 array<float> column — brute-force cosine top-k baseline + an LSH-bucketed
 scale path).
 
-All vector math is JVM-side higher-order functions (zip_with/aggregate) —
-no Python in the hot path. At 100 TB the brute-force variant is the
-per-bucket kernel of the LSH path, not a global cross join.
+Exact per-pair / top-k vector math is JVM-side higher-order functions
+(zip_with/aggregate). The LSH signature stage is a vectorized Arrow-batched
+pandas UDF (one numpy matmul per batch): computing T*P hyperplane dot
+products per row with interpreted Catalyst lambdas measured ~10x slower
+than BLAS at 32 planes and scales linearly worse — the north_rule's
+"vectorized pandas/Arrow UDFs (no per-row Python)" path is the right tool
+here. At 100 TB the brute-force variant is the per-bucket kernel of the
+LSH path, never a global cross join.
 """
 
 from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 TOPK = 20
 LSH_TABLES = 4
-PLANES_PER_TABLE = 8
+# 16-bit bucket keys (65,536 buckets/table). Sizing rule: keep expected
+# bucket size O(1) — planes_per_table ~ log2(n_vectors); at 10^9 vectors
+# pass planes_per_table=30 (and more tables to hold recall: per-table
+# match prob is p^planes with p = 1 - angle/pi). Keys stay one long up
+# to 63 planes. Degenerate buckets (duplicate-heavy data) are capped at
+# sketch.MAX_BUCKET before pair expansion regardless.
+PLANES_PER_TABLE = 16
 N_PLANES = LSH_TABLES * PLANES_PER_TABLE
 _PLANE_SEED = 1337
 
@@ -98,23 +112,27 @@ def ivf_topk(spark: SparkSession, sf_dir: str, probe_id: int = 0,
             .limit(k))
 
 
-def _planes(dim: int) -> list[list[float]]:
+def _planes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes (seeded; no runtime RNG)."""
     rng = random.Random(_PLANE_SEED)
     return [[float(rng.choice((-1, 1))) for _ in range(dim)]
-            for _ in range(N_PLANES)]
+            for _ in range(n_planes)]
 
 
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str, dim: int = 64,
                   min_cosine: float = 0.8) -> DataFrame:
     """Scale-path near-dup vector pairs: banded random-hyperplane LSH
-    (LSH_TABLES independent tables of PLANES_PER_TABLE bits), bucket
-    self-join, exact cosine inside buckets only.
+    (LSH_TABLES independent tables of PLANES_PER_TABLE-bit keys),
+    MAX_BUCKET-capped in-bucket pair expansion, exact cosine on the
+    surviving candidate pairs only.
 
-    At 10^9 vectors each table's bucket join shuffles on an 8-bit-plus-
-    table-id key instead of cross-joining; banding (match in ANY table)
-    gives ~1-(1-p^8)^4 recall. Recall vs brute force is asserted on
-    planted duplicates in tests/test_dedup.py.
+    At 10^9 vectors there is NO bucket self-join anywhere: candidates
+    come from one groupBy(bucket) + capped pair explosion (reusing
+    sketch._candidate_pairs), so a degenerate bucket costs at most
+    MAX_BUCKET^2 pairs instead of a quadratic blowup. Banding (match in
+    ANY table) gives ~1-(1-p^16)^4 recall at the advertised near-dup
+    radius. Recall vs brute force is asserted on planted duplicates in
+    tests/test_dedup.py.
     """
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
@@ -144,37 +162,47 @@ def ann_lsh_planted(spark: SparkSession, sf_dir: str, dim: int = 64,
            .unionByName(plants), dim, min_cosine)
 
 
+def _lsh_keys_udf(dim: int, tables: int = LSH_TABLES,
+                  planes_per_table: int = PLANES_PER_TABLE):
+    """Arrow-batched signature stage: ONE numpy matmul per batch computes
+    every hyperplane dot product, then bit-packs each table's sign block
+    into a long key. Replaces tables*planes interpreted Catalyst lambda
+    aggregates per row (measured ~10x slower at 32 planes)."""
+    plane_mat = np.asarray(_planes(dim, tables * planes_per_table),
+                           dtype=np.float64)  # (T*P, dim)
+    weights = (1 << np.arange(planes_per_table - 1, -1, -1,
+                              dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def lsh_keys(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())            # (n, dim)
+        bits = (mat @ plane_mat.T) > 0            # (n, T*P)
+        keys = np.empty((len(mat), tables), dtype=np.int64)
+        for t in range(tables):
+            block = bits[:, t * planes_per_table:(t + 1) * planes_per_table]
+            keys[:, t] = block.astype(np.int64) @ weights
+        return pd.Series(list(keys))
+
+    return lsh_keys
+
+
 def _ann_lsh_over(emb: DataFrame, dim: int,
                   min_cosine: float) -> DataFrame:
-    planes = _planes(dim)  # N_PLANES = LSH_TABLES * PLANES_PER_TABLE
+    from .sketch import _candidate_pairs
 
-    def sig_bit(plane: list[float]):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        return (_dot(F.col("embedding"), lit_plane) > 0).cast("long")
-
-    buckets = []
-    for t in range(LSH_TABLES):
-        sig = F.lit(t).cast("long")
-        for p in planes[t * PLANES_PER_TABLE:(t + 1) * PLANES_PER_TABLE]:
-            sig = F.shiftleft(sig, 1) + sig_bit(p)
-        buckets.append(sig)
-    # explode_outer: plain explode gets an inferred size()>0 filter that
-    # re-evaluates all 32 interpreted hyperplane dot products per row.
-    # The explicit repartition on the join key makes the self-join's two
-    # sides share ONE exchange (ReusedExchange, plan-asserted): without
-    # it the 32-plane signature computation runs twice.
-    with_b = (emb.select("vec_id", "embedding",
-                         F.explode_outer(F.array(*buckets)).alias("bucket"))
-              .repartition("bucket"))
-    left = with_b.select(F.col("vec_id").alias("a_id"),
-                         F.col("embedding").alias("a_vec"), "bucket")
-    right = with_b.select(F.col("vec_id").alias("b_id"),
-                          F.col("embedding").alias("b_vec"), "bucket")
-    pairs = (left.join(right, "bucket")
-             .filter(F.col("a_id") < F.col("b_id"))
-             .dropDuplicates(["a_id", "b_id"]))
-    raw = (_dot(F.col("a_vec"), F.col("b_vec"))
-           / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))))
+    # posexplode_outer (not plain posexplode): an inferred size()>0 filter
+    # would re-run the signature UDF a second time per row. band_id is the
+    # table index, so identical keys in different tables never collide.
+    with_b = emb.select(
+        F.col("vec_id").alias("doc_id"), "embedding",
+        F.posexplode_outer(_lsh_keys_udf(dim)(F.col("embedding")))
+         .alias("band_id", "band_key"))
+    # capped pair expansion — one aggregation, no self-join anywhere; a
+    # degenerate bucket (mass-duplicated vector) is dropped at MAX_BUCKET
+    # instead of exploding quadratically
+    pairs = _candidate_pairs(with_b, "embedding")
+    raw = (_dot(F.col("pa"), F.col("pb"))
+           / (_norm(F.col("pa")) * _norm(F.col("pb"))))
     # raw-threshold filter, rounded display (matches the DuckDB oracle)
     return (pairs.select("a_id", "b_id", raw.alias("__raw"))
             .filter(F.col("__raw") >= min_cosine)

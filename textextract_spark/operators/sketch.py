@@ -242,8 +242,18 @@ def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
 
     Pigeonhole: a pair within Hamming distance d <= max_hamming differs
     in at most d chunks, so with d+1 chunks at least one chunk matches
-    exactly — candidate recall is guaranteed at the advertised radius
-    (r1 used 4x16-bit chunks, which only guarantees d <= 3).
+    exactly — candidate recall is guaranteed at the advertised radius.
+
+    Key-width / radius tradeoff (why the at-scale default is d=3): the
+    chunk key space is 2^(64/(d+1)) per chunk. d=3 gives the classic
+    4x16-bit scheme (65,536 buckets/chunk — Manku et al., WWW'07); d=8
+    gives 9 chunks of only 7-8 bits (128-256 buckets/chunk), which
+    SATURATES once the corpus exceeds ~MAX_BUCKET * 256 docs: every
+    bucket blows past the skew cap and is dropped, silently zeroing the
+    recall the pigeonhole scheme guarantees. Wide radii are therefore a
+    small-corpus option only; tests/test_dedup.py asserts both the d<=8
+    guarantee at small n and the d=3 default's recall in the saturated
+    regime.
     """
     n = max_hamming + 1
     base, extra = divmod(SIMHASH_BITS, n)
@@ -256,10 +266,13 @@ def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
     return chunks
 
 
-def simhash_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming from a (doc_id, simhash)
     DataFrame. Candidates via (max_hamming+1)-chunk equality buckets with
-    the same MAX_BUCKET skew cap as the minhash path."""
+    the same MAX_BUCKET skew cap as the minhash path. Default radius 3 =
+    the 4x16-bit scheme that stays below the cap at crawl scale (see
+    _simhash_chunks); radii up to 8 keep the pigeonhole guarantee but
+    saturate on large corpora."""
     chunks = _simhash_chunks(max_hamming)
     buckets = sh.select(
         "doc_id", F.col("simhash"),
@@ -278,6 +291,10 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str,
-                    max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance <= max_hamming."""
+                    max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Default radius 3 (16-bit chunk keys): the configuration whose recall
+    guarantee survives crawl scale — wider radii shrink the key space
+    below the MAX_BUCKET skew cap's saturation point (_simhash_chunks)."""
     return simhash_pairs(with_simhash(_docs(spark, sf_dir)), max_hamming)
