@@ -8,15 +8,18 @@ queries()    — SURVEY.md §2 operator inventory + training-data ops, each a
 (spark, sf_dir) -> DataFrame callable.
 
 oracle_sql() — DuckDB ANSI-SQL twins for every SQL-expressible query
-(textextract_spark.operators.oracles). Hash-sketch / UDF-based ops are
-rows-only by design (no portable cross-engine hash); their correctness is
-asserted in pytest against brute-force oracles.
+(textextract_spark.operators.oracles). The two remaining rows-only ops
+(minhash_neardup / simhash_neardup) emit engine-specific xxhash64 values
+with no portable cross-engine twin, but each has BOTH a brute-force pytest
+oracle AND a derived-metric driver row with a full DuckDB oracle
+(minhash_recall / simhash_exact_pairs) covering its recall behavior.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,6 +78,86 @@ def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-HTML branches of the extraction pipeline under the driver's
+    hard gate: every doc_id % 3 == 0 page is a synthesized FlateDecode
+    PDF with two deterministic text lines; the rest are raw plain-text
+    payloads. The oracle reconstructs both branches' byte-exact output in
+    SQL (PDF text = the two known lines; plain text = trim + pre-newline
+    space strip). Complements _extract_docs (all-'html') so the driver
+    verifies the pdf and text dispatch paths too."""
+    from pyspark.sql.types import BinaryType
+
+    from textextract_spark.datagen import build_pdf
+
+    @F.pandas_udf(BinaryType())
+    def pdf_payload(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: build_pdf(
+            [f"Document {i}", "flate stream body"], compress=True))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("docm://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.when(F.col("doc_id") % 3 == 0, pdf_payload(F.col("doc_id")))
+         .otherwise(F.encode("text", "UTF-8")).alias("html"),
+        F.col("text"),
+        F.col("lang"))
+    out = extract_pages(pages, num_parts=16, n_salts=4)
+    return (out.select("url", "status",
+                       F.col("meta.fmt").alias("fmt"),
+                       "text",
+                       F.length("text").alias("text_len"),
+                       F.size("spans").alias("n_spans"))
+            .orderBy("url"))
+
+
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-metric oracle for the MinHash LSH path: aggregate stats of
+    the pairs the banding+exact-verify pipeline finds at exact jaccard >=
+    0.5. The DuckDB twin computes the SAME stats over TRUE all-pairs
+    jaccard — if banding ever drops a qualifying pair (or the exact verify
+    miscomputes), n_pairs/min/mean diverge and the driver row goes red.
+    This closes the loop the rows-only minhash_neardup row can't: the
+    est_jaccard VALUES are engine-specific (xxhash64), but banding recall
+    against the exact ground truth is portable."""
+    pairs = sketch.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.round(F.avg("jaccard"), 4).alias("mean_jaccard"))
+
+
+def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-metric oracle for the SimHash path: a byte-identical text
+    copy has an IDENTICAL signature, so every planted copy MUST appear as
+    a hamming-0 pair — a bit-vote/assembly bug or a bucketing bug that
+    drops equal-key pairs turns this row red (the Spark side would emit
+    fewer than the oracle's 10 planted pairs). The semi join on the
+    planted keys makes the claim one-directional (planted recall = 1):
+    unrelated docs CAN legitimately collide at hamming 0 via 64 vote-sign
+    coincidences (observed on both test corpora), which md5-equality SQL
+    cannot predict — those extra pairs are real simhash behavior, not
+    part of this oracle's claim. Hamming>0 behavior stays pytest-verified
+    (pigeonhole + saturation tests) — those distances are
+    xxhash64-specific."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    plants = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    sh = sketch.with_simhash(docs.unionByName(plants))
+    found = sketch.simhash_pairs(sh, max_hamming=0)
+    planted_keys = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 100000).alias("b_id"))
+    return (planted_keys.join(found, ["a_id", "b_id"], "left_semi")
+            .withColumn("hamming", F.lit(0).cast("int"))
+            .orderBy("a_id", "b_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational inventory (SURVEY.md §2.2-2.7)
@@ -105,26 +188,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textdata.token_stats,
         "quality_score": textdata.quality_score,
         "lang_guess": textdata.lang_guess,
+        "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)
         "latest_release": releases.latest_release_feed,
-        # similarity
+        # similarity — all three oracled: ivf_topk has a full SQL twin of
+        # the coarse-quantize/nprobe/exact-cosine shape; ann_lsh_pairs is
+        # oracled via planted duplicates (all-pairs cosine in DuckDB)
         "cosine_topk": similarity.cosine_topk,
-        "ivf_topk": similarity.ivf_topk,                    # rows-only
-        "ann_lsh_pairs": similarity.ann_lsh_planted,        # oracled via
-        #   planted duplicates (all-pairs cosine in DuckDB)
+        "ivf_topk": similarity.ivf_topk,
+        "ann_lsh_pairs": similarity.ann_lsh_planted,
         # sketch dedup
         "minhash_neardup": sketch.minhash_neardup,          # rows-only:
-        #   engine-specific xxhash64 signatures (pytest brute-force oracle)
+        #   engine-specific xxhash64 signatures (pytest brute-force oracle;
+        #   banding recall vs the exact twin is oracled by minhash_recall)
         "ngram_jaccard_pairs": sketch.ngram_jaccard_pairs,  # oracled:
         #   exact jaccard, all-pairs twin in DuckDB
+        "minhash_recall": _minhash_recall,                  # oracled:
+        #   derived metric — minhash candidates vs DuckDB exact pairs
         "simhash_neardup": sketch.simhash_neardup,          # rows-only:
-        #   engine-specific xxhash64 bit votes (pytest pigeonhole oracle)
+        #   engine-specific xxhash64 bit votes (pytest pigeonhole +
+        #   saturation oracles; hamming-0 behavior oracled below)
+        "simhash_exact_pairs": _simhash_exact_pairs,        # oracled:
+        #   planted byte-identical docs <=> hamming-0 pairs, DuckDB twin
+        #   on md5(text) equality
         # multimodal plumbing (sha/size columns oracled; entropy pytest-only)
         "media_features": multimodal.media_features_checked,
         "frame_sample": multimodal.frame_sample,
+        "media_decode": multimodal.media_decode,            # oracled:
+        #   real stdlib BMP/WAV header decode over synthesized payloads
         # the extraction pipeline itself — full text oracle (see
         # _extract_docs docstring); mixed-format byte identity in pytest
         "extract_docs": _extract_docs,
+        "extract_mixed_docs": _extract_mixed_docs,          # oracled:
+        #   pdf + plain-text dispatch branches (fmt not all-'html')
     }
 
 

@@ -107,11 +107,18 @@ function init() {{ var xs = [{",".join(str(rng.randint(0, 99)) for _ in range(40
 
 
 def make_pdf(rng: random.Random, compress: bool = False) -> bytes:
-    """Minimal valid PDF 1.4 with a known layout. ``compress=True`` emits
-    the content stream FlateDecode-compressed (stdlib zlib) — the shape of
-    nearly every real-world PDF."""
+    """Minimal valid PDF 1.4 with random sentence lines (corpus path)."""
     lines = [_sentence(rng, "en", rng.randint(4, 10))
              for _ in range(rng.randint(3, 10))]
+    return build_pdf(lines, compress=compress)
+
+
+def build_pdf(lines: list[str], compress: bool = False) -> bytes:
+    """Minimal valid PDF 1.4 with exactly the given text lines, one Tj per
+    line. ``compress=True`` emits the content stream FlateDecode-compressed
+    (stdlib zlib) — the shape of nearly every real-world PDF. Deterministic
+    in ``lines``: used by both the corpus generator and the driver's
+    oracle-checked mixed-format query (__spark_entry__)."""
     parts = ["BT /F1 12 Tf 72 720 Td"]
     for i, ln in enumerate(lines):
         esc = ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")

@@ -353,15 +353,104 @@ ORACLES: dict[str, str] = {
     """,
     # -- the extraction pipeline: full byte-identity text oracle (the
     # driver's pages are documents.text in a fixed HTML chrome; extraction
-    # returns exactly trim(text) as one <p> block) --------------------------
+    # returns exactly trim(text) as one <p> block). Whitespace-only docs
+    # are guarded: they extract to no block => status 'empty', 0 spans ----
     "extract_docs": """
         SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
-               'ok' AS status,
+               CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                    ELSE 'ok' END AS status,
                'html' AS fmt,
                trim(text) AS text,
                CAST(length(trim(text)) AS INT) AS text_len,
-               1 AS n_spans
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END
+                   AS n_spans
         FROM documents ORDER BY url
+    """,
+    # -- non-HTML dispatch branches under the same hard gate: doc_id%3==0
+    # pages are synthesized FlateDecode PDFs carrying two known text lines
+    # ('Document <id>' / 'flate stream body' — datagen.build_pdf), the
+    # rest raw plain-text payloads (extraction = whitespace strip) --------
+    "extract_mixed_docs": """
+        WITH e AS (
+            SELECT doc_id,
+                   (doc_id % 3 = 0) AS is_pdf,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('Document ', CAST(doc_id AS VARCHAR),
+                                    chr(10), 'flate stream body')
+                        ELSE trim(text, ' ' || chr(9) || chr(10) || chr(13))
+                        END AS etext
+            FROM documents)
+        SELECT concat('docm://', CAST(doc_id AS VARCHAR)) AS url,
+               CASE WHEN NOT is_pdf AND length(etext) = 0 THEN 'empty'
+                    ELSE 'ok' END AS status,
+               CASE WHEN is_pdf THEN 'pdf' ELSE 'text' END AS fmt,
+               etext AS text,
+               CAST(length(etext) AS INT) AS text_len,
+               CASE WHEN is_pdf THEN 2
+                    WHEN length(etext) = 0 THEN 0 ELSE 1 END AS n_spans
+        FROM e ORDER BY url
+    """,
+    # -- derived-metric twins for the hash-sketch paths ---------------------
+    # minhash banding recall vs exact ground truth: stats of the pairs the
+    # LSH+verify pipeline keeps at exact jaccard >= 0.5 must equal the same
+    # stats over TRUE all-pairs jaccard — a dropped candidate diverges here
+    "minhash_recall": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                      toks[CAST(i AS INT) + 1],
+                                      toks[CAST(i AS INT) + 2]))) AS sh
+            FROM t
+        ), p AS (
+            SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                       AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               min(jaccard) AS min_jaccard,
+               max(jaccard) AS max_jaccard,
+               round(avg(jaccard), 4) AS mean_jaccard
+        FROM p
+    """,
+    # simhash hamming-0 on the doc-vs-planted-copy slice <=> md5(text)
+    # equality (identical text => identical bit votes => same bucket key;
+    # the slice excludes legit cross-doc vote-sign coincidences SQL cannot
+    # predict — see __spark_entry__._simhash_exact_pairs)
+    "simhash_exact_pairs": """
+        WITH plants AS (
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 10 AND length(trim(text)) > 0)
+        SELECT d.doc_id AS a_id, p.doc_id AS b_id,
+               CAST(0 AS INT) AS hamming
+        FROM documents d JOIN plants p ON md5(d.text) = md5(p.text)
+        WHERE length(trim(d.text)) > 0
+        ORDER BY a_id, b_id
+    """,
+    # -- real BMP/WAV codec round trip: every decoded header field is a
+    # pure function of media_id (synth params), so the oracle recomputes
+    # the whole synth->parse loop from id arithmetic ------------------------
+    "media_decode": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 31
+                         ELSE 0 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 17
+                         ELSE 0 END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2
+                         ELSE 0 END AS INT) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + doc_id % 100
+                         ELSE 0 END AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 50
+                         ELSE 0 END AS BIGINT) AS n_samples
+        FROM documents ORDER BY media_id
     """,
     # -- similarity ---------------------------------------------------------
     # IVF twin: same coarse-quantize (per-label centroid) -> nprobe=3 ->
@@ -412,3 +501,47 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 20
     """,
 }
+
+
+def _lang_trigram_oracle() -> str:
+    """The lang_trigram twin is GENERATED from textdata.TRIGRAM_PROFILE so
+    the Spark operator and the DuckDB oracle can never drift on the
+    profile contents or the tie-break priority order."""
+    from .textdata import _PROFILE_LANGS, TRIGRAM_PROFILE
+
+    values = ",\n            ".join(
+        f"('{t}', '{lang}')"
+        for lang in _PROFILE_LANGS for t in TRIGRAM_PROFILE[lang])
+    sums = ",\n               ".join(
+        f"CAST(sum(CASE WHEN plang = '{lang}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {lang}_tri"
+        for lang in _PROFILE_LANGS)
+    cols = ", ".join(f"{lang}_tri" for lang in _PROFILE_LANGS)
+    great = "greatest(" + ", ".join(
+        f"{lang}_tri" for lang in _PROFILE_LANGS) + ")"
+    whens = "\n               ".join(
+        f"WHEN {lang}_tri = {great} THEN '{lang}'"
+        for lang in _PROFILE_LANGS)
+    return f"""
+        WITH docs_t AS (
+            SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pad
+            FROM documents WHERE length(text) > 0),
+        tri AS (
+            SELECT doc_id, lang,
+                   substr(pad, CAST(i AS INT), 3) AS tri
+            FROM docs_t, LATERAL unnest(range(1, length(pad) - 1)) AS u(i)),
+        prof(tri, plang) AS (VALUES {values}),
+        h AS (
+            SELECT doc_id, lang,
+               {sums}
+            FROM tri LEFT JOIN prof USING (tri)
+            GROUP BY doc_id, lang)
+        SELECT doc_id, lang, {cols},
+               CASE WHEN {great} = 0 THEN 'und'
+               {whens}
+               END AS lang_guess
+        FROM h ORDER BY doc_id
+    """
+
+
+ORACLES["lang_trigram"] = _lang_trigram_oracle()

@@ -274,12 +274,17 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     _simhash_chunks); radii up to 8 keep the pigeonhole guarantee but
     saturate on large corpora."""
     chunks = _simhash_chunks(max_hamming)
+
+    def chunk_key(shift: int, width: int):
+        expr = F.shiftrightunsigned("simhash", shift)
+        if width < 64:  # (1<<64)-1 overflows LongType; width 64 = identity
+            expr = expr.bitwiseAND(F.lit((1 << width) - 1))
+        return expr
+
     buckets = sh.select(
         "doc_id", F.col("simhash"),
         F.posexplode_outer(F.array(*[
-            F.shiftrightunsigned("simhash", shift)
-             .bitwiseAND(F.lit((1 << width) - 1))
-            for shift, width in chunks]))
+            chunk_key(shift, width) for shift, width in chunks]))
         .alias("band_id", "band_key"))
     pairs = _candidate_pairs(buckets, "simhash")
     return (pairs.select(

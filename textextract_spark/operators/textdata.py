@@ -92,6 +92,68 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# Char-trigram profiles: high-frequency function-word trigrams per
+# language (padded with spaces where word-boundary-anchored). Deliberately
+# OVERLAPPING across languages (' de' is German/French/Spanish, 'nd ' is
+# English/German, 'es ' is French/Spanish...) — scoring sums hits per
+# language and argmaxes, which is what separates confusables; the oracle
+# SQL is generated from THIS dict (operators.oracles), so the two engines
+# can never drift. bn rows are Bengali-script trigrams from the corpus
+# vocabulary (script alone identifies it).
+TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+           " of", "of ", " is", "is "),
+    "de": (" de", "der", "er ", " un", "und", "nd ", "sch", "ich",
+           "ein", "ie ", " da", "die"),
+    "fr": (" le", "le ", " la", "la ", " et", "et ", " de", "des",
+           "que", "ent", " qu", "les"),
+    "es": (" el", "el ", " de", "de ", "que", " qu", "los", " lo",
+           " la", "la ", " es", "ión"),
+    "bn": ("তথ্", "থ্য", "পাত", "লেখ", "অনু", "সংব", "নিব", "বিশ"),
+}
+_PROFILE_LANGS = tuple(TRIGRAM_PROFILE)  # priority order for ties
+
+
+def lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram frequency language-ID (beyond single-marker counting):
+    explode the padded text into overlapping 3-char windows, hash-join
+    them against the broadcast TRIGRAM_PROFILE, sum hits per language,
+    argmax with a fixed priority tie-break.
+
+    Scale shape: the profile is a tiny broadcast table (BroadcastHashJoin,
+    codegen); the per-doc aggregation is one map-side-partial hash agg
+    keyed on doc_id — the shuffle carries 5 longs per doc, never
+    trigrams. The trigram explosion is the same sequence+transform shape
+    as sketch.with_shingles."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    pad = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.length(pad) - 2),
+        lambda i: F.substr(pad, i, F.lit(3)))
+    exploded = (docs.select("doc_id", "lang",
+                            F.explode_outer(tri).alias("tri"))
+                .filter(F.col("tri").isNotNull()))
+    profile = spark.createDataFrame(
+        [(t, lang) for lang, ts in TRIGRAM_PROFILE.items() for t in ts],
+        "tri string, plang string")
+    # LEFT join so zero-hit docs survive with all-zero counts -> 'und'
+    hit_cols = [
+        F.sum(F.when(F.col("plang") == lang, 1).otherwise(0))
+         .alias(f"{lang}_tri")
+        for lang in _PROFILE_LANGS]
+    hits = (exploded.join(F.broadcast(profile), "tri", "left")
+            .groupBy("doc_id", "lang").agg(*hit_cols))
+    scores = [F.col(f"{lang}_tri") for lang in _PROFILE_LANGS]
+    best = F.greatest(*scores)
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in _PROFILE_LANGS:
+        guess = guess.when(F.col(f"{lang}_tri") == best, F.lit(lang))
+    return (hits.select("doc_id", "lang",
+                        *[f"{lang}_tri" for lang in _PROFILE_LANGS],
+                        guess.alias("lang_guess"))
+            .orderBy("doc_id"))
+
+
 def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID: count occurrences of per-language stopword
     markers via replace-length arithmetic (portable to ANSI SQL), pick the
