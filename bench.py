@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "ann_lsh_pairs",
     "keyset_pagination",
     "latest_release",
+    "lang_trigram",
+    "media_decode",
 ]
 
 
