@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_pagination": relational.keyset_pagination,
         "union_branches": relational.union_branches,
         "json_props_stats": relational.json_props_stats,
+        "normalize_selection": relational.normalize_selection,
+        "asset_size_mb": relational.asset_size_mb,
         # text analysis / dedup (graft brief)
         "dedup_exact": textdata.dedup_exact,
         "doc_fingerprint": textdata.doc_fingerprint,

@@ -190,6 +190,30 @@ ORACLES: dict[str, str] = {
                    AS k_avg
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # -- geometry / unit arithmetic (P1 + P2 gate, F13) ----------------------
+    "normalize_selection": """
+        WITH raw AS (
+            SELECT event_id,
+                   (event_id * 131) % 1920 AS rx1,
+                   (event_id * 173) % 1080 AS ry1,
+                   (event_id * 197) % 1920 AS rx2,
+                   (event_id * 239) % 1080 AS ry2
+            FROM events)
+        SELECT event_id,
+               least(rx1, rx2) AS x1, least(ry1, ry2) AS y1,
+               greatest(rx1, rx2) AS x2, greatest(ry1, ry2) AS y2,
+               CASE WHEN greatest(rx1, rx2) - least(rx1, rx2) < 5
+                      OR greatest(ry1, ry2) - least(ry1, ry2) < 5
+                    THEN 'too_small' ELSE 'ok' END AS selection_status
+        FROM raw ORDER BY event_id
+    """,
+    "asset_size_mb": """
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 131072) AS BIGINT) AS size_bytes,
+               round(CAST(floor(p_retailprice * 131072) AS BIGINT)
+                     / (1024.0 * 1024.0), 2) AS size_mb
+        FROM part ORDER BY p_partkey
+    """,
     # -- text / dedup -------------------------------------------------------
     "dedup_exact": """
         SELECT md5(text) AS content_hash,

@@ -313,3 +313,46 @@ def union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 2).alias("branch_value"))
             .orderBy("branch"))
+
+
+# -- geometry / unit arithmetic ----------------------------------------------
+
+def normalize_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 coordinate normalize + P2 min-size gate as one vectorized pass
+    (src/ocr.py:126-141: swap so x1<x2 / y1<y2, reject selections
+    narrower/shorter than 5px). Raw corner pairs are synthesized
+    deterministically from event ids, so the operator sees unordered
+    corners in every quadrant; least()/greatest() normalize without a
+    branch and the gate is a CASE — all whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    rx1 = (F.col("event_id") * 131) % 1920
+    ry1 = (F.col("event_id") * 173) % 1080
+    rx2 = (F.col("event_id") * 197) % 1920
+    ry2 = (F.col("event_id") * 239) % 1080
+    x1, x2 = F.least(rx1, rx2), F.greatest(rx1, rx2)
+    y1, y2 = F.least(ry1, ry2), F.greatest(ry1, ry2)
+    return (ev.select(
+                "event_id",
+                x1.alias("x1"), y1.alias("y1"),
+                x2.alias("x2"), y2.alias("y2"),
+                F.when((x2 - x1 < 5) | (y2 - y1 < 5),
+                       F.lit("too_small"))
+                 .otherwise(F.lit("ok")).alias("selection_status"))
+            .orderBy("event_id"))
+
+
+def asset_size_mb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 size-in-MB arithmetic with the reference's 2-decimal display
+    rounding (updater.py:589 `file_size / (1024*1024):.2f`): per-part
+    synthetic asset sizes -> MB, plus a SUM rollup the dashboard shape
+    needs. Sizes derive from p_retailprice so values span 0-200MB."""
+    part = _t(spark, sf_dir, "part")
+    # explicit floor: Spark's cast-to-long truncates while DuckDB's CAST
+    # rounds — floor() pins the same integer on both engines
+    size_bytes = F.floor(F.col("p_retailprice") * 131072).cast("long")
+    mb = F.round(size_bytes / F.lit(1024 * 1024), 2)
+    return (part.select(
+                "p_partkey",
+                size_bytes.alias("size_bytes"),
+                mb.alias("size_mb"))
+            .orderBy("p_partkey"))
