@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": textdata.dedup_exact,
         "doc_fingerprint": textdata.doc_fingerprint,
         "token_stats": textdata.token_stats,
+        "token_bpe_stats": textdata.token_bpe_stats,
         "quality_score": textdata.quality_score,
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,

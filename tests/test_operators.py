@@ -339,3 +339,31 @@ def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
         per_lang.setdefault(r.lang, []).append(r.lang_guess == r.lang)
     detail = {k: round(sum(v) / len(v), 2) for k, v in per_lang.items()}
     assert acc >= 0.9, f"accuracy {acc}: {detail}"
+
+
+def test_token_bpe_stats_classes(spark, tmp_path):
+    """BPE-ish tokenizer classes on text the driver corpus lacks: digit
+    runs, punctuation marks, mixed alnum — counted per class, distinct
+    over the full token stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import token_bpe_stats
+
+    texts = ["abc abc 123 45, x-ray!  ", "...", "a1b2"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": texts,
+                    "lang": ["en"] * 3})
+    d = tmp_path / "bpedocs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in token_bpe_stats(spark, str(d)).collect()}
+    # doc 0: abc abc 123 45 , x - ray !  -> 9 tokens
+    r = got[0]
+    assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (9, 4, 2, 3)
+    assert r.n_distinct == 8  # 'abc' repeats
+    r = got[1]  # three single-char marks
+    assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (3, 0, 0, 3)
+    assert r.n_distinct == 1
+    r = got[2]  # a 1 b 2 — alternating runs
+    assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (4, 2, 2, 0)

@@ -96,3 +96,31 @@ def test_keyset_pagination_no_global_window(spark, sf_dir):
     p = _plan(spark, relational.keyset_pagination(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_chunk_filter_pushed_below_udf(spark, corpus_dir):
+    """Chunked commits must restrict work at the RAW SCAN (url-hash
+    predicate), not above the mapInPandas barrier — Catalyst cannot push
+    a filter through a Python UDF, so the old shape re-extracted the
+    whole corpus once per chunk."""
+    pages = spark.read.parquet(corpus_dir)
+    df = extract_pages(pages, 8, 2, part_keys=[0, 3])
+    p = _plan(spark, df, "extended")
+    # the url-hash predicate exists as a Filter...
+    filt_lines = [i for i, line in enumerate(p.splitlines())
+                  if "Filter" in line and "xxhash64(url" in line]
+    assert filt_lines, p
+    # ...and sits BELOW the UDF in the optimized tree (descendant = later
+    # line), i.e. on the scan side, where Iceberg bucket(url) pruning
+    # applies — not above MapInPandas where it would discard work
+    udf_line = next(i for i, line in enumerate(p.splitlines())
+                    if "MapInPandas" in line and "== Optimized" not in line)
+    assert all(i > udf_line for i in filt_lines), p
+    # functional: chunks partition the output exactly
+    full = {r.url for r in extract_pages(pages, 8, 2).collect()}
+    parts = []
+    for keys in ([0, 3], [1, 2, 4, 5, 6, 7]):
+        parts.append({r.url for r in
+                      extract_pages(pages, 8, 2, part_keys=keys).collect()})
+    assert parts[0] | parts[1] == full
+    assert not (parts[0] & parts[1])

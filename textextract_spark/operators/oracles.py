@@ -239,6 +239,22 @@ ORACLES: dict[str, str] = {
                    AS avg_token_len
         FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
     """,
+    "token_bpe_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]')) AS INT)
+                   AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))) AS INT)
+                   AS n_distinct,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INT)
+                   AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+                   AS n_digit,
+               CAST(len(regexp_extract_all(text,
+                   '[^a-zA-Z0-9 \t\n\r]')) AS INT) AS n_marks
+        FROM documents WHERE length(text) > 0 ORDER BY doc_id
+    """,
     "quality_score": """
         SELECT doc_id,
                length(text) AS n_chars,

@@ -67,6 +67,34 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# BPE-ish pre-tokenizer pattern (graft brief: "token counting —
+# whitespace + a BPE-ish regex"): letter runs / digit runs / single
+# non-alnum marks, the GPT-2-style pre-split shape. Explicit whitespace
+# class (not \s) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
+
+
+def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the second tokenizer the brief asks
+    for next to whitespace token_stats): letter-run / digit-run / mark
+    token classes counted with three native regexp_extract_all scans —
+    no higher-order lambdas, whole-stage codegen, zero shuffle."""
+    t = F.col("text")
+    toks = F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)
+    alpha = F.regexp_extract_all(t, F.lit("[a-zA-Z]+"), 0)
+    digit = F.regexp_extract_all(t, F.lit("[0-9]+"), 0)
+    other = F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 \\t\\n\\r]"), 0)
+    return (_docs(spark, sf_dir)
+            .filter(F.length(t) > 0)
+            .select("doc_id",
+                    F.size(toks).alias("n_tokens"),
+                    F.size(F.array_distinct(toks)).alias("n_distinct"),
+                    F.size(alpha).alias("n_alpha"),
+                    F.size(digit).alias("n_digit"),
+                    F.size(other).alias("n_marks"))
+            .orderBy("doc_id"))
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: digit/punct/space ratios + a CASE label.
 

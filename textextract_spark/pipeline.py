@@ -250,7 +250,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_pages(pages: DataFrame, num_parts: int = 64,
                   n_salts: int = 8,
                   max_payload_bytes: int = MAX_PAYLOAD_BYTES,
-                  digest_col: str | None = None) -> DataFrame:
+                  digest_col: str | None = None,
+                  part_keys: list[int] | None = None) -> DataFrame:
     """Lazy end-to-end extraction plan over a raw pages DataFrame.
 
     Stage order: payload-free dedup-latest (winner agg + semi join) ->
@@ -262,7 +263,23 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     with it the winner-aggregation side prunes to three narrow columns
     and never reads payload bytes at all — without it the payloads are
     read once here solely to hash them (still never shuffled).
+
+    ``part_keys``: restrict the job to these checkpoint partitions,
+    filtered on ``pmod(xxhash64(url), num_parts)`` at the RAW SCAN —
+    BEFORE dedup, hashing, the payload shuffle and the UDF. This is
+    safe because part_key is a pure function of url (every crawl copy
+    of a url shares it), and essential for chunked commits: a filter
+    applied to the extracted output instead sits ABOVE mapInPandas,
+    which Catalyst cannot push a predicate through, so each of K chunk
+    jobs would re-extract the full corpus and discard (K-1)/K of it
+    (measured: the r2 run_pipeline did exactly that). On Iceberg with
+    ``bucket(num_parts, url)`` hidden partitioning this same predicate
+    prunes whole files at the scan.
     """
+    if part_keys is not None:
+        pages = pages.filter(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
+             .cast(IntegerType()).isin(part_keys))
     # dedup-latest BEFORE extraction, payload-free: the winner per url is
     # determined by (url, max(warc_ts, md5(html))) alone, so the
     # aggregation reads the payload only to hash it at the scan (no
@@ -410,7 +427,6 @@ def run_pipeline(
                 part_keys=keys, run_id=s.get("run_id") or run_id)
 
     pages = spark.read.parquet(pages_path)
-    plan = extract_pages(pages, num_parts=num_parts, n_salts=n_salts)
 
     committed = out.committed_part_keys()
     all_keys = list(range(num_parts))
@@ -420,7 +436,11 @@ def run_pipeline(
         todo = [k for k in chunk_keys if k not in committed]
         if not todo:
             continue
-        chunk_df = plan.filter(F.col("part_key").isin(todo))
+        # the part_key restriction goes INTO the plan (raw-scan url-hash
+        # filter), not onto the extracted output — a filter above the
+        # mapInPandas barrier would re-extract the whole corpus per chunk
+        chunk_df = extract_pages(pages, num_parts=num_parts,
+                                 n_salts=n_salts, part_keys=todo)
         snapshot_id = out.append(chunk_df, part_keys=todo, run_id=run_id)
         written = spark.read.parquet(
             f"{out.path}/snap-{snapshot_id}")
