@@ -379,3 +379,36 @@ def test_salted_partitioning_bounds_task_skew(spark, tmp_path):
         by_task[r.pid] = by_task.get(r.pid, 0.0) + r.ms
     assert max_over_median(by_task.values()) <= 3.5, sorted(
         round(v) for v in by_task.values())
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """VERSION AS OF semantics: every CAS commit leaves its numbered
+    manifest in place, so any historical table state stays readable —
+    append history, pre-overwrite state, and pre-merge keyed state."""
+    import pytest as _pytest
+
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import merge_counters
+
+    tbl = ManifestTable(str(tmp_path / "tt"))
+    tbl.append(spark.range(0, 3), part_keys=[0], run_id="a")   # v1
+    tbl.append(spark.range(3, 5), part_keys=[1], run_id="b")   # v2
+    assert tbl.current_version() == 2
+    assert tbl.read(spark, version=1).count() == 3
+    assert tbl.read(spark, version=2).count() == 5
+    tbl.overwrite(spark.range(100, 101))                       # v3
+    assert tbl.read(spark).count() == 1
+    assert tbl.read(spark, version=2).count() == 5  # pre-overwrite intact
+    with _pytest.raises(ValueError, match="no manifest version 99"):
+        tbl.read(spark, version=99)
+
+    keyed = ManifestTable(str(tmp_path / "ttk"))
+    day1 = spark.createDataFrame([(1, 5)], "user_id INT, requests INT")
+    merge_counters(spark, keyed, day1, ["user_id"], ["requests"])  # v1
+    day2 = spark.createDataFrame([(1, 2)], "user_id INT, requests INT")
+    merge_counters(spark, keyed, day2, ["user_id"], ["requests"])  # v2
+    from textextract_spark.operators.maintenance import BUCKET_COL
+    now = keyed.read_keyed(spark, BUCKET_COL).collect()
+    then = keyed.read_keyed(spark, BUCKET_COL, version=1).collect()
+    assert [(r.user_id, r.requests) for r in now] == [(1, 7)]
+    assert [(r.user_id, r.requests) for r in then] == [(1, 5)]

@@ -105,3 +105,53 @@ def test_watermarked_window_agg_matches_batch(spark):
     for k, v in got.items():
         assert expected[k] == v, k
     assert len(got) >= len(expected) * 0.8
+
+
+def test_native_stream_dedup_drops_replays(spark):
+    """dropDuplicatesWithinWatermark: a micro-batch replay of identical
+    (url, warc_ts) crawl records must be dropped JVM-side; distinct
+    records all survive; a drained stream equals batch dropDuplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.datagen import PAGES_SCHEMA, generate_pages
+    from textextract_spark.streaming.dedup import drop_replayed_crawls
+
+    rows = generate_pages(120, seed=21)
+    d = tempfile.mkdtemp(prefix="natdedup-")
+    pages_dir = os.path.join(d, "pages")
+    os.makedirs(pages_dir)
+
+    def write(chunk, name):
+        tbl = pa.table({
+            "url": [r["url"] for r in chunk],
+            "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in chunk],
+            "html": [r["html"] for r in chunk],
+            "text": [r["text"] for r in chunk],
+            "lang": [r["lang"] for r in chunk],
+        }, schema=PAGES_SCHEMA)
+        pq.write_table(tbl, os.path.join(pages_dir, name))
+
+    half = len(rows) // 2
+    write(rows[:half], "part-0.parquet")
+    # second file REPLAYS the first half (byte-identical records) and
+    # adds the rest — replays land in a later micro-batch
+    write(rows[:half] + rows[half:], "part-1.parquet")
+
+    stream = (spark.readStream.schema(
+        "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+        "lang STRING")
+        .option("maxFilesPerTrigger", "1").parquet(pages_dir))
+    q = (drop_replayed_crawls(stream)
+         .writeStream.format("memory").queryName("nat_dedup")
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = [(r.url, r.warc_ts) for r in
+           spark.sql("SELECT url, warc_ts FROM nat_dedup").collect()]
+    expected = {(r["url"], r["warc_ts"].replace(tzinfo=None))
+                for r in rows}
+    assert len(got) == len(expected), (len(got), len(expected))
+    assert set(got) == expected

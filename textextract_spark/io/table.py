@@ -72,6 +72,21 @@ class ManifestTable:
                 return 0, json.load(f)
         return 0, {"snapshots": []}
 
+    def _load_version(self, version: int) -> dict:
+        """Load the manifest exactly as committed at ``version`` (every
+        CAS commit leaves its numbered manifest file in place — the time
+        travel record, like Iceberg's metadata.json lineage)."""
+        for ver, p in self._versions():
+            if ver == version:
+                with open(p) as f:
+                    return json.load(f)
+        raise ValueError(
+            f"no manifest version {version} at {self.path} "
+            f"(have {[v for v, _ in self._versions()]})")
+
+    def current_version(self) -> int:
+        return self._load_with_version()[0]
+
     def _load(self) -> dict:
         return self._load_with_version()[1]
 
@@ -170,15 +185,19 @@ class ManifestTable:
         return snapshot_id
 
     def read_keyed(self, spark: SparkSession,
-                   bucket_col: str) -> DataFrame | None:
+                   bucket_col: str,
+                   version: int | None = None) -> DataFrame | None:
         """Read a table maintained via replace_partitions: newest snapshot
         wins per bucket. Each snapshot is read from its root (so the
         partition column is restored) filtered to the buckets it still
         owns — a partition-pruned scan, never a full-table read of dead
-        data."""
+        data. ``version`` time-travels to the table state as of that
+        manifest commit (Iceberg ``VERSION AS OF``)."""
         from pyspark.sql import functions as F
 
-        snaps = self._load()["snapshots"]
+        manifest = (self._load() if version is None
+                    else self._load_version(version))
+        snaps = manifest["snapshots"]
         owner: dict[int, int] = {}  # bucket -> snapshot index (newest wins)
         for idx in range(len(snaps) - 1, -1, -1):
             for b in snaps[idx].get("replaces", {}).get(bucket_col, []):
@@ -211,8 +230,18 @@ class ManifestTable:
         return [os.path.join(self.path, s["dir"])
                 for s in self._load()["snapshots"]]
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self.snapshot_dirs()
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame | None:
+        """Read the table; ``version`` time-travels to the state as of
+        that manifest commit (Iceberg ``VERSION AS OF`` — old snapshot
+        dirs stay on disk unreferenced, exactly like Iceberg orphan
+        files before expire_snapshots)."""
+        if version is None:
+            dirs = self.snapshot_dirs()
+        else:
+            manifest = self._load_version(version)
+            dirs = [os.path.join(self.path, s["dir"])
+                    for s in manifest["snapshots"]]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
