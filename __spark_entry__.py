@@ -114,6 +114,54 @@ def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC serializer/parser under the driver's hard gate: each document
+    becomes a single-record gzip WARC (io.warc.build_warc) which is parsed
+    straight back (parse_warc_bytes); every emitted column comes FROM the
+    parse, and the oracle recomputes them from the documents table — so a
+    header/payload/digest bug on either side goes red. The multi-record /
+    binaryFile / malformed paths are pytest-covered (tests/test_warc.py)."""
+    import datetime as _dt
+    import hashlib
+    from collections.abc import Iterator
+
+    from textextract_spark.io.warc import build_warc, parse_warc_bytes
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, urls, tss, lens, digests = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                rec = {
+                    "url": f"warc://{doc_id}",
+                    "warc_ts": (_dt.datetime(2025, 1, 1)
+                                + _dt.timedelta(seconds=int(doc_id))),
+                    "html": body,
+                    "digest": hashlib.md5(body).hexdigest(),
+                }
+                parsed = parse_warc_bytes(build_warc([rec], compress=True))
+                (p,) = parsed
+                ids.append(int(doc_id))
+                urls.append(p["url"])
+                tss.append(p["warc_ts"])
+                lens.append(len(p["html"]))
+                digests.append(p["digest"])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+                "body_len": pd.Series(lens, dtype="int64"),
+                "digest": pd.Series(digests, dtype="object"),
+            })
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    out = docs.repartition(8, "doc_id").mapInPandas(
+        rt, schema="doc_id long, url string, warc_ts timestamp, "
+                   "body_len long, digest string")
+    return out.orderBy("doc_id")
+
+
 def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-metric oracle for the MinHash LSH path: aggregate stats of
     the pairs the banding+exact-verify pipeline finds at exact jaccard >=
@@ -224,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs": _extract_docs,
         "extract_mixed_docs": _extract_mixed_docs,          # oracled:
         #   pdf + plain-text dispatch branches (fmt not all-'html')
+        "warc_roundtrip": _warc_roundtrip,                  # oracled:
+        #   WARC serialize->parse round trip, fields recomputed in SQL
     }
 
 

@@ -1,0 +1,75 @@
+"""WARC source: round-trip build->read, crawl-layout gzip members,
+malformed tolerance, and end-to-end extraction over a WARC input."""
+
+import os
+import tempfile
+
+from textextract_spark.datagen import generate_pages, golden_rows
+from textextract_spark.io.warc import (
+    build_warc, parse_warc_bytes, read_warc)
+
+
+def _records(n=60, seed=31):
+    rows = generate_pages(n, seed=seed)
+    return [{"url": r["url"],
+             "warc_ts": r["warc_ts"].replace(tzinfo=None),
+             "html": r["html"]} for r in rows]
+
+
+def test_warc_roundtrip_pure_python():
+    recs = _records()
+    for compress in (False, True):
+        data = build_warc(recs, compress=compress)
+        got = parse_warc_bytes(data)
+        assert len(got) == len(recs)
+        for a, b in zip(got, recs):
+            assert a["url"] == b["url"]
+            assert a["warc_ts"] == b["warc_ts"]
+            assert a["html"] == b["html"]
+
+
+def test_warc_malformed_tolerance():
+    recs = _records(10)  # note: generate_pages may append dup-crawl rows
+    data = build_warc(recs, compress=False)
+    # truncation mid-record: parse what's intact, never raise
+    got = parse_warc_bytes(data[: len(data) // 2])
+    assert 0 < len(got) < len(recs)
+    # garbage between records: resync on the next WARC/ marker
+    first = build_warc(recs[:1], compress=False)
+    rest = build_warc(recs[1:], compress=False)
+    got = parse_warc_bytes(first + b"garbage bytes here" + rest)
+    assert len(got) == len(recs)
+    # corrupt gzip: empty result, no raise
+    assert parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 40) == []
+
+
+def test_read_warc_extracts_end_to_end(spark):
+    """WARC files -> read_warc -> extract_pages(digest_col) must equal the
+    golden per-url extraction, with the crawl-provided digest driving the
+    winner aggregation (no md5 in the plan)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from textextract_spark.pipeline import extract_pages
+
+    rows = generate_pages(120, seed=31)
+    recs = [{"url": r["url"],
+             "warc_ts": r["warc_ts"].replace(tzinfo=None),
+             "html": r["html"],
+             "digest": hashlib.md5(r["html"] or b"").hexdigest()}
+            for r in rows]
+    d = tempfile.mkdtemp(prefix="warcsrc-")
+    half = len(recs) // 2
+    for i, chunk in enumerate((recs[:half], recs[half:])):
+        with open(os.path.join(d, f"crawl-{i}.warc.gz"), "wb") as f:
+            f.write(build_warc(chunk, compress=True))
+
+    pages = read_warc(spark, d).withColumn("lang", F.lit("en"))
+    out = extract_pages(pages, num_parts=8, n_salts=2, digest_col="digest")
+    got = {r.url: (r.text, r.status) for r in out.collect()}
+    golden = golden_rows(rows)
+    assert got == {u: (g["text"], g["status"]) for u, g in golden.items()}
+    # digest column really feeds the winner agg: no md5() in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5(" not in plan

@@ -430,6 +430,18 @@ ORACLES: dict[str, str] = {
                     WHEN length(etext) = 0 THEN 0 ELSE 1 END AS n_spans
         FROM e ORDER BY url
     """,
+    # -- WARC source round trip: every parsed field recomputed from the
+    # documents table (url/ts from id arithmetic, body length + md5 digest
+    # from the text bytes) ---------------------------------------------------
+    "warc_roundtrip": """
+        SELECT doc_id,
+               concat('warc://', CAST(doc_id AS VARCHAR)) AS url,
+               TIMESTAMP '2025-01-01 00:00:00'
+                   + CAST(doc_id AS INT) * INTERVAL 1 SECOND AS warc_ts,
+               CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+               md5(text) AS digest
+        FROM documents ORDER BY doc_id
+    """,
     # -- derived-metric twins for the hash-sketch paths ---------------------
     # minhash banding recall vs exact ground truth: stats of the pairs the
     # LSH+verify pipeline keeps at exact jaccard >= 0.5 must equal the same
