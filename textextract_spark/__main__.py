@@ -20,8 +20,17 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser(prog="textextract_spark")
     ap.add_argument("--pages", required=True,
-                    help="input pages parquet path (url, warc_ts, html, text, lang)")
+                    help="input path: pages parquet (url, warc_ts, html, "
+                         "text, lang) or WARC file(s)/glob with "
+                         "--format warc")
     ap.add_argument("--out", required=True, help="output table directory")
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "warc"), dest="input_format",
+                    help="input format; warc reads gzip-member crawl "
+                         "archives and uses their payload digests")
+    ap.add_argument("--digest-col", default=None,
+                    help="precomputed payload-digest column in a parquet "
+                         "input (winner aggregation skips payload hashing)")
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=4)
@@ -39,7 +48,9 @@ def main() -> None:
     t0 = time.perf_counter()
     res = run_pipeline(spark, args.pages, args.out,
                        num_parts=args.num_parts, n_salts=args.n_salts,
-                       chunks=args.chunks, run_id=run_id)
+                       chunks=args.chunks, run_id=run_id,
+                       input_format=args.input_format,
+                       digest_col=args.digest_col)
     metrics = res["metrics"].read(spark)
     summary = metrics.agg(
         F.coalesce(F.sum("doc_count"), F.lit(0)).alias("docs"),

@@ -394,6 +394,8 @@ def run_pipeline(
     chunks: int = 4,
     run_id: str = "run-0",
     fail_after_chunk: int | None = None,
+    input_format: str = "parquet",
+    digest_col: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job with chunked snapshot commits.
 
@@ -426,7 +428,18 @@ def run_pipeline(
                     input_split=pages_path),
                 part_keys=keys, run_id=s.get("run_id") or run_id)
 
-    pages = spark.read.parquet(pages_path)
+    if input_format == "warc":
+        # crawl archives: records carry their own payload digest, so the
+        # winner aggregation never hashes payloads (digest_col wiring)
+        from .io.warc import read_warc
+        pages = read_warc(spark, pages_path).withColumn(
+            "lang", F.lit(None).cast("string"))
+        digest_col = digest_col or "digest"
+    elif input_format == "parquet":
+        pages = spark.read.parquet(pages_path)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         "(expected 'parquet' or 'warc')")
 
     committed = out.committed_part_keys()
     all_keys = list(range(num_parts))
@@ -440,7 +453,8 @@ def run_pipeline(
         # filter), not onto the extracted output — a filter above the
         # mapInPandas barrier would re-extract the whole corpus per chunk
         chunk_df = extract_pages(pages, num_parts=num_parts,
-                                 n_salts=n_salts, part_keys=todo)
+                                 n_salts=n_salts, part_keys=todo,
+                                 digest_col=digest_col)
         snapshot_id = out.append(chunk_df, part_keys=todo, run_id=run_id)
         written = spark.read.parquet(
             f"{out.path}/snap-{snapshot_id}")
