@@ -194,14 +194,22 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-specific."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
-    plants = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    plants = (docs.filter((F.col("doc_id") < 10)
+                          & (F.length(F.trim("text")) > 0))
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sh = sketch.with_simhash(docs.unionByName(plants))
     found = sketch.simhash_pairs(sh, max_hamming=0)
-    planted_keys = docs.filter(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("a_id"),
-        (F.col("doc_id") + 100000).alias("b_id"))
-    return (planted_keys.join(found, ["a_id", "b_id"], "left_semi")
+    # the expected pair set uses the SAME md5-equality formulation as the
+    # oracle (not just the planted identity keys): if any doc_id<10 text
+    # has an exact duplicate elsewhere in the corpus, both sides include
+    # that (dup, plant) pair — identical text means simhash finds it too
+    expected = (docs.filter(F.length(F.trim("text")) > 0)
+                .select(F.col("doc_id").alias("a_id"),
+                        F.md5("text").alias("__m"))
+                .join(plants.select(F.col("doc_id").alias("b_id"),
+                                    F.md5("text").alias("__m")), "__m")
+                .select("a_id", "b_id"))
+    return (expected.join(found, ["a_id", "b_id"], "left_semi")
             .withColumn("hamming", F.lit(0).cast("int"))
             .orderBy("a_id", "b_id"))
 

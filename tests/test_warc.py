@@ -43,6 +43,21 @@ def test_warc_malformed_tolerance():
     assert parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 40) == []
 
 
+def test_warc_torn_gzip_member_keeps_intact_records():
+    """Common-Crawl layout = one gzip member per record, concatenated. A
+    file cut mid-final-member must still yield every intact record (a
+    whole-stream gzip.decompress would raise and discard all of them),
+    and a body truncated by the tear must NOT surface under the full
+    header digest."""
+    recs = _records(10)
+    data = build_warc(recs, compress=True)
+    torn = data[:-20]  # tear inside the last gzip member
+    got = parse_warc_bytes(torn)
+    assert len(recs) - 1 <= len(got) < len(recs) + 1
+    for a, b in zip(got, recs):
+        assert a["html"] == b["html"]  # every yielded body is intact
+
+
 def test_read_warc_extracts_end_to_end(spark):
     """WARC files -> read_warc -> extract_pages(digest_col) must equal the
     golden per-url extraction, with the crawl-provided digest driving the

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 import gzip
+import hashlib
 import io
 from collections.abc import Iterator
 
@@ -109,6 +110,11 @@ def _parse_warc_stream(data: bytes) -> Iterator[dict]:
         except (KeyError, ValueError):
             return
         payload = data[head_end + 4:head_end + 4 + length]
+        if len(payload) < length:
+            # stream cut mid-payload: a truncated body must NOT be
+            # yielded under the full-content header digest (it would
+            # poison digest-keyed dedup downstream) — drop and stop
+            return
         pos = head_end + 4 + length
         # consume the record separator if present (tolerate its absence)
         if data[pos:pos + 4] == _CRLF + _CRLF:
@@ -129,18 +135,44 @@ def _parse_warc_stream(data: bytes) -> Iterator[dict]:
         else:
             body = payload
         digest = fields.get(b"warc-payload-digest")
+        # digest-less records (WARC revisits, minimal writers) get a
+        # content md5 HERE, while the bytes are in memory: extract_pages'
+        # digest_col contract requires a non-null pure-content digest so
+        # winner tie-breaks stay deterministic without the winner side
+        # ever re-reading payloads
         yield {"url": url, "warc_ts": ts, "html": body,
                "digest": digest.decode("ascii", "replace")
-               if digest else None}
+               if digest else hashlib.md5(body).hexdigest()}
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members, KEEPING every member that
+    decodes: a crawl archive cut mid-final-member must still yield its
+    ~50k intact records (gzip.decompress raises on the torn tail and
+    would discard the entire file)."""
+    import zlib
+
+    out = bytearray()
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error:  # corrupt member: keep prior members only
+            break
+        if not d.eof:
+            # torn final member: its partial inflate may end mid-record —
+            # that's fine, the stream parser's Content-Length overrun
+            # guard drops the incomplete tail record
+            break
+        data = d.unused_data
+    return bytes(out)
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """Parse one WARC file's bytes (gzip multi-member or plain)."""
     if data[:2] == b"\x1f\x8b":
-        try:  # concatenated gzip members decompress as one stream
-            data = gzip.decompress(data)
-        except (OSError, EOFError):
-            return []
+        data = _gunzip_members(data)
     return list(_parse_warc_stream(data))
 
 

@@ -175,11 +175,10 @@ def lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for tris in profile.values()])
         return pd.Series(out)
 
-    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
-    # spread a single-file scan so the UDF parallelizes (sketch._spread)
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    from .sketch import _spread
+
+    # spread a single-file scan so the UDF parallelizes
+    docs = _spread(_docs(spark, sf_dir).filter(F.length("text") > 0))
     hits = docs.select("doc_id", "lang",
                        lang_hits(F.col("text")).alias("h"))
     hits = hits.select(

@@ -293,11 +293,18 @@ def extract_pages(pages: DataFrame, num_parts: int = 64,
     # payload — matching datagen.golden_rows; md5 (not xxhash64) so the
     # pure-Python golden oracle can compute the identical key.
     if digest_col is not None:
-        # normalize NULL digests at ingestion: WARC revisit/missing-digest
-        # records carry none, and a NULL key would (a) never equal its own
-        # winner key in the semi join and (b) sort unpredictably inside
-        # max(struct) — coalescing to "" keeps such rows joinable and
-        # deterministically ordered (below any real hex digest)
+        # CONTRACT: digest_col must be non-null per row and a pure
+        # function of the payload bytes — sources that can lack digests
+        # fill them at ingestion (read_warc md5s digest-less records in
+        # the parse stage, where the bytes are already in memory). An
+        # md5 fallback HERE would re-read the payload column on the
+        # winner side, defeating digest_col's narrow-scan purpose. The
+        # ''-coalesce below is a liveness net for contract violations:
+        # a NULL digest keeps its row (NULL = NULL is NULL would drop
+        # it from the semi join), but same-(url, warc_ts) NULL-digest
+        # rows with DIFFERENT bodies then tie on the winner key and the
+        # survivor follows task iteration order — honor the contract if
+        # you need the pure-function-of-input guarantee.
         hashed = pages.withColumn(
             "__h", F.coalesce(F.col(digest_col), F.lit("")))
     else:
@@ -428,12 +435,25 @@ def run_pipeline(
                     input_split=pages_path),
                 part_keys=keys, run_id=s.get("run_id") or run_id)
 
+    persisted = None
     if input_format == "warc":
         # crawl archives: records carry their own payload digest, so the
-        # winner aggregation never hashes payloads (digest_col wiring)
+        # winner aggregation never hashes payloads (digest_col wiring).
+        # PERSIST the parsed records for the run: the parse is a Python
+        # mapInPandas barrier, so neither the chunk part_keys filter nor
+        # the winner-agg/semi-join double reference can reach below it —
+        # without the cache every chunk would re-read and re-gunzip every
+        # archive, and each extract_pages would parse twice (the same
+        # pathology the raw-scan chunk filter fixes for parquet). At
+        # cluster scale MEMORY_AND_DISK spills to executor-local disk,
+        # i.e. a one-time staging of the parsed crawl.
+        from pyspark.storagelevel import StorageLevel
+
         from .io.warc import read_warc
-        pages = read_warc(spark, pages_path).withColumn(
-            "lang", F.lit(None).cast("string"))
+        pages = (read_warc(spark, pages_path)
+                 .withColumn("lang", F.lit(None).cast("string"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        persisted = pages
         digest_col = digest_col or "digest"
     elif input_format == "parquet":
         pages = spark.read.parquet(pages_path)
@@ -465,6 +485,8 @@ def run_pipeline(
         done_chunks += 1
         if fail_after_chunk is not None and done_chunks >= fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {chunk}")
+    if persisted is not None:
+        persisted.unpersist()
     return {
         "extracted": out,
         "metrics": metrics_tbl,

@@ -87,9 +87,10 @@ def measure(spark, path: str, num_parts: int, n_salts: int,
         by_pk_docs[r.part_key] = by_pk_docs.get(r.part_key, 0) + r.docs
 
     def ratio(vals):
-        s = sorted(vals)
-        med = s[len(s) // 2]
-        return round(s[-1] / med, 2) if med else float("inf")
+        # statistics.median throughout so the printed max/median pairs
+        # and the ratio are mutually consistent
+        med = statistics.median(vals)
+        return round(max(vals) / med, 2) if med else float("inf")
 
     task_times = sorted(by_task.values())
     return {
