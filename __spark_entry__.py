@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textdata.doc_fingerprint,
         "token_stats": textdata.token_stats,
         "token_bpe_stats": textdata.token_bpe_stats,
+        "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,

@@ -367,3 +367,18 @@ def test_token_bpe_stats_classes(spark, tmp_path):
     assert r.n_distinct == 1
     r = got[2]  # a 1 b 2 — alternating runs
     assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (4, 2, 2, 0)
+
+
+def test_driver_contract_parity():
+    """queries() and oracle_sql() must stay in lockstep: every oracle has
+    a query; every query either has an oracle or is on the documented
+    rows-only allowlist (each with a pytest oracle elsewhere)."""
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    os_ = set(e.oracle_sql())
+    rows_only = {"minhash_neardup", "simhash_neardup"}
+    assert os_ <= qs, f"oracles without queries: {sorted(os_ - qs)}"
+    missing = qs - os_ - rows_only
+    assert not missing, f"queries without oracle or allowlist: {sorted(missing)}"
+    assert rows_only <= qs

@@ -239,6 +239,15 @@ ORACLES: dict[str, str] = {
                    AS avg_token_len
         FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
     """,
+    "payload_base64": """
+        SELECT doc_id,
+               substr(to_base64(encode(text)), 1, 32) AS b64_head,
+               CAST(length(to_base64(encode(text))) AS INT) AS b64_len,
+               CAST(octet_length(from_base64(to_base64(encode(text))))
+                    AS INT) AS decoded_len,
+               CAST(octet_length(encode(text)) AS INT) AS raw_len
+        FROM documents ORDER BY doc_id
+    """,
     "token_bpe_stats": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
@@ -417,7 +426,10 @@ ORACLES: dict[str, str] = {
                    CASE WHEN doc_id % 3 = 0
                         THEN concat('Document ', CAST(doc_id AS VARCHAR),
                                     chr(10), 'flate stream body')
-                        ELSE trim(text, ' ' || chr(9) || chr(10) || chr(13))
+                        ELSE regexp_replace(
+                                 trim(text, ' ' || chr(9) || chr(10)
+                                      || chr(13)),
+                                 '[ \\t]+\\n', chr(10), 'g')
                         END AS etext
             FROM documents)
         SELECT concat('docm://', CAST(doc_id AS VARCHAR)) AS url,

@@ -50,6 +50,24 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def payload_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 base64 encode/decode round trip over binary payloads (the
+    reference ships page bytes base64-encoded over HTTP,
+    api_utils.py:46): native base64/unbase64, normalized to the
+    unchunked RFC 4648 form (Spark's encoder emits RFC 2045 MIME
+    chunking — a CRLF every 76 chars — which DuckDB/python b64 do not);
+    the round-trip length equality is part of the oracle check."""
+    blob = F.encode("text", "UTF-8")
+    b64 = F.translate(F.base64(blob), "\r\n", "")
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.substring(b64, 1, 32).alias("b64_head"),
+                    F.length(b64).alias("b64_len"),
+                    F.octet_length(F.unbase64(b64)).alias("decoded_len"),
+                    F.octet_length(blob).alias("raw_len"))
+            .orderBy("doc_id"))
+
+
 # -- token / quality stats ---------------------------------------------------
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
