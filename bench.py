@@ -56,6 +56,31 @@ def _bench_corpus(n_docs: int) -> str:
     return path
 
 
+def _bench_warc(n_docs: int) -> str:
+    """The same corpus as gzip-member WARC files (crawl layout), cached."""
+    import hashlib
+
+    from textextract_spark.datagen import generate_pages
+    from textextract_spark.io.warc import build_warc
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    d = os.path.join(cache, f"warc_{n_docs}_s42_v1")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        rows = generate_pages(n_docs, seed=42)
+        recs = [{"url": r["url"],
+                 "warc_ts": r["warc_ts"].replace(tzinfo=None),
+                 "html": r["html"],
+                 "digest": hashlib.md5(r["html"] or b"").hexdigest()}
+                for r in rows]
+        per_file = max(1, len(recs) // 8)  # 8 archives -> 8 parse tasks
+        for i in range(0, len(recs), per_file):
+            with open(os.path.join(d, f"crawl-{i:07d}.warc.gz"),
+                      "wb") as f:
+                f.write(build_warc(recs[i:i + per_file], compress=True))
+    return d
+
+
 def run_bench(sf_dir: str, cores: str, n_docs: int,
               queries: list[str] | None = None) -> dict:
     import __spark_entry__ as entry_mod
@@ -113,6 +138,24 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
             noop(qmap[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    # WARC-source extraction: gunzip + record parse + digest-driven
+    # winner selection + extract, over the same corpus in crawl layout
+    from pyspark.sql import functions as F
+
+    from textextract_spark.io.warc import read_warc
+    warc_dir = _bench_warc(n_docs // 4)  # smaller: adds parse-path signal
+    warc_plan = extract_pages(
+        read_warc(spark, warc_dir).withColumn(
+            "lang", F.lit(None).cast("string")),
+        num_parts=64, n_salts=8, digest_col="digest")
+    noop(warc_plan)  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        noop(warc_plan)
+        best = min(best, time.perf_counter() - t0)
+    timings["extract_warc"] = round(best, 3)
 
     extract_sec = timed_extract(extract_sec)
     timings["extract_corpus"] = round(extract_sec, 3)

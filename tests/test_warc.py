@@ -88,3 +88,28 @@ def test_read_warc_extracts_end_to_end(spark):
     # digest column really feeds the winner agg: no md5() in the plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "md5(" not in plan
+
+
+def test_warc_roundtrip_property():
+    """Property: build->parse is the identity on (url, ts, body) for
+    arbitrary binary bodies — including bodies that CONTAIN record
+    markers, CRLF runs, and gzip magic."""
+    from datetime import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bodies = st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(bodies=bodies, compress=st.booleans())
+    def check(bodies, compress):
+        recs = [{"url": f"https://h.example/p/{i}",
+                 "warc_ts": datetime(2025, 1, 1, 0, 0, i % 60),
+                 "html": b} for i, b in enumerate(bodies)]
+        got = parse_warc_bytes(build_warc(recs, compress=compress))
+        assert [(g["url"], g["warc_ts"], g["html"]) for g in got] \
+            == [(r["url"], r["warc_ts"], r["html"]) for r in recs]
+
+    check()
