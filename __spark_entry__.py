@@ -60,6 +60,17 @@ def entry(spark: SparkSession) -> DataFrame:
                       F.col("meta.in_bytes").alias("in_bytes"))
 
 
+def _extraction_report(out: DataFrame) -> DataFrame:
+    """The oracle-facing projection shared by the extraction driver rows:
+    url-ordered (status, fmt, byte-exact text, length, span count)."""
+    return (out.select("url", "status",
+                       F.col("meta.fmt").alias("fmt"),
+                       "text",
+                       F.length("text").alias("text_len"),
+                       F.size("spans").alias("n_spans"))
+            .orderBy("url"))
+
+
 def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extraction pipeline as a driver query WITH a full DuckDB
     oracle: the synthesized pages wrap documents.text in a fixed HTML
@@ -69,13 +80,7 @@ def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the mixed html/pdf/plain corpus runs in pytest against
     golden files.)"""
     pages = _pages_from_documents(spark, sf_dir)
-    out = extract_pages(pages, num_parts=16, n_salts=4)
-    return (out.select("url", "status",
-                       F.col("meta.fmt").alias("fmt"),
-                       "text",
-                       F.length("text").alias("text_len"),
-                       F.size("spans").alias("n_spans"))
-            .orderBy("url"))
+    return _extraction_report(extract_pages(pages, num_parts=16, n_salts=4))
 
 
 def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,13 +110,7 @@ def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.encode("text", "UTF-8")).alias("html"),
         F.col("text"),
         F.col("lang"))
-    out = extract_pages(pages, num_parts=16, n_salts=4)
-    return (out.select("url", "status",
-                       F.col("meta.fmt").alias("fmt"),
-                       "text",
-                       F.length("text").alias("text_len"),
-                       F.size("spans").alias("n_spans"))
-            .orderBy("url"))
+    return _extraction_report(extract_pages(pages, num_parts=16, n_salts=4))
 
 
 def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

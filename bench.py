@@ -58,21 +58,14 @@ def _bench_corpus(n_docs: int) -> str:
 
 def _bench_warc(n_docs: int) -> str:
     """The same corpus as gzip-member WARC files (crawl layout), cached."""
-    import hashlib
-
     from textextract_spark.datagen import generate_pages
-    from textextract_spark.io.warc import build_warc
+    from textextract_spark.io.warc import build_warc, warc_records
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     d = os.path.join(cache, f"warc_{n_docs}_s42_v1")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
-        rows = generate_pages(n_docs, seed=42)
-        recs = [{"url": r["url"],
-                 "warc_ts": r["warc_ts"].replace(tzinfo=None),
-                 "html": r["html"],
-                 "digest": hashlib.md5(r["html"] or b"").hexdigest()}
-                for r in rows]
+        recs = warc_records(generate_pages(n_docs, seed=42))
         per_file = max(1, len(recs) // 8)  # 8 archives -> 8 parse tasks
         for i in range(0, len(recs), per_file):
             with open(os.path.join(d, f"crawl-{i:07d}.warc.gz"),

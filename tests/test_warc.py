@@ -6,14 +6,11 @@ import tempfile
 
 from textextract_spark.datagen import generate_pages, golden_rows
 from textextract_spark.io.warc import (
-    build_warc, parse_warc_bytes, read_warc)
+    build_warc, parse_warc_bytes, read_warc, warc_records)
 
 
 def _records(n=60, seed=31):
-    rows = generate_pages(n, seed=seed)
-    return [{"url": r["url"],
-             "warc_ts": r["warc_ts"].replace(tzinfo=None),
-             "html": r["html"]} for r in rows]
+    return warc_records(generate_pages(n, seed=seed), with_digest=False)
 
 
 def test_warc_roundtrip_pure_python():
@@ -62,18 +59,12 @@ def test_read_warc_extracts_end_to_end(spark):
     """WARC files -> read_warc -> extract_pages(digest_col) must equal the
     golden per-url extraction, with the crawl-provided digest driving the
     winner aggregation (no md5 in the plan)."""
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from textextract_spark.pipeline import extract_pages
 
     rows = generate_pages(120, seed=31)
-    recs = [{"url": r["url"],
-             "warc_ts": r["warc_ts"].replace(tzinfo=None),
-             "html": r["html"],
-             "digest": hashlib.md5(r["html"] or b"").hexdigest()}
-            for r in rows]
+    recs = warc_records(rows)
     d = tempfile.mkdtemp(prefix="warcsrc-")
     half = len(recs) // 2
     for i, chunk in enumerate((recs[:half], recs[half:])):

@@ -27,6 +27,7 @@ import datetime as dt
 import gzip
 import hashlib
 import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,6 +49,21 @@ _CRLF = b"\r\n"
 # ---------------------------------------------------------------------------
 # Writer (datagen/tests): build a valid WARC from page records
 # ---------------------------------------------------------------------------
+
+def warc_records(rows: list[dict], with_digest: bool = True) -> list[dict]:
+    """datagen.generate_pages rows -> build_warc record dicts (tz-naive
+    timestamps, optional md5 payload digests) — the conversion every
+    test/bench/driver site needs."""
+    recs = []
+    for r in rows:
+        rec = {"url": r["url"],
+               "warc_ts": r["warc_ts"].replace(tzinfo=None),
+               "html": r["html"]}
+        if with_digest:
+            rec["digest"] = hashlib.md5(r["html"] or b"").hexdigest()
+        recs.append(rec)
+    return recs
+
 
 def build_warc(records: list[dict], compress: bool = True) -> bytes:
     """Serialize records ({url, warc_ts, html, digest?}) as WARC response
@@ -150,8 +166,6 @@ def _gunzip_members(data: bytes) -> bytes:
     decodes: a crawl archive cut mid-final-member must still yield its
     ~50k intact records (gzip.decompress raises on the torn tail and
     would discard the entire file)."""
-    import zlib
-
     out = bytearray()
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)

@@ -75,7 +75,7 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
         if dib_size < 40:
             raise ValueError(f"unsupported DIB header size {dib_size}")
-        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        _, bpp = struct.unpack_from("<HH", payload, 26)
         return {"kind": "bmp", "width": width, "height": abs(height),
                 "bpp": bpp}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
