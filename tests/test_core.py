@@ -290,3 +290,33 @@ def test_tokenizer_equivalence_fuzz_markup_soup():
                 parts.append(f"<{rng.choice(tags)}>")
         doc = "<body>" + "".join(parts) + "</body>"
         assert extract_html(doc) == extract_html_reference(doc), doc[:200]
+
+
+def test_pdf_roundtrip_property():
+    """Property: build_pdf(lines) -> extract_pdf recovers the exact lines
+    (joined with \\n) for printable latin-1 text including parens and
+    backslashes — the literal-string escape path both ways — compressed
+    and uncompressed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from textextract_spark.core.pdf_extract import extract_pdf
+    from textextract_spark.datagen import build_pdf
+
+    # printable latin-1 minus control chars; lines must survive the
+    # extractor's rstrip/blank-drop normalization, so strip + nonblank
+    line = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               exclude_characters="\x7f"),
+        min_size=1, max_size=60,
+    ).map(str.strip).filter(lambda s: s)
+
+    @settings(max_examples=80, deadline=None)
+    @given(lines=st.lists(line, min_size=1, max_size=6),
+           compress=st.booleans())
+    def check(lines, compress):
+        text, spans = extract_pdf(build_pdf(lines, compress=compress))
+        assert text == "\n".join(lines)
+        assert len(spans) == len(lines)
+
+    check()

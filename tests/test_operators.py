@@ -382,3 +382,31 @@ def test_driver_contract_parity():
     missing = qs - os_ - rows_only
     assert not missing, f"queries without oracle or allowlist: {sorted(missing)}"
     assert rows_only <= qs
+
+
+def test_decode_media_roundtrip_property():
+    """Property: BMP/WAV build->decode is the identity on the header
+    parameters across the full parameter ranges (incl. widths needing
+    row padding and odd frame sizes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from textextract_spark.operators.multimodal import (
+        build_bmp, build_wav, decode_media)
+
+    @settings(max_examples=50, deadline=None)
+    @given(w=st.integers(1, 64), h=st.integers(1, 64))
+    def check_bmp(w, h):
+        f = decode_media(build_bmp(w, h), "image")
+        assert (f["width"], f["height"], f["bpp"]) == (w, h, 24)
+
+    @settings(max_examples=50, deadline=None)
+    @given(ch=st.integers(1, 2), rate=st.integers(8000, 48000),
+           bits=st.sampled_from([8, 16, 32]), n=st.integers(0, 500))
+    def check_wav(ch, rate, bits, n):
+        f = decode_media(build_wav(ch, rate, bits, n), "audio")
+        assert (f["channels"], f["sample_rate"], f["bits"],
+                f["n_samples"]) == (ch, rate, bits, n)
+
+    check_bmp()
+    check_wav()

@@ -104,3 +104,38 @@ def test_warc_roundtrip_property():
             == [(r["url"], r["warc_ts"], r["html"]) for r in recs]
 
     check()
+
+
+def test_warc_pipeline_resume(spark, tmp_path):
+    """run_pipeline over WARC input: crash after the first chunk, resume,
+    final table equals the single-run result and committed part_keys are
+    not reprocessed — the chunk filter and the parsed-pages persist must
+    compose with checkpoint/resume."""
+    import pytest as _pytest
+
+    from textextract_spark.pipeline import run_pipeline
+
+    rows = generate_pages(150, seed=13)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = warc_records(rows)
+    with open(d / "crawl-0.warc.gz", "wb") as f:
+        f.write(build_warc(recs, compress=True))
+
+    out1 = str(tmp_path / "out1")
+    res1 = run_pipeline(spark, str(d), out1, num_parts=8, chunks=4,
+                        run_id="single", input_format="warc")
+    full = {r.url: (r.text, r.status)
+            for r in res1["extracted"].read(spark).collect()}
+    assert len(full) == len({r["url"] for r in rows})
+
+    out2 = str(tmp_path / "out2")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, str(d), out2, num_parts=8, chunks=4,
+                     run_id="r1", input_format="warc", fail_after_chunk=1)
+    res2 = run_pipeline(spark, str(d), out2, num_parts=8, chunks=4,
+                        run_id="r2", input_format="warc")
+    assert sorted(res2["committed_part_keys"]) == list(range(8))
+    resumed = {r.url: (r.text, r.status)
+               for r in res2["extracted"].read(spark).collect()}
+    assert resumed == full
