@@ -6,13 +6,15 @@ Readability/Boilerpipe-style: flatten the DOM into a stream of text blocks
 blocks classified as content. Pure stdlib — lxml is not available in this
 environment.
 
-Two tokenizers drive the SAME block/scoring semantics:
+Two implementations drive the SAME block/scoring semantics:
 
-* ``_iter_events`` — a regex tokenizer (the production path): stdlib
-  ``html.parser`` spends ~60% of extraction time in per-character
-  ``goahead``/``parse_starttag`` bookkeeping we don't need (positions,
-  attribute dicts); the regex path measured ~2x faster per document,
-  which is the headline docs/sec metric at 10^12 documents.
+* ``_scored_blocks`` — a fused regex tokenizer + block state machine
+  (the production path): stdlib ``html.parser`` spends ~60% of
+  extraction time in per-character ``goahead``/``parse_starttag``
+  bookkeeping we don't need (positions, attribute dicts); the regex
+  path measured ~2x faster per document — and fusing tokenize+handle
+  into one loop (no per-event generator layer) another ~10% — which is
+  the headline docs/sec metric at 10^12 documents.
 * ``_BlockParser`` — the ``html.parser``-driven reference implementation,
   kept for the cross-check test (tests/test_core.py asserts byte-equal
   output on the generated corpus).
@@ -31,7 +33,6 @@ thresholds; no wall-clock, no randomness.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 from html import unescape
 from html.parser import HTMLParser
 
@@ -212,21 +213,64 @@ _RAWCLOSE = {
 _RAWTEXT = frozenset({"script", "style"})
 
 
-def _iter_events(s: str) -> Iterator[tuple[str, str]]:
-    """Tokenize HTML into ('start'|'startend'|'end'|'data', payload)
-    events — the same event stream html.parser produces for well-formed
-    input (cross-checked in tests), total on arbitrary input: anything
-    unparseable is emitted as data."""
+def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
+    """Tokenize + run the block/scoring state machine in ONE fused loop.
+
+    The tokenizer recognizes the same event stream html.parser produces
+    for well-formed input (start/startend/end/data, plus its exact
+    goahead(end=1) EOF recovery) and is total on arbitrary input —
+    anything unparseable becomes data. Tokenizing and block handling are
+    fused rather than layered (an earlier generator-of-events split
+    measured ~10% slower from per-event tuple/dispatch overhead — at
+    10^12 documents that layer is days of worker CPU). Identical
+    semantics to _BlockParser (the html.parser reference implementation
+    below) — byte-equal output is asserted by the corpus + fuzz tests in
+    tests/test_core.py.
+    """
+    s = html_text
     i, n = 0, len(s)
+    skip_depth = 0
+    anchor_depth = 0
+    block_stack = ["body"]
+    cur = _Block("body")
+    cur_parts = cur.parts  # bound once: flush resets IN PLACE (clear),
+    cur_anchor = cur.anchor_parts  # never reallocates a _Block
+    blocks: list[tuple[str, str, int, float, float]] = []
+    find = s.find
+    tag_match = _TAG_RE.match
+
+    def flush() -> None:
+        if cur_parts:
+            text = _collapse("".join(cur_parts))
+            if text:
+                chars = len(text)
+                anchor_chars = len(_collapse("".join(cur_anchor)))
+                blocks.append((cur.tag, text, chars,
+                               (anchor_chars / chars) if chars else 1.0,
+                               chars / (1.0 + cur.inline_tags)))
+            cur_parts.clear()
+            cur_anchor.clear()
+        cur.tag = block_stack[-1] if block_stack else "body"
+        cur.inline_tags = 0
+
+    def data(payload: str) -> None:
+        if skip_depth or not payload:
+            return
+        if "&" in payload:
+            payload = unescape(payload)
+        cur_parts.append(payload)
+        if anchor_depth:
+            cur_anchor.append(payload)
+
     while i < n:
-        lt = s.find("<", i)
+        lt = find("<", i)
         if lt < 0:
-            yield ("data", s[i:])
+            data(s[i:])
             break
         if lt > i:
-            yield ("data", s[i:lt])
+            data(s[i:lt])
         nxt = s[lt + 1:lt + 2]
-        if nxt in ("!", "?"):
+        if nxt == "!" or nxt == "?":
             if nxt == "?":
                 m = _PI_RE.match(s, lt)
             elif s.startswith("<!--", lt):
@@ -248,115 +292,69 @@ def _iter_events(s: str) -> Iterator[tuple[str, str]]:
             # incomplete construct at EOF — html.parser's goahead(end=1)
             # recovery: everything through the first '>' becomes data;
             # else up to (not including) the next '<'; else a lone '<'.
-            k = s.find(">", lt + 1)
+            k = find(">", lt + 1)
             if k >= 0:
-                yield ("data", s[lt:k + 1])
+                data(s[lt:k + 1])
                 i = k + 1
             else:
-                k = s.find("<", lt + 1)
+                k = find("<", lt + 1)
                 if k >= 0:
-                    yield ("data", s[lt:k])
+                    data(s[lt:k])
                     i = k
                 else:
-                    yield ("data", "<")
+                    data("<")
                     i = lt + 1
             continue
-        m = _TAG_RE.match(s, lt)
+        m = tag_match(s, lt)
         if not m:  # bare '<' (or truncated tag): literal data
-            yield ("data", "<")
+            data("<")
             i = lt + 1
             continue
         name = m.group(2).lower()
         i = m.end()
-        if m.group(1):
-            yield ("end", name)
-        elif m.group(4):
-            yield ("startend", name)
-        else:
-            yield ("start", name)
+        if m.group(1):  # ---- end tag -----------------------------------
+            if name in _SKIP_TAGS:
+                if skip_depth:
+                    skip_depth -= 1
+            elif skip_depth:
+                pass
+            elif name in _BLOCK_TAGS:
+                flush()
+                for j in range(len(block_stack) - 1, 0, -1):
+                    if block_stack[j] == name:
+                        del block_stack[j:]
+                        break
+                cur.tag = block_stack[-1] if block_stack else "body"
+            elif name == "a" and anchor_depth:
+                anchor_depth -= 1
+        elif m.group(4):  # ---- self-closing ----------------------------
+            if not skip_depth:
+                if name in ("br", "hr"):
+                    flush()
+                elif name not in _BLOCK_TAGS and name not in _SKIP_TAGS:
+                    cur.inline_tags += 1
+        else:  # ---- start tag ------------------------------------------
+            if name in _SKIP_TAGS:
+                skip_depth += 1
+            elif not skip_depth:
+                if name in _BLOCK_TAGS:
+                    flush()
+                    if name not in ("br", "hr"):
+                        block_stack.append(name)
+                        cur.tag = name
+                else:
+                    if name == "a":
+                        anchor_depth += 1
+                    cur.inline_tags += 1
             if name in _RAWTEXT:
                 cm = _RAWCLOSE[name].search(s, i)
                 if cm is None:  # unterminated rawtext: rest is its body
                     break
-                yield ("end", name)
-                i = cm.end()
-
-
-def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
-    """Run the block/scoring state machine over the fast event stream.
-
-    Identical semantics to _BlockParser (the html.parser reference
-    implementation below) — byte-equal output is asserted on the
-    generated corpus in tests/test_core.py.
-    """
-    skip_depth = 0
-    anchor_depth = 0
-    block_stack = ["body"]
-    cur = _Block("body")
-    blocks: list[tuple[str, str, int, float, float]] = []
-
-    def flush() -> None:
-        nonlocal cur
-        if not cur.parts:  # empty block: reset in place, no allocation
-            cur.tag = block_stack[-1] if block_stack else "body"
-            cur.inline_tags = 0
-            return
-        text = _collapse("".join(cur.parts))
-        if text:
-            chars = len(text)
-            anchor_chars = len(_collapse("".join(cur.anchor_parts)))
-            blocks.append((cur.tag, text, chars,
-                           (anchor_chars / chars) if chars else 1.0,
-                           chars / (1.0 + cur.inline_tags)))
-        cur = _Block(block_stack[-1] if block_stack else "body")
-
-    for kind, payload in _iter_events(html_text):
-        if kind == "data":
-            if skip_depth or not payload:
-                continue
-            if "&" in payload:
-                payload = unescape(payload)
-            cur.parts.append(payload)
-            if anchor_depth:
-                cur.anchor_parts.append(payload)
-        elif kind == "start":
-            if payload in _SKIP_TAGS:
-                skip_depth += 1
-                continue
-            if skip_depth:
-                continue
-            if payload in _BLOCK_TAGS:
-                flush()
-                if payload not in ("br", "hr"):
-                    block_stack.append(payload)
-                    cur.tag = payload
-            else:
-                if payload == "a":
-                    anchor_depth += 1
-                cur.inline_tags += 1
-        elif kind == "end":
-            if payload in _SKIP_TAGS:
+                # the matching end tag: script/style are _SKIP_TAGS, so
+                # the generic end handling reduces to this decrement
                 if skip_depth:
                     skip_depth -= 1
-                continue
-            if skip_depth:
-                continue
-            if payload in _BLOCK_TAGS:
-                flush()
-                for j in range(len(block_stack) - 1, 0, -1):
-                    if block_stack[j] == payload:
-                        del block_stack[j:]
-                        break
-                cur.tag = block_stack[-1] if block_stack else "body"
-            elif payload == "a" and anchor_depth:
-                anchor_depth -= 1
-        else:  # startend
-            if skip_depth:
-                continue
-            if payload in ("br", "hr"):
-                flush()
-            elif payload not in _BLOCK_TAGS and payload not in _SKIP_TAGS:
-                cur.inline_tags += 1
+                i = cm.end()
     flush()
     return blocks
 
