@@ -13,8 +13,8 @@ Two implementations drive the SAME block/scoring semantics:
   extraction time in per-character ``goahead``/``parse_starttag``
   bookkeeping we don't need (positions, attribute dicts); the regex
   path measured ~2x faster per document — and fusing tokenize+handle
-  into one loop (no per-event generator layer) another ~10% — which is
-  the headline docs/sec metric at 10^12 documents.
+  into one loop (no per-event generator layer) another ~15-25% — which
+  is the headline docs/sec metric at 10^12 documents.
 * ``_BlockParser`` — the ``html.parser``-driven reference implementation,
   kept for the cross-check test (tests/test_core.py asserts byte-equal
   output on the generated corpus).
@@ -221,7 +221,7 @@ def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
     goahead(end=1) EOF recovery) and is total on arbitrary input —
     anything unparseable becomes data. Tokenizing and block handling are
     fused rather than layered (an earlier generator-of-events split
-    measured ~10% slower from per-event tuple/dispatch overhead — at
+    measured ~15-25% slower from per-event tuple/dispatch overhead — at
     10^12 documents that layer is days of worker CPU). Identical
     semantics to _BlockParser (the html.parser reference implementation
     below) — byte-equal output is asserted by the corpus + fuzz tests in
