@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   exact jaccard, all-pairs twin in DuckDB
         "minhash_recall": _minhash_recall,                  # oracled:
         #   derived metric — minhash candidates vs DuckDB exact pairs
+        "neardup_clusters": sketch.neardup_clusters,        # oracled:
+        #   Hash-Min connected components vs recursive-CTE closure
         "simhash_neardup": sketch.simhash_neardup,          # rows-only:
         #   engine-specific xxhash64 bit votes (pytest pigeonhole +
         #   saturation oracles; hamming-0 behavior oracled below)

@@ -215,3 +215,41 @@ def test_simhash_saturation_default_radius_survives(spark):
     assert recall8 < 0.5, (
         f"d=8 unexpectedly kept recall {recall8} at saturation; "
         "revisit the documented tradeoff")
+
+
+def test_neardup_clusters_transitive_chain(spark, tmp_path_factory):
+    """Cluster formation must be TRANSITIVE: a chain A~A'~A'' where A vs
+    A'' is below the pair threshold still forms ONE cluster (component
+    diameter 2 -> needs more than one Hash-Min propagation round), with
+    cluster_id = the min doc id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.sketch import neardup_clusters
+
+    rng = random.Random(41)
+    pool = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = [rng.choice(pool) for _ in range(60)]
+    a1 = base + [rng.choice(pool) + str(i) for i in range(40)]
+    a2 = a1 + [rng.choice(pool) + str(100 + i) for i in range(40)]
+    texts = [" ".join(base), " ".join(a1), " ".join(a2)]
+    # unrelated docs stay singletons (excluded from output)
+    for i in range(10):
+        texts.append(" ".join(rng.choice(pool) + str(1000 + 50 * i + j)
+                              for j in range(50)))
+    d = tmp_path_factory.mktemp("chaindocs")
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts)}), str(d / "documents.parquet"))
+
+    got = {r.doc_id: r.cluster_id
+           for r in neardup_clusters(spark, str(d), threshold=0.5).collect()}
+    # direct pairs sanity: 0~1 and 1~2 above, 0~2 below the threshold
+    exact01 = _jaccard(_shingles(texts[0]), _shingles(texts[1]))
+    exact12 = _jaccard(_shingles(texts[1]), _shingles(texts[2]))
+    exact02 = _jaccard(_shingles(texts[0]), _shingles(texts[2]))
+    assert exact01 >= 0.5 and exact12 >= 0.5 and exact02 < 0.5, \
+        (exact01, exact12, exact02)
+    assert got == {0: 0, 1: 0, 2: 0}

@@ -345,32 +345,10 @@ ORACLES: dict[str, str] = {
                  published_at DESC
         LIMIT 1
     """,
-    # -- dedup verify pass: exact all-pairs jaccard (the Spark side is
-    # LSH-candidates + exact verify; at driver scale every pair >= the
-    # threshold is high-jaccard and banding recall is 1, so the two agree
-    # exactly — pytest additionally asserts the per-pair values) ------------
-    "ngram_jaccard_pairs": r"""
-        WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
-            FROM documents
-            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
-        ), s AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(toks) - 1),
-                       i -> concat_ws(' ', toks[CAST(i AS INT)],
-                                      toks[CAST(i AS INT) + 1],
-                                      toks[CAST(i AS INT) + 2]))) AS sh
-            FROM t)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 4)
-                   AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
-        ORDER BY jaccard DESC, a_id, b_id
-    """,
+    # ngram_jaccard_pairs / minhash_recall / neardup_clusters are built
+    # from the shared _SHINGLE_CTE fragment below (appended after this
+    # dict literal) so the three twins cannot drift on the shingle
+    # definition.
     # -- multimodal plumbing: sha/size twins (no blob byte access in this
     # DuckDB build, so entropy is pytest-only) ------------------------------
     "media_features": """
@@ -454,36 +432,8 @@ ORACLES: dict[str, str] = {
                md5(text) AS digest
         FROM documents ORDER BY doc_id
     """,
-    # -- derived-metric twins for the hash-sketch paths ---------------------
-    # minhash banding recall vs exact ground truth: stats of the pairs the
-    # LSH+verify pipeline keeps at exact jaccard >= 0.5 must equal the same
-    # stats over TRUE all-pairs jaccard — a dropped candidate diverges here
-    "minhash_recall": r"""
-        WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
-            FROM documents
-            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
-        ), s AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(toks) - 1),
-                       i -> concat_ws(' ', toks[CAST(i AS INT)],
-                                      toks[CAST(i AS INT) + 1],
-                                      toks[CAST(i AS INT) + 2]))) AS sh
-            FROM t
-        ), p AS (
-            SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
-                       AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
-        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               min(jaccard) AS min_jaccard,
-               max(jaccard) AS max_jaccard,
-               round(avg(jaccard), 4) AS mean_jaccard
-        FROM p
-    """,
+    # -- derived-metric twins for the hash-sketch paths: see the
+    # _SHINGLE_CTE-composed entries appended after this dict ---------------
     # simhash hamming-0 on the doc-vs-planted-copy slice <=> md5(text)
     # equality (identical text => identical bit votes => same bucket key;
     # the slice excludes legit cross-doc vote-sign coincidences SQL cannot
@@ -565,6 +515,76 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 20
     """,
 }
+
+
+# Shared 3-word-shingle fragment (twin of sketch.with_shingles): the three
+# dedup oracles below are composed from it so they cannot drift on the
+# shingle definition. `{thr}` is the exact-jaccard threshold.
+_SHINGLE_CTE = r"""
+        WITH {recursive} t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                      toks[CAST(i AS INT) + 1],
+                                      toks[CAST(i AS INT) + 2]))) AS sh
+            FROM t
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                       AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= {thr})
+"""
+
+# dedup verify pass: exact all-pairs jaccard (the Spark side is
+# LSH-candidates + exact verify; at driver scale every pair >= the
+# threshold is high-jaccard and banding recall is 1, so the two agree
+# exactly — pytest additionally asserts the per-pair values)
+ORACLES["ngram_jaccard_pairs"] = _SHINGLE_CTE.format(
+    recursive="", thr="0.4") + """
+        SELECT a_id, b_id, jaccard FROM p
+        ORDER BY jaccard DESC, a_id, b_id
+    """
+
+# minhash banding recall vs exact ground truth: stats of the pairs the
+# LSH+verify pipeline keeps at exact jaccard >= 0.5 must equal the same
+# stats over TRUE all-pairs jaccard — a dropped candidate diverges here
+ORACLES["minhash_recall"] = _SHINGLE_CTE.format(
+    recursive="", thr="0.5") + """
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               min(jaccard) AS min_jaccard,
+               max(jaccard) AS max_jaccard,
+               round(avg(jaccard), 4) AS mean_jaccard
+        FROM p
+    """
+
+# connected components over the same pair graph (the cluster-formation
+# step): the Spark side is iterative Hash-Min label propagation; the twin
+# computes the transitive closure with a recursive CTE and takes the min
+# id per component — equality proves the iteration converged to the true
+# components
+ORACLES["neardup_clusters"] = _SHINGLE_CTE.format(
+    recursive="RECURSIVE", thr="0.5") + """
+        , sym AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION
+            SELECT b_id, a_id FROM p
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
+        )
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """
 
 
 def _lang_trigram_oracle() -> str:

@@ -303,3 +303,59 @@ def simhash_neardup(spark: SparkSession, sf_dir: str,
     guarantee survives crawl scale — wider radii shrink the key space
     below the MAX_BUCKET skew cap's saturation point (_simhash_chunks)."""
     return simhash_pairs(with_simhash(_docs(spark, sf_dir)), max_hamming)
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.5,
+                     max_iters: int = 20) -> DataFrame:
+    """Connected components over the verified near-dup pair graph: the
+    step that turns pairwise matches into dedup DECISIONS — every doc in
+    a component gets cluster_id = min(doc_id) of its component (the
+    canonical keeper), so `keep = (doc_id == cluster_id)` is the final
+    winner predicate.
+
+    Algorithm: Hash-Min label propagation (the standard Spark CC shape —
+    Rastogi et al., "Finding Connected Components in Map-Reduce"):
+    iterate label[v] = min(label[v], min(label[neighbors])) until a
+    fixpoint. Each round is one shuffle join + hash agg; rounds needed =
+    O(component diameter), and near-dup components are shallow (dup
+    clusters, not long chains), so this converges in a handful of rounds
+    at any corpus size. The driver-side loop checks ONLY a changed-row
+    count per round (an aggregate, not collected data). Restricted to
+    docs that appear in at least one pair — singletons are trivially
+    their own cluster and would dominate the output for no information.
+    """
+    edges = (ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+             .select("a_id", "b_id"))
+    # symmetric neighbor list, materialized once — every iteration reuses
+    # it (at scale: write to a temp table / cache; here .cache())
+    sym = (edges.union(edges.select(F.col("b_id").alias("a_id"),
+                                    F.col("a_id").alias("b_id")))
+           .withColumnRenamed("a_id", "src")
+           .withColumnRenamed("b_id", "dst")
+           .cache())
+    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(max_iters):
+        # min label among self and neighbors
+        neighbor_min = (sym.join(labels,
+                                 sym.dst == labels.doc_id)
+                        .groupBy("src")
+                        .agg(F.min("cluster_id").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.doc_id == neighbor_min.src,
+                                  "left")
+                      .select("doc_id",
+                              F.least("cluster_id",
+                                      F.coalesce("nmin", "cluster_id"))
+                               .alias("cluster_id")))
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.orderBy("doc_id")
