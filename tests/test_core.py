@@ -320,3 +320,49 @@ def test_pdf_roundtrip_property():
         assert len(spans) == len(lines)
 
     check()
+
+
+def test_tokenizer_equivalence_random_bytes():
+    """Random-byte 'documents' (the malformed-payload class): the fast
+    tokenizer must equal html.parser byte-for-byte — this corpus class
+    caught two real divergences (tolerant attr-junk tags; regex
+    backtracking a tag name to force the required '>')."""
+    from textextract_spark.core.html_extract import extract_html_reference
+
+    rng = random.Random(606)
+    for _ in range(1500):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randint(5, 400)))
+        t = raw.decode("latin-1")
+        try:
+            b = extract_html_reference(t)
+        except AssertionError:
+            continue  # html.parser raises on some inputs; fast is total
+        assert extract_html(t) == b, repr(t[:120])
+
+
+def test_tokenizer_equivalence_unicode_ws_soup():
+    """Unicode-whitespace / NUL / quote-equals soup: exercises the
+    stdlib-grammar edges ('=+' value indicators, quoted values crossing
+    '>', NBSP as \\s, '<p/ >' start-not-selfclose, attr-junk tags
+    becoming raw data)."""
+    from textextract_spark.core.html_extract import extract_html_reference
+
+    rng = random.Random(707)
+    fixtures = ["<p>", "</p>", "word word word ", "<a href='x'>", "</a>",
+                "<br/>", "<p\xa0x>", "<a\x00b>", "<p a='v>",
+                "<p a=='v>w'>", "<p a=>", "</p =>", "<p/ >", "<a/ >"]
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.randint(3, 12)):
+            if rng.random() < 0.4:
+                parts.append("".join(
+                    rng.choice("abc<>&='\"/ \xa0  \x00\x0b")
+                    for _ in range(rng.randint(1, 30))))
+            else:
+                parts.append(rng.choice(fixtures))
+        doc = "".join(parts)
+        try:
+            b = extract_html_reference(doc)
+        except AssertionError:
+            continue
+        assert extract_html(doc) == b, repr(doc[:160])

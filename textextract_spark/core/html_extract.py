@@ -170,16 +170,45 @@ def _is_content(tag: str, chars: int, link_density: float,
 
 # -- fast regex tokenizer (production path) ----------------------------------
 
-# attribute-aware tag match: quoted attr values may contain '>'.
-# The name class mirrors html.parser's tagfind_tolerant
-# ([a-zA-Z][^\t\n\r\f />\x00]*) so sloppy names like '<p@>' tokenize as
-# tags on both paths.
-# End tags tolerate whitespace after '</' (html.parser does); start
-# tags require the name immediately after '<' ('< word' is data).
-_TAG_RE = re.compile(
-    r"<(/\s*)?([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
-    r"\s*(/?)\s*>")
+# Start/end tag recognition reuses the stdlib html.parser's OWN compiled
+# regexes (tagfind_tolerant / attrfind_tolerant / locatestarttagend_
+# tolerant / endtagfind): the production tokenizer must agree byte-for-
+# byte with the _BlockParser reference twin below, and a hand-rolled
+# approximation measurably diverged on attribute junk (random-byte
+# "tags" where html.parser's tolerant grammar consumes a span this
+# regex rejected). Importing the same patterns pins the two paths to
+# the same grammar on this Python version.
+import html.parser as _hp
+
+_LOCATE_START_RE = _hp.locatestarttagend_tolerant
+_TAGFIND_RE = _hp.tagfind_tolerant
+_ATTRFIND_RE = _hp.attrfind_tolerant
+_ENDTAGFIND_RE = _hp.endtagfind
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# Fast path for the overwhelmingly common well-formed start tags (one
+# regex pass instead of locate+tagfind+attrfind — the tolerant trio
+# measured ~35% slower end to end). Deliberately CONSERVATIVE so that
+# whenever it matches, the tolerant grammar provably reaches the same
+# endpos with the same start-vs-selfclose classification:
+#   * the ending captures '/>' vs '>' exactly (html.parser treats
+#     '<p/ >' as a START tag, not self-closing);
+#   * bare attr values exclude a leading quote (an unterminated quoted
+#     value makes html.parser scan past '>' or declare the tag
+#     incomplete);
+#   * name and attr chunks are ATOMIC groups — html.parser's grammar is
+#     greedy-then-check (its '>' is never mandatory), so this pattern
+#     must not backtrack the name to force its required ending (e.g.
+#     '<a\xa0junk\x00...>': unicode-\s after a shortened name would
+#     reparse junk as attributes that html.parser calls a bogus tag).
+# Anything it cannot match falls through to the exact stdlib-regex
+# replication of parse_starttag below.
+_FAST_START_RE = re.compile(
+    r"<(?>([a-zA-Z][^\t\n\r\f />\x00]*))"
+    r"(?>(?:\s+(?>[^\s=/>]+)"  # '=+' mirrors the stdlib value indicator
+    r"(?:\s*=+\s*(?>\"[^\"]*\"|'[^']*'|(?!['\"])[^\s>]*))?)*)"
+    r"\s*(/>|>)")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
@@ -237,7 +266,6 @@ def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
     cur_anchor = cur.anchor_parts  # never reallocates a _Block
     blocks: list[tuple[str, str, int, float, float]] = []
     find = s.find
-    tag_match = _TAG_RE.match
 
     def flush() -> None:
         if cur_parts:
@@ -261,6 +289,47 @@ def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
         cur_parts.append(payload)
         if anchor_depth:
             cur_anchor.append(payload)
+
+    def raw_data(payload: str) -> None:
+        # parse_starttag's junk-tag fallback calls handle_data directly,
+        # BYPASSING goahead's charref unescaping — mirror that exactly
+        if skip_depth or not payload:
+            return
+        cur_parts.append(payload)
+        if anchor_depth:
+            cur_anchor.append(payload)
+
+    def recover(lt: int) -> int:
+        """html.parser's goahead(end=1) incomplete-construct recovery:
+        everything through the first '>' becomes data; else up to (not
+        including) the next '<'; else a lone '<'. Returns the new pos."""
+        k = find(">", lt + 1)
+        if k >= 0:
+            data(s[lt:k + 1])
+            return k + 1
+        k = find("<", lt + 1)
+        if k >= 0:
+            data(s[lt:k])
+            return k
+        data("<")
+        return lt + 1
+
+    def handle_end(name: str) -> None:
+        nonlocal skip_depth, anchor_depth
+        if name in _SKIP_TAGS:
+            if skip_depth:
+                skip_depth -= 1
+        elif skip_depth:
+            pass
+        elif name in _BLOCK_TAGS:
+            flush()
+            for j in range(len(block_stack) - 1, 0, -1):
+                if block_stack[j] == name:
+                    del block_stack[j:]
+                    break
+            cur.tag = block_stack[-1] if block_stack else "body"
+        elif name == "a" and anchor_depth:
+            anchor_depth -= 1
 
     while i < n:
         lt = find("<", i)
@@ -289,72 +358,127 @@ def _scored_blocks(html_text: str) -> list[tuple[str, str, int, float, float]]:
             if m:
                 i = m.end()
                 continue
-            # incomplete construct at EOF — html.parser's goahead(end=1)
-            # recovery: everything through the first '>' becomes data;
-            # else up to (not including) the next '<'; else a lone '<'.
-            k = find(">", lt + 1)
-            if k >= 0:
-                data(s[lt:k + 1])
-                i = k + 1
+            i = recover(lt)
+            continue
+        if nxt == "/":  # ---- end tag: parse_endtag semantics ------------
+            gt = find(">", lt + 1)
+            if gt < 0:  # no '>' anywhere: incomplete at EOF
+                i = recover(lt)
+                continue
+            gt += 1
+            m = _ENDTAGFIND_RE.match(s, lt)  # </ \s* name \s* >
+            if m:
+                handle_end(m.group(1).lower())
+                i = gt
+                continue
+            nm = _TAGFIND_RE.match(s, lt + 2)
+            if nm:  # sloppy end tag: take the name, skip junk to '>'
+                handle_end(nm.group(1).lower())
+                i = find(">", nm.end()) + 1
+                continue
+            if s.startswith("</>", lt):  # consumed, no event
+                i = lt + 3
+                continue
+            i = gt  # bogus comment: dropped through the first '>'
+            continue
+        if nxt in _ASCII_LETTERS:  # ---- start tag: parse_starttag -------
+            fm = _FAST_START_RE.match(s, lt)
+            if fm:  # common well-formed tag: one regex, same semantics
+                name = fm.group(1).lower()
+                endpos = fm.end()
+                if fm.group(2) == ">":  # start (+ rawtext)
+                    if name in _SKIP_TAGS:
+                        skip_depth += 1
+                    elif not skip_depth:
+                        if name in _BLOCK_TAGS:
+                            flush()
+                            if name not in ("br", "hr"):
+                                block_stack.append(name)
+                                cur.tag = name
+                        else:
+                            if name == "a":
+                                anchor_depth += 1
+                            cur.inline_tags += 1
+                    i = endpos
+                    if name in _RAWTEXT:
+                        cm = _RAWCLOSE[name].search(s, i)
+                        if cm is None:
+                            break
+                        if skip_depth:
+                            skip_depth -= 1
+                        i = cm.end()
+                else:  # '/>' self-closing
+                    if not skip_depth:
+                        if name in ("br", "hr"):
+                            flush()
+                        elif (name not in _BLOCK_TAGS
+                              and name not in _SKIP_TAGS):
+                            cur.inline_tags += 1
+                    i = endpos
+                continue
+            j = _LOCATE_START_RE.match(s, lt).end()
+            nc = s[j:j + 1]
+            endpos = -1
+            if nc == ">":
+                endpos = j + 1
+            elif nc == "/":
+                if s.startswith("/>", j):
+                    endpos = j + 2
+                # lone '/' at buffer end: incomplete
+            elif nc == "" or nc == "=" or nc in _ASCII_LETTERS:
+                pass  # incomplete (end of input in/before an attr value)
             else:
-                k = find("<", lt + 1)
-                if k >= 0:
-                    data(s[lt:k])
-                    i = k
-                else:
-                    data("<")
-                    i = lt + 1
-            continue
-        m = tag_match(s, lt)
-        if not m:  # bare '<' (or truncated tag): literal data
-            data("<")
-            i = lt + 1
-            continue
-        name = m.group(2).lower()
-        i = m.end()
-        if m.group(1):  # ---- end tag -----------------------------------
-            if name in _SKIP_TAGS:
-                if skip_depth:
-                    skip_depth -= 1
-            elif skip_depth:
-                pass
-            elif name in _BLOCK_TAGS:
-                flush()
-                for j in range(len(block_stack) - 1, 0, -1):
-                    if block_stack[j] == name:
-                        del block_stack[j:]
-                        break
-                cur.tag = block_stack[-1] if block_stack else "body"
-            elif name == "a" and anchor_depth:
-                anchor_depth -= 1
-        elif m.group(4):  # ---- self-closing ----------------------------
-            if not skip_depth:
-                if name in ("br", "hr"):
-                    flush()
-                elif name not in _BLOCK_TAGS and name not in _SKIP_TAGS:
-                    cur.inline_tags += 1
-        else:  # ---- start tag ------------------------------------------
-            if name in _SKIP_TAGS:
-                skip_depth += 1
-            elif not skip_depth:
-                if name in _BLOCK_TAGS:
-                    flush()
-                    if name not in ("br", "hr"):
-                        block_stack.append(name)
-                        cur.tag = name
-                else:
-                    if name == "a":
-                        anchor_depth += 1
-                    cur.inline_tags += 1
-            if name in _RAWTEXT:
-                cm = _RAWCLOSE[name].search(s, i)
-                if cm is None:  # unterminated rawtext: rest is its body
+                endpos = j if j > lt else lt + 1
+            if endpos < 0:
+                i = recover(lt)
+                continue
+            nm = _TAGFIND_RE.match(s, lt + 1)
+            name = nm.group(1).lower()
+            k = nm.end()
+            while k < endpos:  # attr consumption decides tag-vs-junk
+                am = _ATTRFIND_RE.match(s, k)
+                if not am:
                     break
-                # the matching end tag: script/style are _SKIP_TAGS, so
-                # the generic end handling reduces to this decrement
-                if skip_depth:
-                    skip_depth -= 1
-                i = cm.end()
+                k = am.end()
+            end = s[k:endpos].strip()
+            if end == ">":  # ---- real start tag
+                if name in _SKIP_TAGS:
+                    skip_depth += 1
+                elif not skip_depth:
+                    if name in _BLOCK_TAGS:
+                        flush()
+                        if name not in ("br", "hr"):
+                            block_stack.append(name)
+                            cur.tag = name
+                    else:
+                        if name == "a":
+                            anchor_depth += 1
+                        cur.inline_tags += 1
+                i = endpos
+                if name in _RAWTEXT:
+                    cm = _RAWCLOSE[name].search(s, i)
+                    if cm is None:  # unterminated rawtext: rest is body
+                        break
+                    # the matching end tag: script/style are _SKIP_TAGS,
+                    # so generic end handling reduces to this decrement
+                    if skip_depth:
+                        skip_depth -= 1
+                    i = cm.end()
+            elif end == "/>":  # ---- self-closing
+                if not skip_depth:
+                    if name in ("br", "hr"):
+                        flush()
+                    elif (name not in _BLOCK_TAGS
+                          and name not in _SKIP_TAGS):
+                        cur.inline_tags += 1
+                i = endpos
+            else:  # attr junk: whole span is literal data (un-unescaped)
+                raw_data(s[lt:endpos])
+                i = endpos
+            continue
+        # bare '<' (or '<' + non-letter junk): literal data
+        data("<")
+        i = lt + 1
     flush()
     return blocks
 
