@@ -139,3 +139,21 @@ def test_warc_pipeline_resume(spark, tmp_path):
     resumed = {r.url: (r.text, r.status)
                for r in res2["extracted"].read(spark).collect()}
     assert resumed == full
+
+
+def test_warc_11_fractional_second_dates():
+    """WARC 1.1 allows fractional-second WARC-Date values; unparseable
+    dates keep the record with a NULL timestamp (null-safe dedup)."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/a\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00.123456Z\r\n"
+           b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/b\r\n"
+           b"WARC-Date: not-a-date\r\n"
+           b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    got = parse_warc_bytes(rec)
+    assert len(got) == 2
+    assert got[0]["warc_ts"].microsecond == 123456
+    assert got[1]["warc_ts"] is None
+    assert got[1]["html"] == b"body"

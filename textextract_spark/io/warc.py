@@ -139,10 +139,16 @@ def _parse_warc_stream(data: bytes) -> Iterator[dict]:
             continue
         url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         raw_ts = fields.get(b"warc-date", b"").decode("ascii", "replace")
-        try:
-            ts = dt.datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError:
-            ts = None
+        ts = None
+        # WARC 1.0 dates are second-granularity; WARC 1.1 allows
+        # fractional seconds — accept both, else keep the record with a
+        # NULL timestamp (the winner join is null-safe)
+        for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+            try:
+                ts = dt.datetime.strptime(raw_ts, fmt)
+                break
+            except ValueError:
+                continue
         # page bytes = HTTP body after the header blank line (a payload
         # without an HTTP status line is taken verbatim)
         if payload.startswith(b"HTTP/"):
