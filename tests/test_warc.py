@@ -141,6 +141,39 @@ def test_warc_pipeline_resume(spark, tmp_path):
     assert resumed == full
 
 
+def test_warc_bad_content_length_resyncs():
+    """A record with a missing or non-numeric Content-Length must not end
+    the scan: the parser resyncs on the next marker and keeps every later
+    intact record (one bad header mid-archive used to discard the rest)."""
+    recs = _records(6)
+    good = build_warc(recs, compress=False)
+    bad_missing = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   b"WARC-Target-URI: https://bad.example/missing\r\n"
+                   b"WARC-Date: 2025-01-01T00:00:00Z\r\n\r\n")
+    bad_nan = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://bad.example/nan\r\n"
+               b"Content-Length: not-a-number\r\n\r\n")
+    half = build_warc(recs[:3], compress=False)
+    rest = build_warc(recs[3:], compress=False)
+    got = parse_warc_bytes(half + bad_missing + rest)
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+    got = parse_warc_bytes(bad_nan + good)
+    assert [g["url"] for g in got] == [r["url"] for r in recs]
+
+
+def test_warc_resync_any_version_marker():
+    """Resync accepts any WARC/<digit> marker (0.x / 1.x / future 2.x) —
+    garbage before a WARC/2.0 record must not end the scan; non-version
+    'WARC/x' bytes are not markers."""
+    rec2 = (b"WARC/2.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://v2.example/a\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    got = parse_warc_bytes(b"garbage WARC/x not-a-marker " + rec2)
+    assert len(got) == 1 and got[0]["url"] == "https://v2.example/a"
+    assert got[0]["html"] == b"body"
+
+
 def test_warc_11_fractional_second_dates():
     """WARC 1.1 allows fractional-second WARC-Date values; unparseable
     dates keep the record with a NULL timestamp (null-safe dedup)."""

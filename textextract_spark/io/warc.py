@@ -100,6 +100,22 @@ def build_warc(records: list[dict], compress: bool = True) -> bytes:
 # Parser
 # ---------------------------------------------------------------------------
 
+def _next_marker(data: bytes, start: int) -> int:
+    """Offset of the next plausible record marker at or after ``start``:
+    ``WARC/<digit>`` — any version (0.x/1.x/a future 2.x), so one
+    exotic-version record mid-archive can't end the resync scan. Returns
+    -1 when none remains."""
+    pos = start
+    while True:
+        nxt = data.find(b"WARC/", pos)
+        if nxt < 0:
+            return -1
+        v = data[nxt + 5:nxt + 6]
+        if v.isdigit():
+            return nxt
+        pos = nxt + 5
+
+
 def _parse_warc_stream(data: bytes) -> Iterator[dict]:
     """Yield response records from raw (already-decompressed) WARC bytes.
     Total: a record that fails to parse ends the scan of this file rather
@@ -112,7 +128,7 @@ def _parse_warc_stream(data: bytes) -> Iterator[dict]:
         head = data[pos:head_end]
         if not head.startswith(b"WARC/"):
             # resync: find the next record marker
-            nxt = data.find(b"WARC/1.", pos + 1)
+            nxt = _next_marker(data, pos + 1)
             if nxt < 0:
                 return
             pos = nxt
@@ -124,7 +140,15 @@ def _parse_warc_stream(data: bytes) -> Iterator[dict]:
         try:
             length = int(fields[b"content-length"])
         except (KeyError, ValueError):
-            return
+            # bad/missing Content-Length on an otherwise valid header:
+            # without a length the payload boundary is unknowable, so skip
+            # THIS record by resyncing on the next marker — aborting here
+            # would silently discard every later intact record in the file
+            nxt = _next_marker(data, head_end)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         payload = data[head_end + 4:head_end + 4 + length]
         if len(payload) < length:
             # stream cut mid-payload: a truncated body must NOT be
