@@ -172,7 +172,9 @@ def test_ivf_topk_recall(spark, sf_dir):
 def test_simhash_saturation_default_radius_survives(spark):
     """Cap-vs-recall at scale: with enough docs, every 7-8-bit chunk
     bucket of the WIDE radius (d=8, 9 chunks) exceeds MAX_BUCKET and is
-    dropped — planted near-dups silently vanish. The at-scale default
+    sampled to its first MAX_BUCKET ids — planted dup ids (appended at
+    the end of the corpus) fall outside every sample and their pairs
+    silently vanish. The at-scale default
     (d=3, 4x16-bit chunks, 65,536 buckets/chunk) must keep finding them
     at the same corpus size. (This is the documented reason d=3 is the
     default: see sketch._simhash_chunks.)"""
@@ -215,6 +217,30 @@ def test_simhash_saturation_default_radius_survives(spark):
     assert recall8 < 0.5, (
         f"d=8 unexpectedly kept recall {recall8} at saturation; "
         "revisit the documented tradeoff")
+
+
+def test_overcap_bucket_sampled_not_dropped(spark):
+    """Mass-duplicated content — the PRIMARY dedup target — lands in the
+    same over-cap bucket in every band. Over-cap buckets must be sampled
+    down to MAX_BUCKET (keeping the canonical min id), not dropped: with
+    dropping, a signature duplicated >MAX_BUCKET times had ZERO pair
+    recall. The pair count must also stay capped (C(MAX_BUCKET, 2), not
+    C(n, 2)) — the skew guard still holds."""
+    from textextract_spark.operators.sketch import MAX_BUCKET, simhash_pairs
+
+    n = MAX_BUCKET * 4  # one signature duplicated 200x
+    sh = spark.createDataFrame(
+        [(i, 0x1234_5678_9ABC) for i in range(n)],
+        "doc_id long, simhash long")
+    pairs = simhash_pairs(sh, max_hamming=3).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    assert found, "over-cap bucket must yield a sampled pair set"
+    # deterministic first-K-by-id sample: exactly the ids < MAX_BUCKET
+    # pair up, anchored on the canonical keeper id 0
+    expect = {(a, b) for a in range(MAX_BUCKET)
+              for b in range(a + 1, MAX_BUCKET)}
+    assert found == expect
+    assert all(r.hamming == 0 for r in pairs)
 
 
 def test_neardup_clusters_transitive_chain(spark, tmp_path_factory):

@@ -175,6 +175,10 @@ def _lsh_keys_udf(dim: int, tables: int = LSH_TABLES,
 
     @F.pandas_udf(ArrayType(LongType()))
     def lsh_keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            # np.stack raises on zero arrays; Arrow can hand the UDF an
+            # empty batch (empty partition / tail batch) — stay total
+            return pd.Series([], dtype=object)
         mat = np.stack(emb.to_numpy())            # (n, dim)
         bits = (mat @ plane_mat.T) > 0            # (n, T*P)
         keys = np.empty((len(mat), tables), dtype=np.int64)
@@ -198,8 +202,9 @@ def _ann_lsh_over(emb: DataFrame, dim: int,
         F.posexplode_outer(_lsh_keys_udf(dim)(F.col("embedding")))
          .alias("band_id", "band_key"))
     # capped pair expansion — one aggregation, no self-join anywhere; a
-    # degenerate bucket (mass-duplicated vector) is dropped at MAX_BUCKET
-    # instead of exploding quadratically
+    # degenerate bucket (mass-duplicated vector) is sampled to its first
+    # MAX_BUCKET ids instead of exploding quadratically (the min-id
+    # canonical keeper stays in the sample)
     pairs = _candidate_pairs(with_b, "embedding")
     raw = (_dot(F.col("pa"), F.col("pb"))
            / (_norm(F.col("pa")) * _norm(F.col("pb"))))

@@ -128,19 +128,37 @@ def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFr
 
 def _candidate_pairs(bands: DataFrame, payload_col: str | None) -> DataFrame:
     """Bucketed candidates -> deduped pairs, optionally carrying each
-    side's payload, in ONE aggregation + ONE dedup — no join back to the
+    side's payload, in ONE shuffle + ONE dedup — no join back to the
     source. Input needs columns (band_id, band_key, doc_id[, payload]).
 
     Skew guard: degenerate buckets (a boilerplate band / low-entropy
-    chunk shared by thousands of docs) are dropped before pair
-    expansion, capping the quadratic blowup at MAX_BUCKET^2 per bucket.
+    chunk shared by thousands of docs) are SAMPLED down to their first
+    MAX_BUCKET members by doc_id before pair expansion, capping the
+    quadratic blowup at MAX_BUCKET^2 per bucket. Sampling (not dropping,
+    the pre-r4 behavior) keeps recall for mass-duplicated content — the
+    primary dedup target lands in over-cap buckets in EVERY band, and
+    dropping those buckets zeroed its pair recall. First-by-doc_id is
+    deterministic and keeps the canonical keeper (min id) in the sample,
+    so downstream cluster formation still anchors on it. The size/rank
+    windows and the member aggregation share one hash partitioning on
+    (band_id, band_key) — a single exchange, and per-bucket state is
+    bounded by MAX_BUCKET (no unbounded collect_list on a hot key).
     """
+    from pyspark.sql.window import Window
+
     member = (F.struct("doc_id", payload_col) if payload_col
               else F.struct("doc_id"))
-    members = (bands.groupBy("band_id", "band_key")
+    bucket = Window.partitionBy("band_id", "band_key")
+    sampled = (bands
+               .withColumn("__sz", F.count("*").over(bucket))
+               .filter(F.col("__sz") > 1)  # singletons never pair; skip
+                                           # their sort entirely
+               .withColumn("__rk",
+                           F.row_number().over(bucket.orderBy("doc_id")))
+               .filter(F.col("__rk") <= MAX_BUCKET))
+    members = (sampled.groupBy("band_id", "band_key")
                .agg(F.collect_list(member).alias("members"))
-               .filter((F.size("members") > 1)
-                       & (F.size("members") <= MAX_BUCKET)))
+               .filter(F.size("members") > 1))
 
     def mk_pair(a, b):
         fields = [a.doc_id.alias("a_id"), b.doc_id.alias("b_id")]
@@ -249,11 +267,12 @@ def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
     4x16-bit scheme (65,536 buckets/chunk — Manku et al., WWW'07); d=8
     gives 9 chunks of only 7-8 bits (128-256 buckets/chunk), which
     SATURATES once the corpus exceeds ~MAX_BUCKET * 256 docs: every
-    bucket blows past the skew cap and is dropped, silently zeroing the
-    recall the pigeonhole scheme guarantees. Wide radii are therefore a
-    small-corpus option only; tests/test_dedup.py asserts both the d<=8
-    guarantee at small n and the d=3 default's recall in the saturated
-    regime.
+    bucket blows past the skew cap and is sampled down to MAX_BUCKET
+    members, collapsing the recall the pigeonhole scheme guarantees (a
+    given pair survives only if both sides land in the sample). Wide
+    radii are therefore a small-corpus option only; tests/test_dedup.py
+    asserts both the d<=8 guarantee at small n and the d=3 default's
+    recall in the saturated regime.
     """
     n = max_hamming + 1
     base, extra = divmod(SIMHASH_BITS, n)
@@ -336,6 +355,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str,
            .cache())
     labels = (sym.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id")))
+    changed = 0
     for _ in range(max_iters):
         # min label among self and neighbors
         neighbor_min = (sym.join(labels,
@@ -358,4 +378,13 @@ def neardup_clusters(spark: SparkSession, sf_dir: str,
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # a silent non-fixpoint would return WRONG cluster ids (labels
+        # still propagating through a >max_iters-diameter chain) — fail
+        # loudly instead; callers with genuinely deep graphs raise
+        # max_iters (rounds needed = O(component diameter))
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); component diameter "
+            f"exceeds max_iters — raise max_iters")
     return labels.orderBy("doc_id")
