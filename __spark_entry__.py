@@ -29,17 +29,22 @@ from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
 
+# The fixed chrome wrapping documents.text into an HTML page: extraction
+# strips every part of it and returns exactly trim(text) as one <p> span,
+# which is what makes the extraction driver rows fully SQL-oracle-able.
+_CHROME_PRE = ("<html><head><title>doc</title></head><body>"
+               "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a>"
+               " <a href=\"/c\">contact</a></nav><article><p>")
+_CHROME_POST = ("</p></article><footer><a href=\"/tos\">terms</a>"
+                "</footer></body></html>")
+
+
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a pages table (input_hint schema) from the driver's
     documents table — deterministic, no external data."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     html = F.encode(
-        F.concat(F.lit("<html><head><title>doc</title></head><body>"
-                       "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a>"
-                       " <a href=\"/c\">contact</a></nav><article><p>"),
-                 F.col("text"),
-                 F.lit("</p></article><footer><a href=\"/tos\">terms</a>"
-                       "</footer></body></html>")),
+        F.concat(F.lit(_CHROME_PRE), F.col("text"), F.lit(_CHROME_POST)),
         "UTF-8")
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
@@ -159,6 +164,65 @@ def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt, schema="doc_id long, url string, warc_ts timestamp, "
                    "body_len long, digest string")
     return out.orderBy("doc_id")
+
+
+def _warc_docs_dir(sf_dir: str) -> str:
+    """Synthesize (once per sf_dir, cached on disk) a crawl-layout WARC
+    mirror of the documents table: each doc's text in the fixed HTML
+    chrome, packed into 8 gzip-member archives — the exact on-disk shape
+    read_warc consumes in production. Driver-side synthesis is test-input
+    generation (the datagen pattern), not a data-plane collect."""
+    import datetime as _dt
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from textextract_spark.io.warc import build_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"textx_warcdocs_v1_{tag}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    recs = []
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+        body = (_CHROME_PRE + text + _CHROME_POST).encode("utf-8")
+        recs.append({"url": f"warcd://{doc_id}",
+                     "warc_ts": (_dt.datetime(2025, 1, 1)
+                                 + _dt.timedelta(seconds=int(doc_id))),
+                     "html": body,
+                     "digest": hashlib.md5(body).hexdigest()})
+    os.makedirs(d, exist_ok=True)
+    per = max(1, len(recs) // 8)
+    for i in range(0, len(recs), per):
+        with open(os.path.join(d, f"crawl-{i:07d}.warc.gz"), "wb") as f:
+            f.write(build_warc(recs[i:i + per], compress=True))
+    open(done, "w").close()
+    return d
+
+
+def _extract_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production input path under the driver's hard gate: crawl
+    archives on disk -> read_warc (binaryFile scan, gzip-member parse,
+    digest pass-through) -> the FULL extraction pipeline (dedup-latest,
+    format gate, salted repartition, Arrow extractor) -> byte-exact text
+    oracle. The chrome trick composes through WARC: each archived page is
+    documents.text in the fixed HTML chrome, so the oracle reconstructs
+    the expected text as trim(text) in pure SQL — a bug anywhere along
+    gunzip/record-parse/HTTP-body-split/extract turns the row red.
+    Complements warc_roundtrip (serializer/parser fields only) and the
+    pytest golden end-to-end (multi-format, no SQL twin)."""
+    from textextract_spark.io.warc import read_warc
+
+    pages = (read_warc(spark, _warc_docs_dir(sf_dir))
+             .withColumn("lang", F.lit(None).cast("string")))
+    return _extraction_report(
+        extract_pages(pages, num_parts=16, n_salts=4, digest_col="digest"))
 
 
 def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   pdf + plain-text dispatch branches (fmt not all-'html')
         "warc_roundtrip": _warc_roundtrip,                  # oracled:
         #   WARC serialize->parse round trip, fields recomputed in SQL
+        "extract_warc_docs": _extract_warc_docs,            # oracled:
+        #   crawl archives -> read_warc -> full extraction pipeline,
+        #   byte-exact text twin in SQL (the production input path)
     }
 
 

@@ -420,6 +420,22 @@ ORACLES: dict[str, str] = {
                     WHEN length(etext) = 0 THEN 0 ELSE 1 END AS n_spans
         FROM e ORDER BY url
     """,
+    # -- the production input path end-to-end: WARC archives -> read_warc
+    # -> extraction pipeline. Same chrome trick as extract_docs (archived
+    # page = documents.text in the fixed HTML chrome => extracted text is
+    # byte-exactly trim(text)); a bug in gunzip / record parse / HTTP body
+    # split / extraction diverges here --------------------------------------
+    "extract_warc_docs": """
+        SELECT concat('warcd://', CAST(doc_id AS VARCHAR)) AS url,
+               CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                    ELSE 'ok' END AS status,
+               'html' AS fmt,
+               trim(text) AS text,
+               CAST(length(trim(text)) AS INT) AS text_len,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE 1 END
+                   AS n_spans
+        FROM documents ORDER BY url
+    """,
     # -- WARC source round trip: every parsed field recomputed from the
     # documents table (url/ts from id arithmetic, body length + md5 digest
     # from the text bytes) ---------------------------------------------------
