@@ -219,6 +219,86 @@ def test_simhash_saturation_default_radius_survives(spark):
         "revisit the documented tradeoff")
 
 
+def _char_shingles(text: str, k: int = 5) -> set:
+    norm = text.strip().lower()
+    return {norm[i:i + k] for i in range(len(norm) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def cjk_docs_with_dups(tmp_path_factory):
+    """Mixed corpus: unsegmented Han-script docs (planted exact + near
+    dups) alongside English docs — the regime where word-shingling
+    silently collapses (a spaceless doc is ONE whole-line token)."""
+    from textextract_spark.datagen import make_cjk_text
+    rng = random.Random(77)
+    base = [make_cjk_text(rng, 150) for _ in range(30)]
+    texts = list(base)
+    texts += base[:4]  # exact dups: ids 30-33 duplicate 0-3
+    for i in range(4, 8):  # near dups 34-37: mutate 4 chars of 4-7
+        chars = list(base[i])
+        for j in range(4):
+            chars[10 + j * 31] = "水火木金"[j]
+        texts.append("".join(chars))
+    # near-dup with ONE edited char (worst case for whole-line voting:
+    # pre-fix simhash put such a pair at hamming ~32)
+    one_edit = list(base[8])
+    one_edit[40] = "土"
+    texts.append("".join(one_edit))  # id 38 ~ doc 8
+    # English docs coexist; the predicate must leave them on the word path
+    words = "spark arrow shuffle partition filter join scan merge agg".split()
+    texts += [" ".join(rng.choice(words) for _ in range(50))
+              for _ in range(10)]
+    d = tmp_path_factory.mktemp("cjkdocs")
+    tbl = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": (["zh"] * 39 + ["en"] * 10),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_cjk_minhash_finds_unsegmented_neardups(spark, cjk_docs_with_dups):
+    from textextract_spark.operators.sketch import minhash_neardup
+    sf_dir, texts = cjk_docs_with_dups
+    pairs = minhash_neardup(spark, sf_dir, threshold=0.5).collect()
+    found = {(r.a_id, r.b_id): r.est_jaccard for r in pairs}
+    for i in range(4):  # exact dups: signature-identical
+        assert found.get((i, 30 + i)) == 1.0
+    for i in range(4, 8):  # planted 4-char mutations
+        assert (i, 30 + i) in found, f"near-dup ({i},{30 + i}) missed"
+    assert (8, 38) in found
+    # estimates track exact char-5-gram jaccard within minhash stderr
+    for (a, b), est in found.items():
+        exact = _jaccard(_char_shingles(texts[a]), _char_shingles(texts[b]))
+        assert abs(est - exact) < 0.25, (a, b, est, exact)
+
+
+def test_cjk_ngram_jaccard_exact(spark, cjk_docs_with_dups):
+    from textextract_spark.operators.sketch import ngram_jaccard_pairs
+    sf_dir, texts = cjk_docs_with_dups
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).collect()
+    assert pairs
+    for r in pairs:
+        exact = _jaccard(_char_shingles(texts[r.a_id]),
+                         _char_shingles(texts[r.b_id]))
+        assert abs(r.jaccard - exact) <= 5e-5
+
+
+def test_cjk_simhash_char_votes(spark, cjk_docs_with_dups):
+    """Char-trigram votes for unsegmented text: exact dups at hamming 0,
+    and a single edited char stays within a small radius (whole-line
+    voting — the pre-fix behavior — scattered it to hamming ~32)."""
+    from textextract_spark.operators.sketch import simhash_neardup
+    sf_dir, _ = cjk_docs_with_dups
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in simhash_neardup(spark, sf_dir, max_hamming=10)
+             .collect()}
+    for i in range(4):
+        assert pairs.get((i, 30 + i)) == 0
+    assert pairs.get((8, 38)) is not None and pairs[(8, 38)] <= 10
+
+
 def test_overcap_bucket_sampled_not_dropped(spark):
     """Mass-duplicated content — the PRIMARY dedup target — lands in the
     same over-cap bucket in every band. Over-cap buckets must be sampled

@@ -36,6 +36,11 @@ _DE_WORDS = ("daten seite inhalt text absatz beispiel nachricht artikel "
              "verarbeitung geschwindigkeit").split()
 _BN_WORDS = ("তথ্য পাতা লেখা অনুচ্ছেদ উদাহরণ সংবাদ নিবন্ধ বিশ্লেষণ").split()
 
+# Han char pool for the unsegmented-script (zh) corpus slice: CJK text has
+# no word separators, which is exactly what the char-n-gram dedup fallback
+# exists for (sketch._is_spaceless).
+_ZH_CHARS = "数据分析处理内容文本网页提取系统信息结构语言模型计算集群速度吞吐量爬虫存储索引查询"
+
 _LANGS = ("en", "en", "en", "en", "en", "en", "de", "de", "bn", "fr")
 
 EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
@@ -51,6 +56,18 @@ def _sentence(rng: random.Random, lang: str, nw: int) -> str:
 def _paragraph(rng: random.Random, lang: str) -> str:
     return " ".join(_sentence(rng, lang, rng.randint(6, 16))
                     for _ in range(rng.randint(2, 6)))
+
+
+def make_cjk_text(rng: random.Random, n_chars: int = 120) -> str:
+    """Unsegmented (space-free) Han text with sentence punctuation — the
+    whitespace density is ~0, so sketch._is_spaceless flags it and the
+    char-n-gram dedup path applies."""
+    out = []
+    while len(out) < n_chars:
+        out.extend(rng.choice(_ZH_CHARS)
+                   for _ in range(rng.randint(8, 20)))
+        out.append("。")
+    return "".join(out[:n_chars])
 
 
 def _nav_links(rng: random.Random, n: int) -> str:
@@ -194,12 +211,27 @@ def _host(rng: random.Random, n_hosts: int) -> int:
     return min(bisect.bisect_left(cdf, rng.random()), n_hosts - 1)
 
 
-def generate_pages(n: int, seed: int = 42) -> list[dict]:
-    """Return n+duplicates page rows, deterministic in (n, seed)."""
+def generate_pages(n: int, seed: int = 42,
+                   cjk_frac: float = 0.0) -> list[dict]:
+    """Return n+duplicates page rows, deterministic in (n, seed).
+
+    ``cjk_frac`` > 0 makes that fraction of rows unsegmented Han-script
+    plain-text pages (lang 'zh', no word separators) — the corpus slice
+    the char-n-gram dedup fallback needs. Default 0 draws NOTHING extra
+    from the rng, so existing (seed, n) corpora stay byte-identical."""
     rng = random.Random(seed)
     n_hosts = max(8, n // 40)
     rows: list[dict] = []
     for i in range(n):
+        if cjk_frac and rng.random() < cjk_frac:
+            h = _host(rng, n_hosts)
+            text = make_cjk_text(rng, rng.randint(80, 240))
+            rows.append({
+                "url": f"https://host{h}.example/p/{i}",
+                "warc_ts": EPOCH + dt.timedelta(seconds=i * 17),
+                "html": text.encode("utf-8"),
+                "text": text, "lang": "zh"})
+            continue
         lang = rng.choice(_LANGS)
         h = _host(rng, n_hosts)
         url = f"https://host{h}.example/p/{i}"

@@ -533,22 +533,40 @@ ORACLES: dict[str, str] = {
 }
 
 
-# Shared 3-word-shingle fragment (twin of sketch.with_shingles): the three
-# dedup oracles below are composed from it so they cannot drift on the
-# shingle definition. `{thr}` is the exact-jaccard threshold.
+# Shared shingle fragment (twin of sketch.with_shingles): the three dedup
+# oracles below are composed from it so they cannot drift on the shingle
+# definition. Script-aware like the operator: word 3-shingles for
+# space-segmented text, char 5-grams when whitespace density < 0.05 flags
+# unsegmented script (CJK). `{thr}` is the exact-jaccard threshold.
 _SHINGLE_CTE = r"""
         WITH {recursive} t AS (
             SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
+                   trim(lower(text)) AS norm,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   length(trim(lower(text))) > 0
+                   AND CAST(length(trim(lower(text)))
+                            - length(regexp_replace(trim(lower(text)),
+                                                    '\s', '', 'g'))
+                        AS DOUBLE) / length(trim(lower(text))) < 0.05
+                       AS spaceless
             FROM documents
-            WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+        ), te AS (
+            SELECT * FROM t
+            WHERE (spaceless AND length(norm) >= 5)
+               OR (NOT spaceless AND len(toks) >= 3)
         ), s AS (
             SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(toks) - 1),
-                       i -> concat_ws(' ', toks[CAST(i AS INT)],
-                                      toks[CAST(i AS INT) + 1],
-                                      toks[CAST(i AS INT) + 2]))) AS sh
-            FROM t
+                   CASE WHEN spaceless THEN
+                       list_distinct(list_transform(
+                           range(1, length(norm) - 3),
+                           i -> substr(norm, CAST(i AS INT), 5)))
+                   ELSE
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                          toks[CAST(i AS INT) + 1],
+                                          toks[CAST(i AS INT) + 2])))
+                   END AS sh
+            FROM te
         ), p AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

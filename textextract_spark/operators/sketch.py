@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 K_HASHES = 64          # minhash permutations
 BANDS = 16             # LSH bands (K/BANDS rows per band)
 ROWS_PER_BAND = K_HASHES // BANDS
-SHINGLE = 3            # word shingle width
+SHINGLE = 3            # word shingle width (space-segmented scripts)
+CHAR_SHINGLE = 5       # char n-gram width (unsegmented scripts: CJK etc.)
+SIMHASH_CHAR_TOKEN = 3  # char token width for simhash votes, unsegmented
+SPACELESS_MAX_WS = 0.05  # whitespace density below this = unsegmented
 MAX_BUCKET = 50        # cap candidate fan-out per band bucket (skew guard)
 SIMHASH_BITS = 64
 
@@ -53,14 +56,54 @@ def _with_tokens(df: DataFrame) -> DataFrame:
         "tokens", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
 
 
+def _norm():
+    return F.trim(F.lower(F.col("text")))
+
+
+def _is_spaceless(norm):
+    """Script predicate: text whose whitespace density is below
+    SPACELESS_MAX_WS is unsegmented (CJK and other space-free scripts) —
+    word tokenization degenerates to whole-line tokens there, silently
+    collapsing near-dup recall (~20% of a Common-Crawl corpus). ASCII
+    whitespace only (Java regex and RE2 both scope \\s to ASCII, so the
+    Spark operator and the DuckDB twin agree byte-for-byte)."""
+    ws = F.length(norm) - F.length(F.regexp_replace(norm, r"\s", ""))
+    return (F.length(norm) > 0) & (ws / F.length(norm) < SPACELESS_MAX_WS)
+
+
+def _char_ngrams(norm, width: int):
+    """Sliding char n-grams WITH duplicates (simhash votes are
+    frequency-weighted, matching the word-token path); minhash shingling
+    applies array_distinct on top. Char 5-grams are the standard CJK
+    dedup unit — about the information of word 3-shingles in segmented
+    text."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(norm) - (width - 1)),
+        lambda i: norm.substr(i, F.lit(width)))
+
+
 def with_shingles(df: DataFrame) -> DataFrame:
-    """Add the distinct word-`shingles` array (SHINGLE-word windows)."""
-    df = _with_tokens(_spread(df)).filter(F.size("tokens") >= SHINGLE)
-    return df.withColumn(
+    """Add the distinct `shingles` array — script-aware: SHINGLE-word
+    windows for space-segmented text, CHAR_SHINGLE-char n-grams when the
+    whitespace-density predicate flags unsegmented script (CJK etc.).
+    Both branches of a near-dup pair take the same branch (the predicate
+    is a property of the text), so pairwise Jaccard semantics are
+    unchanged; cross-script pairs share no shingles by construction."""
+    df = _with_tokens(_spread(df))
+    norm = _norm()
+    df = df.withColumn("__spaceless", _is_spaceless(norm))
+    df = df.filter(
+        F.when(F.col("__spaceless"), F.length(norm) >= CHAR_SHINGLE)
+         .otherwise(F.size("tokens") >= SHINGLE))
+    word_sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
+        lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE))))
+    return (df.withColumn(
         "shingles",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE)))))
+        F.when(F.col("__spaceless"),
+               F.array_distinct(_char_ngrams(norm, CHAR_SHINGLE)))
+         .otherwise(word_sh))
+        .drop("__spaceless"))
 
 
 # Universal-hash coefficients for the K permutations, seeded once.
@@ -227,14 +270,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
 def with_simhash(df: DataFrame) -> DataFrame:
     """64-bit SimHash per doc via token-hash bit votes (one hash-agg).
 
+    Script-aware votes: whitespace tokens for segmented text, char
+    trigrams when the whitespace-density predicate flags unsegmented
+    script (an unsegmented doc otherwise casts ONE whole-line vote and
+    its signature is just that line's hash — any edit flips ~32 bits).
+
     The signature is assembled with bit arithmetic over the 64 vote
     sums: sum(2^b * [votes_b > 0]) computed as two 32-bit halves then
     combined, avoiding a 64-deep nested expression tree.
     """
+    norm = _norm()
+    vote_toks = F.when(
+        _is_spaceless(norm), _char_ngrams(norm, SIMHASH_CHAR_TOKEN)
+    ).otherwise(F.col("tokens"))
     # explode_outer + null filter: see minhash_signatures (avoids the
     # inferred size()>0 filter being pushed below the spread exchange)
     toks = (_with_tokens(_spread(df))
-            .select("doc_id", F.explode_outer("tokens").alias("tok"))
+            .select("doc_id", F.explode_outer(vote_toks).alias("tok"))
             .filter(F.col("tok").isNotNull())
             .withColumn("h", F.xxhash64("tok")))
     votes = toks.groupBy("doc_id").agg(*[
