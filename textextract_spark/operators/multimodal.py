@@ -1,20 +1,22 @@
 """Multimodal column plumbing: opaque `binary` media payloads + typed
 metadata, with decode/feature-extract as Arrow-batched pandas stages.
 
-``decode_media`` REALLY decodes the two container formats expressible in
-pure stdlib — BMP (BITMAPINFOHEADER) and WAV (RIFF/PCM) — parsing width/
-height/bpp and channels/sample-rate/sample-count from the binary headers;
-``media_decode`` runs it as the driver-oracled mapInPandas stage. Formats
-that need codec libraries (JPEG/PNG/MP4/...) raise NotImplementedError
-with a clear message — PIL/ffmpeg are not installed in this container;
-swapping them in only changes ``decode_media``'s body, the Spark-side
-plumbing (schema, batching, partitioning) is identical and tested.
+``decode_media`` REALLY decodes the three container formats expressible
+in pure stdlib — BMP (BITMAPINFOHEADER), WAV (RIFF/PCM), and PNG (IHDR
+parse + concatenated-IDAT zlib inflate + full five-filter per-row
+unfilter, returning the decoded pixels) — ``media_decode`` runs it as
+the driver-oracled mapInPandas stage. Formats that genuinely need codec
+libraries (JPEG/MP4/...) raise NotImplementedError with a clear message
+— PIL/ffmpeg are not installed in this container; swapping them in only
+changes ``decode_media``'s body, the Spark-side plumbing (schema,
+batching, partitioning) is identical and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,14 +60,142 @@ def build_wav(channels: int, sample_rate: int, bits: int,
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
-def decode_media(payload: bytes, media_type: str) -> dict:
-    """Real stdlib container decode: BMP and WAV headers.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    Returns typed features ({kind, width, height} for BMP; {kind,
-    channels, sample_rate, bits, n_samples} for WAV). Raises ValueError
-    on malformed payloads of a supported container; NotImplementedError
-    for formats that need codec libraries (not installed here — swapping
-    PIL/ffmpeg in replaces only this function's body, see module doc).
+
+def _png_pixel(x: int, y: int, c: int) -> int:
+    """Deterministic synthetic pixel value (shared by encoder + tests)."""
+    return (x * 7 + y * 13 + c * 31) & 0xFF
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(width: int, height: int, filters: list[int] | None = None) -> bytes:
+    """Minimal valid 8-bit RGB PNG with deterministic pixels; ``filters``
+    cycles per-row filter types (default exercises all five: None, Sub,
+    Up, Average, Paeth) so the decoder's unfilter paths are all hit."""
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+    ch, stride = 3, 3 * width
+    rows = [[_png_pixel(x, y, c) for x in range(width) for c in range(ch)]
+            for y in range(height)]
+    raw = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i, v in enumerate(row):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                raw.append(v)
+            elif f == 1:
+                raw.append((v - left) & 0xFF)
+            elif f == 2:
+                raw.append((v - up) & 0xFF)
+            elif f == 3:
+                raw.append((v - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((v - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 6)
+    # IDAT split in two chunks: decoders must concatenate before inflate
+    half = max(1, len(idat) // 2)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat[:half]) + chunk(b"IDAT", idat[half:])
+            + chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure stdlib+loop PNG decode: IHDR parse, concatenated-IDAT zlib
+    inflate, per-row unfilter (all five filter types). Scope: 8-bit
+    non-interlaced images (the overwhelmingly common shape); palette
+    images return the index plane. The per-byte unfilter loop is fine at
+    thumbnail scale — a production image stage would swap in a codec
+    library here, which replaces only this function's body (module doc).
+    Returns the decoded pixel bytes so tests can assert full round-trip
+    fidelity, not just header fields."""
+    pos, n = 8, len(payload)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if bit_depth != 8:
+                raise ValueError(f"bit depth {bit_depth} unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i, v in enumerate(line):
+            left = recon[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                recon[i] = v
+            elif f == 1:
+                recon[i] = (v + left) & 0xFF
+            elif f == 2:
+                recon[i] = (v + up) & 0xFF
+            elif f == 3:
+                recon[i] = (v + (left + up) // 2) & 0xFF
+            elif f == 4:
+                recon[i] = (v + _paeth(left, up, ul)) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+        out += recon
+        prev = recon
+    return {"kind": "png", "width": width, "height": height,
+            "channels": ch, "bit_depth": bit_depth, "pixels": bytes(out)}
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Real stdlib container decode: BMP and WAV headers, full PNG decode.
+
+    Returns typed features ({kind, width, height, bpp} for BMP; {kind,
+    channels, sample_rate, bits, n_samples} for WAV; {kind, width,
+    height, channels, bit_depth, pixels} for PNG — pixels are the fully
+    unfiltered image bytes). Raises ValueError on malformed payloads of
+    a supported container; NotImplementedError for formats that need
+    codec libraries (not installed here — swapping PIL/ffmpeg in
+    replaces only this function's body, see module doc).
     Reference analog: the payload-to-features step of src/ocr.py:43-67
     (screenshot bytes -> model features) re-expressed as a deterministic
     local decode."""
@@ -78,6 +208,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         _, bpp = struct.unpack_from("<HH", payload, 26)
         return {"kind": "bmp", "width": width, "height": abs(height),
                 "bpp": bpp}
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, n = 12, len(payload)
         fmt = None
@@ -98,8 +230,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                 "n_samples": data_size // frame if frame else 0}
     raise NotImplementedError(
         f"no stdlib decoder for media_type={media_type!r} payload; "
-        "JPEG/PNG/MP4/... need PIL/ffmpeg (not installed in this "
-        "container)")
+        "JPEG/MP4/... need PIL/ffmpeg (not installed in this "
+        "container) — BMP/WAV/PNG decode natively")
 
 
 def _byte_entropy(payload: bytes) -> float:
@@ -211,17 +343,21 @@ DECODE_SCHEMA = StructType([
 ])
 
 
-def _synth_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic BMP/WAV payload synthesis from media_id (test/driver
+def _synth_media(i: int) -> bytes:
+    """Deterministic BMP/WAV/PNG payload from media_id (test/driver
     corpus stand-in: this container has no real image/audio files)."""
+    if i % 3 == 0:
+        return build_bmp(1 + i % 31, 1 + i % 17)
+    if i % 3 == 1:
+        return build_wav(1 + i % 2, 8000 + i % 100, 16, 16 + i % 50)
+    return build_png(1 + i % 29, 1 + i % 13)
+
+
+def _synth_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        ids = pdf["media_id"].tolist()
         yield pd.DataFrame({
             "media_id": pdf["media_id"],
-            "media": [build_bmp(1 + i % 31, 1 + i % 17) if i % 2 == 0
-                      else build_wav(1 + i % 2, 8000 + i % 100, 16,
-                                     16 + i % 50)
-                      for i in ids]})
+            "media": [_synth_media(i) for i in pdf["media_id"].tolist()]})
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,13 +365,15 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {k: [] for k in ("media_id", "kind", "width", "height",
                                 "channels", "sample_rate", "n_samples")}
         for mid, payload in zip(pdf["media_id"], pdf["media"]):
-            f = decode_media(payload, "image" if payload[:2] == b"BM"
+            f = decode_media(payload, "image" if payload[:1] != b"R"
                              else "audio")
             rows["media_id"].append(mid)
             rows["kind"].append(f["kind"])
             # 0 = not-applicable for the other container's fields (typed
             # zero, not NULL: keeps the cross-engine compare free of
-            # NULL-vs-NaN representation drift)
+            # NULL-vs-NaN representation drift). BMP has no channels key
+            # (bpp is its native field); PNG reports its color-type
+            # channel count (3 = RGB).
             rows["width"].append(f.get("width", 0))
             rows["height"].append(f.get("height", 0))
             rows["channels"].append(f.get("channels", 0))
@@ -253,12 +391,14 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query exercising the REAL decode_media codec end-to-end:
-    synthesize a BMP (even ids) / WAV (odd ids) payload per document id,
-    then header-decode it back in an Arrow-batched stage. Every output
-    column is a pure function of media_id, so the DuckDB oracle recomputes
-    the full round trip (synth params -> binary header -> parsed values)
-    from id arithmetic alone."""
+    """Driver query exercising the REAL decode_media codecs end-to-end:
+    synthesize a BMP (id%3==0) / WAV (id%3==1) / PNG (id%3==2) payload
+    per document id, then decode it back in an Arrow-batched stage (the
+    PNG branch inflates and unfilters the full pixel plane, not just the
+    header). Every output column is a pure function of media_id, so the
+    DuckDB oracle recomputes the full round trip (synth params -> binary
+    container -> parsed values) from id arithmetic alone; pixel-level
+    fidelity is pytest-asserted (tests/test_operators.py)."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").alias("media_id")))
     media = docs.repartition(8, "media_id").mapInPandas(

@@ -464,21 +464,27 @@ ORACLES: dict[str, str] = {
         WHERE length(trim(d.text)) > 0
         ORDER BY a_id, b_id
     """,
-    # -- real BMP/WAV codec round trip: every decoded header field is a
-    # pure function of media_id (synth params), so the oracle recomputes
-    # the whole synth->parse loop from id arithmetic ------------------------
+    # -- real BMP/WAV/PNG codec round trip: every decoded field is a pure
+    # function of media_id (synth params), so the oracle recomputes the
+    # whole synth->parse loop from id arithmetic; PNG pixel fidelity (all
+    # five filter types) is pytest-asserted --------------------------------
     "media_decode": """
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 31
+               CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+                    WHEN doc_id % 3 = 1 THEN 'wav'
+                    ELSE 'png' END AS kind,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 31
+                         WHEN doc_id % 3 = 2 THEN 1 + doc_id % 29
                          ELSE 0 END AS INT) AS width,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 17
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 17
+                         WHEN doc_id % 3 = 2 THEN 1 + doc_id % 13
                          ELSE 0 END AS INT) AS height,
-               CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+                         WHEN doc_id % 3 = 2 THEN 3
                          ELSE 0 END AS INT) AS channels,
-               CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + doc_id % 100
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + doc_id % 100
                          ELSE 0 END AS INT) AS sample_rate,
-               CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 50
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 16 + doc_id % 50
                          ELSE 0 END AS BIGINT) AS n_samples
         FROM documents ORDER BY media_id
     """,
