@@ -90,6 +90,20 @@ def test_ann_lsh_plan_capped_no_self_join(spark, sf_dir):
         "signature stage must be the Arrow-batched pandas UDF"
 
 
+def test_ivf_query_path_uses_prebuilt_centroids(spark, sf_dir):
+    """The IVF QUERY plan must consume the persisted centroid stage, not
+    rebuild it: no posexplode/Generate over the embeddings table at query
+    time (the pre-r4 shape re-ran the full centroid aggregation per
+    query), and the probed-cell + query-vector joins stay broadcast."""
+    df = similarity.ivf_topk(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert "Generate" not in p and "posexplode" not in p, \
+        f"centroid build leaked into the query plan:\n{p}"
+    assert "Scan ExistingRDD" in p, "prebuilt (checkpointed) centroids " \
+        f"missing from the query plan:\n{p}"
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
 def test_keyset_pagination_no_global_window(spark, sf_dir):
     """Keyset pagination must be a pruned scan + TakeOrderedAndProject —
     no WindowExec single-task funnel."""

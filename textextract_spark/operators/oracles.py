@@ -489,16 +489,18 @@ ORACLES: dict[str, str] = {
         FROM documents ORDER BY media_id
     """,
     # -- similarity ---------------------------------------------------------
-    # IVF twin: same coarse-quantize (per-label centroid) -> nprobe=3 ->
-    # exact-cosine-within-cells shape, re-expressed in SQL. 64 = the
-    # embeddings table's fixed dim (no lateral unnest in this DuckDB).
+    # IVF twin: same coarse-quantize (per-label centroid over the
+    # deterministic vec_id%4 build sample — twin of
+    # similarity.label_centroids) -> nprobe=3 -> exact-cosine-within-
+    # cells shape, re-expressed in SQL. 64 = the embeddings table's fixed
+    # dim (no lateral unnest in this DuckDB).
     "ivf_topk": """
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
         dims AS (SELECT unnest(range(1, 65)) AS i),
         cents AS (
             SELECT label, i, avg(v[CAST(i AS INT)]) AS c
-            FROM emb, dims GROUP BY label, i),
+            FROM emb, dims WHERE vec_id % 4 = 0 GROUP BY label, i),
         cvec AS (SELECT label, list(c ORDER BY i) AS cv
                  FROM cents GROUP BY label),
         q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
