@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe_stats": textdata.token_bpe_stats,
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
+        "repetition_stats": textdata.repetition_stats,
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "topk_orders",
     "dedup_exact",
     "quality_score",
+    "repetition_stats",
     "token_stats",
     "minhash_neardup",
     "simhash_neardup",

@@ -426,6 +426,55 @@ def test_token_bpe_stats_classes(spark, tmp_path):
     assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (4, 2, 2, 0)
 
 
+def test_repetition_stats_planted(spark, tmp_path):
+    """Gopher-style repetition metrics on planted cases: duplicated
+    lines, a dominating 2-gram, ellipsis/bullet lines, and a clean doc —
+    with the quality label flipping to `repetitive` only on the dup-heavy
+    doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import (
+        quality_score, repetition_stats)
+
+    texts = [
+        # doc 0: 4 lines, a triplicated line -> dup_line_frac (4-2)/4,
+        # char-weighted version counts the 3 copies' chars
+        "the same boilerplate line\nthe same boilerplate line\n"
+        "the same boilerplate line\nunique closing line",
+        # doc 1: dominating 2-gram 'buy now' (5 of 9 words)
+        "buy now buy now buy now buy now buy unrelated trailing words",
+        # doc 2: ellipsis + bullet lines
+        "read more...\n- item one\n- item two\nplain line",
+        # doc 3: clean multi-line prose
+        "alpha beta gamma\ndelta epsilon zeta\neta theta iota",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts, "lang": ["en"] * len(texts)})
+    d = tmp_path / "repdocs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {r.doc_id: r for r in repetition_stats(spark, str(d)).collect()}
+    r = got[0]
+    assert r.n_lines == 4
+    assert r.dup_line_frac == round((4 - 2) / 4, 4)
+    # 3 copies x 25 chars duplicated of 3*25+19 total line chars
+    assert r.dup_line_char_frac == round(75 / 94, 4)
+    r = got[1]
+    # 'buy now' appears 4x as a sliding 2-gram; 4 * 7 chars / 60 chars
+    assert r.top2gram_char_frac == round(4 * 7 / len(texts[1]), 4)
+    r = got[2]
+    assert r.ellipsis_line_frac == 0.25
+    assert r.bullet_line_frac == 0.5
+    r = got[3]
+    assert (r.dup_line_frac, r.dup_line_char_frac) == (0.0, 0.0)
+
+    q = {r.doc_id: r.quality for r in quality_score(spark, str(d)).collect()}
+    assert q[0] == "repetitive"
+    assert q[3] != "repetitive"
+
+
 def test_driver_contract_parity():
     """queries() and oracle_sql() must stay in lockstep: every oracle has
     a query; every query either has an oracle or is on the documented

@@ -265,24 +265,94 @@ ORACLES: dict[str, str] = {
         FROM documents WHERE length(text) > 0 ORDER BY doc_id
     """,
     "quality_score": """
+        WITH q AS (
+            SELECT doc_id, text, length(text) AS n,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> length(x) > 0) AS lines
+            FROM documents WHERE length(text) > 0),
+        q2 AS (
+            SELECT doc_id, text, n,
+                   CASE WHEN len(lines) > 0
+                        THEN CAST(len(lines) - len(list_distinct(lines))
+                                  AS DOUBLE) / len(lines)
+                        ELSE 0.0 END AS dup_frac
+            FROM q)
         SELECT doc_id,
-               length(text) AS n_chars,
-               round((length(text)
-                      - length(regexp_replace(text, '[0-9]', '', 'g')))
-                     / length(text), 4) AS digit_ratio,
-               round((length(text)
-                      - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                     / length(text), 4) AS punct_ratio,
-               round((length(text) - length(replace(text, ' ', '')))
-                     / length(text), 4) AS space_ratio,
-               CASE WHEN length(text) < 50 THEN 'too_short'
-                    WHEN (length(text)
-                          - length(regexp_replace(text, '[0-9]', '', 'g')))
-                         / length(text) > 0.3 THEN 'too_numeric'
-                    WHEN (length(text) - length(replace(text, ' ', '')))
-                         / length(text) < 0.05 THEN 'no_spaces'
+               n AS n_chars,
+               round((n - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / n, 4) AS digit_ratio,
+               round((n - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / n, 4) AS punct_ratio,
+               round((n - length(replace(text, ' ', ''))) / n, 4)
+                   AS space_ratio,
+               round(dup_frac, 4) AS dup_line_frac,
+               CASE WHEN n < 50 THEN 'too_short'
+                    WHEN (n - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / n > 0.3 THEN 'too_numeric'
+                    WHEN dup_frac > 0.3 THEN 'repetitive'
+                    WHEN (n - length(replace(text, ' ', '')))
+                         / n < 0.05 THEN 'no_spaces'
                     ELSE 'ok' END AS quality
-        FROM documents WHERE length(text) > 0 ORDER BY doc_id
+        FROM q2 ORDER BY doc_id
+    """,
+    # -- Gopher/C4 repetition filters: duplicate-line fractions (line- and
+    # char-weighted), top word-2-gram char fraction (packed (cnt, len)
+    # max = the same tie-break as the Spark side), ellipsis/bullet line
+    # ratios ----------------------------------------------------------------
+    "repetition_stats": r"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> length(x) > 0) AS lines
+            FROM documents WHERE length(trim(text)) > 0),
+        lx AS (SELECT doc_id, n_chars, unnest(lines) AS line FROM d),
+        pl AS (SELECT doc_id, n_chars, line, count(*) AS cnt
+               FROM lx GROUP BY doc_id, n_chars, line),
+        ls AS (SELECT doc_id, n_chars,
+                      CAST(sum(cnt) AS BIGINT) AS n_lines,
+                      count(*) AS n_distinct_lines,
+                      CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars,
+                      CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line)
+                                    ELSE 0 END) AS BIGINT) AS dup_line_chars,
+                      CAST(sum(CASE WHEN ends_with(line, '...')
+                                      OR ends_with(line, '…')
+                                    THEN cnt ELSE 0 END) AS BIGINT)
+                          AS ellipsis_lines,
+                      CAST(sum(CASE WHEN starts_with(line, '-')
+                                      OR starts_with(line, '*')
+                                      OR starts_with(line, '•')
+                                    THEN cnt ELSE 0 END) AS BIGINT)
+                          AS bullet_lines
+               FROM pl GROUP BY doc_id, n_chars),
+        w AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+        g AS (SELECT doc_id,
+                     concat_ws(' ', ws[CAST(i AS INT)],
+                               ws[CAST(i AS INT) + 1]) AS gram
+              FROM w, LATERAL unnest(range(1, len(ws))) AS u(i)
+              WHERE len(ws) >= 2),
+        pg AS (SELECT doc_id, gram, count(*) AS cnt
+               FROM g GROUP BY doc_id, gram),
+        gs AS (SELECT doc_id,
+                      max(cnt * 100000 + length(gram)) AS packed
+               FROM pg GROUP BY doc_id)
+        SELECT ls.doc_id, n_lines,
+               round(CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines,
+                     4) AS dup_line_frac,
+               round(CAST(dup_line_chars AS DOUBLE) / line_chars, 4)
+                   AS dup_line_char_frac,
+               round(CAST(ellipsis_lines AS DOUBLE) / n_lines, 4)
+                   AS ellipsis_line_frac,
+               round(CAST(bullet_lines AS DOUBLE) / n_lines, 4)
+                   AS bullet_line_frac,
+               round(COALESCE(CAST((packed // 100000) * (packed % 100000)
+                                   AS DOUBLE) / n_chars, 0), 4)
+                   AS top2gram_char_frac
+        FROM ls LEFT JOIN gs ON ls.doc_id = gs.doc_id
+        ORDER BY ls.doc_id
     """,
     "lang_guess": """
         WITH t AS (

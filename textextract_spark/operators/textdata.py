@@ -113,17 +113,36 @@ def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: digit/punct/space ratios + a CASE label.
+def _nonempty_lines(t):
+    """Trimmed non-empty lines of a text column (the unit of the
+    Gopher-style duplicate-line filters; both engines trim spaces only,
+    so the DuckDB twins agree byte-for-byte)."""
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda line: F.trim(line)),
+        lambda line: F.length(line) > 0)
 
-    The same shape a pretraining filter uses (length + symbol ratios);
-    thresholds are arbitrary-but-fixed and mirrored in the oracle SQL.
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: digit/punct/space ratios, the
+    duplicate-line fraction (the cheapest Gopher repetition signal —
+    shuffle-free array ops), and a CASE label incl. `repetitive`.
+
+    The same shape a pretraining filter uses (length + symbol ratios +
+    repetition); thresholds are arbitrary-but-fixed and mirrored in the
+    oracle SQL. Deeper repetition metrics (char-weighted duplicate
+    lines, top-2-gram fraction, ellipsis/bullet ratios) live in
+    repetition_stats.
     """
     t = F.col("text")
     n = F.length(t)
     digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
     punct = n - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     spaces = n - F.length(F.regexp_replace(t, " ", ""))
+    lines = _nonempty_lines(t)
+    nl = F.size(lines)
+    dup_frac = F.when(
+        nl > 0, (nl - F.size(F.array_distinct(lines)))
+        / nl.cast("double")).otherwise(F.lit(0.0))
     return (_docs(spark, sf_dir)
             .filter(n > 0)
             .select(
@@ -132,10 +151,82 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(digits / n, 4).alias("digit_ratio"),
                 F.round(punct / n, 4).alias("punct_ratio"),
                 F.round(spaces / n, 4).alias("space_ratio"),
+                F.round(dup_frac, 4).alias("dup_line_frac"),
                 F.when(n < 50, F.lit("too_short"))
                  .when(digits / n > 0.3, F.lit("too_numeric"))
+                 .when(dup_frac > 0.3, F.lit("repetitive"))
                  .when(spaces / n < 0.05, F.lit("no_spaces"))
                  .otherwise(F.lit("ok")).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/C4 repetition filters a pretraining pipeline runs:
+    duplicate-line fraction (line- and character-weighted), top word
+    2-gram character fraction, ellipsis- and bullet-line ratios.
+
+    Shape: two explode->hash-agg pipelines (lines, word 2-grams), both
+    keyed on doc_id, joined co-partitioned — the map-side-combinable
+    shape that survives 100 TB (no windows, no collects; per-doc state
+    is a handful of longs). All metrics are DuckDB-twinnable; the top
+    2-gram tie-break is packed (count, gram length) integer max so both
+    engines pick identically.
+    """
+    docs = (_docs(spark, sf_dir)
+            .filter(F.length(F.trim(F.col("text"))) > 0))
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.explode(_nonempty_lines(F.col("text"))).alias("line"))
+    per_line = (base.groupBy("doc_id", "n_chars", "line")
+                .agg(F.count("*").alias("cnt")))
+    llen = F.length("line")
+    is_ellipsis = (F.col("line").endswith("...")
+                   | F.col("line").endswith("…"))
+    is_bullet = (F.col("line").startswith("-")
+                 | F.col("line").startswith("*")
+                 | F.col("line").startswith("•"))
+    line_stats = per_line.groupBy("doc_id", "n_chars").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * llen).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * llen)
+               .otherwise(F.lit(0))).alias("dup_line_chars"),
+        F.sum(F.when(is_ellipsis, F.col("cnt")).otherwise(F.lit(0)))
+         .alias("ellipsis_lines"),
+        F.sum(F.when(is_bullet, F.col("cnt")).otherwise(F.lit(0)))
+         .alias("bullet_lines"))
+
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (docs
+             .filter(F.size(words) >= 2)
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(0), F.size(words) - 2),
+                 lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))))
+                 .alias("gram")))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    # packed (cnt, len) max: deterministic tie-break portable to SQL
+    # (gram length < 100000 always — a line is KBs at most)
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        F.max(F.col("cnt") * F.lit(100000) + F.length("gram"))
+         .alias("packed"))
+
+    top_frac = F.coalesce(
+        ((F.col("packed") / 100000).cast("long")
+         * (F.col("packed") % 100000)) / F.col("n_chars"), F.lit(0.0))
+    nl = F.col("n_lines").cast("double")
+    return (line_stats.join(gram_stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_lines"),
+                F.round((F.col("n_lines") - F.col("n_distinct_lines")) / nl,
+                        4).alias("dup_line_frac"),
+                F.round(F.col("dup_line_chars") / F.col("line_chars"), 4)
+                 .alias("dup_line_char_frac"),
+                F.round(F.col("ellipsis_lines") / nl, 4)
+                 .alias("ellipsis_line_frac"),
+                F.round(F.col("bullet_lines") / nl, 4)
+                 .alias("bullet_line_frac"),
+                F.round(top_frac, 4).alias("top2gram_char_frac"))
             .orderBy("doc_id"))
 
 
