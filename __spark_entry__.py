@@ -277,6 +277,24 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
+def _bpe_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-metric oracle for the BPE merge path (the merge loop is
+    not SQL-expressible, so token_bpe_merge itself is rows-only): per-doc
+    invariants n_pretokens <= n_bpe_tokens <= n_pretoken_chars must hold
+    for EVERY doc (n_violations 0, hard-coded in the twin — any Spark-side
+    violation diverges), and the pretoken count/char totals are recomputed
+    independently by DuckDB's regexp_extract_all. Per-token merge
+    equivalence vs the pure-Python reference runs in pytest."""
+    m = textdata.token_bpe_merge(spark, sf_dir)
+    bad = ((F.col("n_bpe_tokens") < F.col("n_pretokens"))
+           | (F.col("n_bpe_tokens") > F.col("n_pretoken_chars")))
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"),
+        F.sum("n_pretokens").alias("total_pretokens"),
+        F.sum("n_pretoken_chars").alias("total_pretoken_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational inventory (SURVEY.md §2.2-2.7)
@@ -308,6 +326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textdata.doc_fingerprint,
         "token_stats": textdata.token_stats,
         "token_bpe_stats": textdata.token_bpe_stats,
+        "token_bpe_merge": textdata.token_bpe_merge,        # rows-only:
+        #   the merge loop is not SQL-expressible (pytest equivalence vs
+        #   the pure-Python reference; bounds oracled by bpe_bounds)
+        "bpe_bounds": _bpe_bounds,                          # oracled:
+        #   per-doc BPE bounds + pretoken totals recomputed in DuckDB
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "repetition_stats": textdata.repetition_stats,

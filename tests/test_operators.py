@@ -426,6 +426,64 @@ def test_token_bpe_stats_classes(spark, tmp_path):
     assert (r.n_tokens, r.n_alpha, r.n_digit, r.n_marks) == (4, 2, 2, 0)
 
 
+def test_bpe_segment_planted_merges():
+    """The merge loop on planted cases: full merges for the vocabulary
+    words the table targets, char fallback for out-of-vocabulary text,
+    and merge-ALL-occurrences semantics per round."""
+    from textextract_spark.operators.textdata import bpe_segment
+
+    assert bpe_segment("the") == ["the"]
+    assert bpe_segment("and") == ["and"]
+    assert bpe_segment("ing") == ["ing"]
+    assert bpe_segment("tion") == ["tion"]
+    # merge-all-occurrences: both 'th' merge in round 1, both 'the' next
+    assert bpe_segment("thethe") == ["the", "the"]
+    # no applicable merges -> chars
+    assert bpe_segment("xyz") == ["x", "y", "z"]
+    assert bpe_segment("7") == ["7"]
+    # partial merge of a corpus word; invariant 1 <= parts <= len(word)
+    for w in ("partition", "extraction", "shuffle", "spark"):
+        parts = bpe_segment(w)
+        assert "".join(parts) == w
+        assert 1 <= len(parts) < len(w)
+
+
+def test_token_bpe_merge_matches_reference(spark, tmp_path):
+    """The Arrow UDF path must agree exactly with the pure-Python
+    reference (pre-tokenize + bpe_segment) on real multi-script text,
+    and per-doc counts must respect the BPE bounds."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import (
+        BPE_TOKEN_RE, bpe_segment, token_bpe_merge)
+
+    texts = [
+        "the parting and the ending of the partition",
+        "extraction pipelines shuffle partitions, streaming 123 tokens!",
+        "abc",
+        "তথ্য পাতা লেখা",  # non-ASCII: marks class per pretokenizer
+        "no-merges: xyzq 99",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts, "lang": ["en"] * len(texts)})
+    d = tmp_path / "bpemerge"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {r.doc_id: r for r in token_bpe_merge(spark, str(d)).collect()}
+    pat = re.compile(BPE_TOKEN_RE)
+    for i, t in enumerate(texts):
+        pre = pat.findall(t)
+        r = got[i]
+        assert r.n_pretokens == len(pre)
+        assert r.n_bpe_tokens == sum(len(bpe_segment(w)) for w in pre)
+        assert r.n_pretoken_chars == sum(len(w) for w in pre)
+        assert r.n_pretokens <= r.n_bpe_tokens <= r.n_pretoken_chars
+
+
 def test_repetition_stats_planted(spark, tmp_path):
     """Gopher-style repetition metrics on planted cases: duplicated
     lines, a dominating 2-gram, ellipsis/bullet lines, and a clean doc —
@@ -483,7 +541,7 @@ def test_driver_contract_parity():
 
     qs = set(e.queries())
     os_ = set(e.oracle_sql())
-    rows_only = {"minhash_neardup", "simhash_neardup"}
+    rows_only = {"minhash_neardup", "simhash_neardup", "token_bpe_merge"}
     assert os_ <= qs, f"oracles without queries: {sorted(os_ - qs)}"
     missing = qs - os_ - rows_only
     assert not missing, f"queries without oracle or allowlist: {sorted(missing)}"

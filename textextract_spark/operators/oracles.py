@@ -264,6 +264,22 @@ ORACLES: dict[str, str] = {
                    '[^a-zA-Z0-9 \t\n\r]')) AS INT) AS n_marks
         FROM documents WHERE length(text) > 0 ORDER BY doc_id
     """,
+    # -- BPE-merge bounds twin (the merge loop itself is rows-only; see
+    # __spark_entry__._bpe_bounds): pretoken totals recomputed via RE2
+    # regexp_extract_all, n_violations hard-coded 0 -----------------------
+    "bpe_bounds": r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_violations,
+               CAST(sum(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))) AS BIGINT)
+                   AS total_pretokens,
+               CAST(sum(COALESCE(list_sum(list_transform(
+                   regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'),
+                   x -> length(x))), 0)) AS BIGINT)
+                   AS total_pretoken_chars
+        FROM documents WHERE length(text) > 0
+    """,
     "quality_score": """
         WITH q AS (
             SELECT doc_id, text, length(text) AS n,

@@ -122,6 +122,122 @@ def _nonempty_lines(t):
         lambda line: F.length(line) > 0)
 
 
+# Checked-in BPE merges table (priority order = rank, the standard BPE
+# contract): a small hand-built English-ish vocabulary — enough to merge
+# common function words and suffixes fully ('the', 'and', 'ing', 'tion')
+# and corpus words partially. At production scale this list is a learned
+# merges file shipped with the job and broadcast exactly like this
+# closure; the ALGORITHM (lowest-rank adjacent pair, merge all
+# occurrences, repeat) is the real one.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"),            # the
+    ("i", "n"), ("a", "n"), ("an", "d"),  # and
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),  # ing
+    ("e", "n"), ("e", "s"), ("o", "r"), ("t", "i"), ("ti", "on"),  # tion
+    ("a", "r"), ("a", "l"), ("s", "t"), ("l", "e"), ("c", "h"),
+    ("o", "u"), ("r", "o"), ("s", "h"), ("a", "t"), ("s", "e"),
+    ("l", "i"), ("d", "e"), ("c", "o"), ("p", "ar"), ("m", "a"),
+    ("u", "ti"), ("at", "a"), ("er", "s"), ("ar", "k"), ("le", "s"),
+)
+_BPE_RANK = {pair: rank for rank, pair in enumerate(BPE_MERGES)}
+
+
+def bpe_segment(word: str) -> list[str]:
+    """Reference BPE merge loop (also the UDF kernel): start from chars,
+    repeatedly merge ALL occurrences of the lowest-rank adjacent pair
+    until no merge applies. Pure function of (word, BPE_MERGES)."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        for i in range(len(parts) - 1):
+            r = _BPE_RANK.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = BPE_MERGES[best_rank]
+        out, i = [], 0
+        while i < len(parts):
+            if (i < len(parts) - 1 and parts[i] == a
+                    and parts[i + 1] == b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counting: pre-tokenize with BPE_TOKEN_RE, then run
+    the BPE_MERGES loop over each pre-token and count merged tokens.
+
+    Scale shape: one Arrow-batched pandas UDF, stateless map, ZERO
+    shuffle — the merges table rides in the closure (broadcast shape)
+    and an lru_cache over distinct words makes the per-batch cost
+    ~O(vocabulary), not O(tokens). The merge LOOP is not expressible in
+    SQL, so this row is rows-only by design; its correctness is covered
+    by (a) pytest equivalence against the pure-Python bpe_segment
+    reference on planted merge cases and real corpus text, and (b) the
+    fully-oracled bpe_bounds driver row (n_pretokens <= n_bpe_tokens <=
+    n_pretoken_chars per doc, pretoken stats recomputed in SQL)."""
+    import re
+    from functools import lru_cache
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    pat = re.compile(BPE_TOKEN_RE)
+    merges = BPE_MERGES  # close over the table (broadcast shape)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bpe_counts(texts: pd.Series) -> pd.Series:
+        rank = {p: i for i, p in enumerate(merges)}
+
+        @lru_cache(maxsize=65536)
+        def n_subtokens(word: str) -> int:
+            parts = list(word)
+            while len(parts) > 1:
+                best = None
+                for i in range(len(parts) - 1):
+                    r = rank.get((parts[i], parts[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = merges[best]
+                out, i = [], 0
+                while i < len(parts):
+                    if (i < len(parts) - 1 and parts[i] == a
+                            and parts[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(parts[i])
+                        i += 1
+                parts = out
+            return len(parts)
+
+        rows = []
+        for t in texts:
+            pre = pat.findall(t)
+            rows.append([len(pre),
+                         sum(n_subtokens(w) for w in pre),
+                         sum(len(w) for w in pre)])
+        return pd.Series(rows)
+
+    from .sketch import _spread
+
+    docs = _spread(_docs(spark, sf_dir).filter(F.length("text") > 0))
+    c = docs.select("doc_id", bpe_counts(F.col("text")).alias("c"))
+    return (c.select(
+        "doc_id",
+        F.col("c").getItem(0).alias("n_pretokens"),
+        F.col("c").getItem(1).alias("n_bpe_tokens"),
+        F.col("c").getItem(2).alias("n_pretoken_chars"))
+        .orderBy("doc_id"))
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: digit/punct/space ratios, the
     duplicate-line fraction (the cheapest Gopher repetition signal —
