@@ -243,37 +243,33 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived-metric oracle for the SimHash path: a byte-identical text
-    copy has an IDENTICAL signature, so every planted copy MUST appear as
-    a hamming-0 pair — a bit-vote/assembly bug or a bucketing bug that
-    drops equal-key pairs turns this row red (the Spark side would emit
-    fewer than the oracle's 10 planted pairs). The semi join on the
-    planted keys makes the claim one-directional (planted recall = 1):
-    unrelated docs CAN legitimately collide at hamming 0 via 64 vote-sign
-    coincidences (observed on both test corpora), which md5-equality SQL
-    cannot predict — those extra pairs are real simhash behavior, not
-    part of this oracle's claim. Hamming>0 behavior stays pytest-verified
-    (pigeonhole + saturation tests) — those distances are
+    """TWO-SIDED derived oracle for the SimHash path (r3's semi join was
+    one-directional — it proved planted recall but not precision). The
+    Spark side returns ALL cross (doc, plant) hamming-0 pairs; the DuckDB
+    twin predicts exactly that set, so BOTH a dropped pair and a spurious
+    pair turn the row red.
+
+    What makes set equality provable in SQL: a simhash signature is a
+    pure function of the TOKEN MULTISET (bit votes sum over tokens —
+    order- and extra-whitespace-invariant), so two word-path docs share a
+    signature iff they share the multiset. The twin therefore joins on
+    the sorted-token key instead of md5(text): text variants that r3
+    treated as unpredictable collisions (reordered tokens, whitespace
+    deltas) are EXPECTED matches on both sides. Plants come from the
+    first 10 non-spaceless docs; the residual unprovable event — two
+    DIFFERENT multisets voting to the same 64 signs — has negligible
+    probability and would loudly surface as a red row. Hamming>0 behavior
+    stays pytest-verified (pigeonhole + saturation) — those distances are
     xxhash64-specific."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
-    plants = (docs.filter((F.col("doc_id") < 10)
-                          & (F.length(F.trim("text")) > 0))
+    eligible = (F.length(F.trim("text")) > 0) & ~sketch._is_spaceless(
+        F.trim(F.lower(F.col("text"))))
+    plants = (docs.filter((F.col("doc_id") < 10) & eligible)
               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sh = sketch.with_simhash(docs.unionByName(plants))
-    found = sketch.simhash_pairs(sh, max_hamming=0)
-    # the expected pair set uses the SAME md5-equality formulation as the
-    # oracle (not just the planted identity keys): if any doc_id<10 text
-    # has an exact duplicate elsewhere in the corpus, both sides include
-    # that (dup, plant) pair — identical text means simhash finds it too
-    expected = (docs.filter(F.length(F.trim("text")) > 0)
-                .select(F.col("doc_id").alias("a_id"),
-                        F.md5("text").alias("__m"))
-                .join(plants.select(F.col("doc_id").alias("b_id"),
-                                    F.md5("text").alias("__m")), "__m")
-                .select("a_id", "b_id"))
-    return (expected.join(found, ["a_id", "b_id"], "left_semi")
-            .withColumn("hamming", F.lit(0).cast("int"))
+    return (sketch.simhash_pairs(sh, max_hamming=0)
+            .filter((F.col("a_id") < 100000) & (F.col("b_id") >= 100000))
             .orderBy("a_id", "b_id"))
 
 

@@ -536,18 +536,35 @@ ORACLES: dict[str, str] = {
     """,
     # -- derived-metric twins for the hash-sketch paths: see the
     # _SHINGLE_CTE-composed entries appended after this dict ---------------
-    # simhash hamming-0 on the doc-vs-planted-copy slice <=> md5(text)
-    # equality (identical text => identical bit votes => same bucket key;
-    # the slice excludes legit cross-doc vote-sign coincidences SQL cannot
-    # predict — see __spark_entry__._simhash_exact_pairs)
+    # TWO-SIDED simhash hamming-0 twin: a word-path simhash signature is a
+    # pure function of the TOKEN MULTISET (bit votes sum over tokens), so
+    # doc-vs-plant hamming-0 <=> equal sorted-token keys. Joining on the
+    # sorted multiset (not md5(text), the r3 one-sided form) makes the
+    # predicted set EXACT — reordered-token / whitespace-delta matches are
+    # expected on both sides, so a dropped AND a spurious pair both turn
+    # the row red. Spaceless (char-trigram-path) docs are excluded from
+    # the a-side exactly as the plants are from the b-side: their votes
+    # come from a different token alphabet, so a word-key match would not
+    # imply signature equality (see __spark_entry__._simhash_exact_pairs)
     "simhash_exact_pairs": """
-        WITH plants AS (
-            SELECT doc_id + 100000 AS doc_id, text FROM documents
-            WHERE doc_id < 10 AND length(trim(text)) > 0)
-        SELECT d.doc_id AS a_id, p.doc_id AS b_id,
+        WITH flags AS (
+            SELECT doc_id, trim(lower(text)) AS t,
+                   length(trim(lower(text))) AS len,
+                   length(trim(lower(text)))
+                     - length(regexp_replace(trim(lower(text)),
+                                             '\\s', '', 'g')) AS ws
+            FROM documents),
+        wordpath AS (
+            SELECT doc_id, len,
+                   list_sort(string_split_regex(t, '\\s+')) AS key
+            FROM flags
+            WHERE NOT (len > 0 AND ws * 1.0 / len < 0.05)),
+        plants AS (
+            SELECT doc_id + 100000 AS b_id, key FROM wordpath
+            WHERE doc_id < 10 AND len > 0)
+        SELECT w.doc_id AS a_id, p.b_id AS b_id,
                CAST(0 AS INT) AS hamming
-        FROM documents d JOIN plants p ON md5(d.text) = md5(p.text)
-        WHERE length(trim(d.text)) > 0
+        FROM wordpath w JOIN plants p ON w.key = p.key
         ORDER BY a_id, b_id
     """,
     # -- real BMP/WAV/PNG codec round trip: every decoded field is a pure
