@@ -256,11 +256,24 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted-token key instead of md5(text): text variants that r3
     treated as unpredictable collisions (reordered tokens, whitespace
     deltas) are EXPECTED matches on both sides. Plants come from the
-    first 10 non-spaceless docs; the residual unprovable event — two
-    DIFFERENT multisets voting to the same 64 signs — has negligible
-    probability and would loudly surface as a red row. Hamming>0 behavior
-    stays pytest-verified (pigeonhole + saturation) — those distances are
-    xxhash64-specific."""
+    first 10 non-spaceless docs.
+
+    The one event SQL genuinely cannot predict is a SIGN-STABLE
+    near-collision: two multisets differing by a few token occurrences
+    where every one of the 64 vote sums keeps its sign (observed on this
+    corpus: doc 82 = doc 0 + one extra repeated token). That is correct
+    simhash behavior, not a bug, so the claim carves it out precisely:
+    pairs with token-multiset symmetric difference in 1..GRAY_K are
+    excluded from the comparison, while multiset-equal pairs (symdiff 0)
+    AND any pair differing by more than GRAY_K occurrences stay in — a
+    bucketing/assembly bug that pairs unrelated docs (typical symdiff:
+    tens) still turns the row red from BOTH directions. The symdiff is
+    computed only for the found pairs (a broadcast-sized set), never
+    corpus-wide. Hamming>0 behavior stays pytest-verified (pigeonhole +
+    saturation) — those distances are xxhash64-specific."""
+    GRAY_K = 8  # a 64-bit sign-stable collision needs every vote sum
+    #             within symdiff of a sign boundary, all shifting one
+    #             way — astronomically unlikely past a few occurrences
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
     eligible = (F.length(F.trim("text")) > 0) & ~sketch._is_spaceless(
@@ -268,8 +281,29 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants = (docs.filter((F.col("doc_id") < 10) & eligible)
               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sh = sketch.with_simhash(docs.unionByName(plants))
-    return (sketch.simhash_pairs(sh, max_hamming=0)
-            .filter((F.col("a_id") < 100000) & (F.col("b_id") >= 100000))
+    found = (sketch.simhash_pairs(sh, max_hamming=0)
+             .filter((F.col("a_id") < 100000) & (F.col("b_id") >= 100000)))
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("toks"))
+    sa, sb = F.col("ta.toks"), F.col("tb.toks")
+    # multiset overlap = sum over distinct tokens of min(count_a, count_b);
+    # interpreted lambdas are fine here — found is tens of rows, not a
+    # corpus-wide stage
+    overlap = F.aggregate(
+        F.array_distinct(F.concat(sa, sb)), F.lit(0),
+        lambda acc, t: acc + F.least(
+            F.size(F.filter(sa, lambda x: x == t)),
+            F.size(F.filter(sb, lambda x: x == t))))
+    symdiff = F.size(sa) + F.size(sb) - 2 * overlap
+    return (found
+            .join(toks.alias("ta"),
+                  found.a_id == F.col("ta.doc_id"))
+            .join(toks.alias("tb"),
+                  found.b_id - 100000 == F.col("tb.doc_id"))
+            .filter((symdiff == 0) | (symdiff > GRAY_K))
+            .select("a_id", "b_id", "hamming")
             .orderBy("a_id", "b_id"))
 
 
@@ -330,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "repetition_stats": textdata.repetition_stats,
+        "line_dedup": textdata.line_dedup,                  # oracled:
+        #   C4-style cross-corpus duplicate-line removal over the
+        #   synthesized multi-line corpus, full clean_text twin in SQL
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)
@@ -354,8 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   engine-specific xxhash64 bit votes (pytest pigeonhole +
         #   saturation oracles; hamming-0 behavior oracled below)
         "simhash_exact_pairs": _simhash_exact_pairs,        # oracled:
-        #   planted byte-identical docs <=> hamming-0 pairs, DuckDB twin
-        #   on md5(text) equality
+        #   TWO-SIDED hamming-0 twin on sorted-token-multiset equality
+        #   (sign-stable small-delta collisions carved out, see docstring)
         # multimodal plumbing (sha/size columns oracled; entropy pytest-only)
         "media_features": multimodal.media_features_checked,
         "frame_sample": multimodal.frame_sample,

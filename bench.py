@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "quality_score",
     "repetition_stats",
+    "line_dedup",
     "token_stats",
     "minhash_neardup",
     "simhash_neardup",

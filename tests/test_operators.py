@@ -533,6 +533,34 @@ def test_repetition_stats_planted(spark, tmp_path):
     assert q[3] != "repetitive"
 
 
+def test_duplicate_line_removal_planted(spark):
+    """C4-style cross-corpus line dedup on planted cases: a line shared
+    across three docs (and twice within one of them) survives only at
+    its min-(doc_id, line_no) occurrence; unique lines all survive;
+    whitespace-only lines never count."""
+    from textextract_spark.operators.textdata import duplicate_line_removal
+
+    docs = spark.createDataFrame(
+        [(0, "shared line one\nunique alpha"),
+         (1, "shared line one\nunique beta\nshared line one"),
+         (2, "unique gamma\n  shared line one  "),
+         (3, "\n\nonly line\n")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in duplicate_line_removal(docs).collect()}
+
+    assert got[0].clean_text == "shared line one\nunique alpha"
+    assert (got[0].n_lines, got[0].n_kept, got[0].n_dropped) == (2, 2, 0)
+    # doc 1 loses BOTH copies (winner is doc 0's occurrence)
+    assert got[1].clean_text == "unique beta"
+    assert (got[1].n_lines, got[1].n_kept, got[1].n_dropped) == (3, 1, 2)
+    # doc 2's copy is trimmed before matching, then dropped
+    assert got[2].clean_text == "unique gamma"
+    assert (got[2].n_lines, got[2].n_kept, got[2].n_dropped) == (2, 1, 1)
+    # empty lines are not lines
+    assert got[3].clean_text == "only line"
+    assert (got[3].n_lines, got[3].n_kept, got[3].n_dropped) == (1, 1, 0)
+
+
 def test_driver_contract_parity():
     """queries() and oracle_sql() must stay in lockstep: every oracle has
     a query; every query either has an oracle or is on the documented

@@ -370,6 +370,49 @@ ORACLES: dict[str, str] = {
         FROM ls LEFT JOIN gs ON ls.doc_id = gs.doc_id
         ORDER BY ls.doc_id
     """,
+    # C4-style cross-corpus line dedup over the synthesized multi-line
+    # corpus (own text + residue-class snippet + global footer — same
+    # construction as textdata.line_dedup): group directly on the line
+    # text (Spark groups on md5(line), identical partition), same packed
+    # (doc_id*1000000 + line_no) winner key
+    "line_dedup": r"""
+        WITH seeds AS (
+            SELECT doc_id AS sid, substr(text, 1, 80) AS snip
+            FROM documents WHERE doc_id < 7),
+        multi AS (
+            SELECT d.doc_id,
+                   concat_ws(chr(10), d.text, s.snip,
+                             'subscribe to our newsletter for updates and offers')
+                       AS text
+            FROM documents d JOIN seeds s ON d.doc_id % 7 = s.sid),
+        raw AS (
+            SELECT doc_id,
+                   unnest(generate_series(1,
+                          len(string_split(text, chr(10))))) AS line_no,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         x -> trim(x))) AS line
+            FROM multi),
+        ne AS (SELECT * FROM raw WHERE length(line) > 0),
+        stats AS (
+            SELECT line, count(*) AS c,
+                   min(doc_id * 1000000 + line_no) AS w
+            FROM ne GROUP BY line),
+        kept AS (
+            SELECT n.doc_id, n.line_no, n.line,
+                   (s.c = 1 OR n.doc_id * 1000000 + n.line_no = s.w)
+                       AS keep
+            FROM ne n JOIN stats s ON n.line = s.line)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                   ORDER BY line_no), '') AS clean_text,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               count(*)
+                 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
     "lang_guess": """
         WITH t AS (
             SELECT doc_id, lang,

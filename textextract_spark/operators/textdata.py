@@ -346,6 +346,87 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# -- cross-corpus duplicate-line removal (C4-style) -------------------------
+
+# winner packing doc_id*PACK + line_no: valid while every doc has fewer
+# than PACK lines (a 1M-line page is not a document); packed-long min is
+# the deterministic tie-break portable to SQL (struct min is not)
+LINE_PACK = 1_000_000
+
+
+def duplicate_line_removal(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """C4-style CROSS-CORPUS line dedup: any trimmed non-empty line that
+    occurs more than once in the whole corpus is kept only at its first
+    occurrence (min (doc_id, line_no)) and dropped everywhere else —
+    the boilerplate-removal pass (nav bars, cookie banners, subscribe
+    footers) a pretraining pipeline runs corpus-wide, not per-doc
+    (per-doc repetition lives in repetition_stats / quality_score).
+
+    Scale shape (10^12 docs): explode lines once; the frequency+winner
+    aggregation shuffles (md5, count, packed-min) only — map-side
+    combinable, so a 10^9-copy boilerplate line arrives at its reducer
+    as per-partition partials, not raw rows. The join back of stats to
+    lines is key-equality on the 32-char hash and AQE-splittable when a
+    hot line skews it (the reason this is a groupBy+join, not a window:
+    a window over the hot key would pin every copy to ONE task). One
+    final reassembly shuffle on doc_id rebuilds clean_text; per-doc
+    state is bounded by the doc's own line count.
+
+    Returns (doc_id, clean_text, n_lines, n_kept, n_dropped).
+    """
+    packed = F.col("doc_id") * LINE_PACK + F.col("line_no")
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                      .alias("pos", "raw"))
+             .select("doc_id", (F.col("pos") + 1).alias("line_no"),
+                     F.trim("raw").alias("line"))
+             .filter(F.length("line") > 0)
+             .withColumn("__h", F.md5("line")))
+    stats = lines.groupBy("__h").agg(
+        F.count("*").alias("__c"), F.min(packed).alias("__w"))
+    kept = (lines.join(stats, "__h")
+            .withColumn("__keep",
+                        (F.col("__c") == 1) | (packed == F.col("__w"))))
+    # collect_list skips nulls: the when() without otherwise drops
+    # non-kept lines from the array while count/sum still see them
+    clean = F.concat_ws("\n", F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("__keep"), F.struct("line_no", "line")))),
+        lambda s: s.line))
+    return (kept.groupBy("doc_id")
+            .agg(clean.alias("clean_text"),
+                 F.count("*").alias("n_lines"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"))
+            .withColumn("n_dropped", F.col("n_lines") - F.col("n_kept"))
+            .orderBy("doc_id"))
+
+
+LINE_DEDUP_BOILER = "subscribe to our newsletter for updates and offers"
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for duplicate_line_removal: the corpus is single-line
+    texts, so multi-line docs are SYNTHESIZED deterministically (same
+    construction in the DuckDB twin): each doc becomes three lines — its
+    own text, an 80-char snippet of doc (doc_id % 7) (shared by every
+    doc in its residue class), and a global boilerplate footer. The
+    operator must keep each unique full text, keep exactly ONE copy of
+    each snippet and of the footer (at the min (doc_id, line_no)
+    occurrence), and drop the rest."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeds = (docs.filter(F.col("doc_id") < 7)
+             .select(F.col("doc_id").alias("__sid"),
+                     F.substring("text", 1, 80).alias("__snip")))
+    multi = (docs.join(F.broadcast(seeds),
+                       docs.doc_id % 7 == seeds.__sid)
+             .select("doc_id",
+                     F.concat_ws("\n", "text", "__snip",
+                                 F.lit(LINE_DEDUP_BOILER)).alias("text")))
+    return duplicate_line_removal(multi)
+
+
 # Char-trigram profiles: high-frequency function-word trigrams per
 # language (padded with spaces where word-boundary-anchored). Deliberately
 # OVERLAPPING across languages (' de' is German/French/Spanish, 'nd ' is
