@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textextract_spark.operators import (
-    multimodal, relational, releases, similarity, sketch, textdata)
+    multimodal, relational, releases, similarity, sketch, textdata, urls)
 from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": textdata.line_dedup,                  # oracled:
         #   C4-style cross-corpus duplicate-line removal over the
         #   synthesized multi-line corpus, full clean_text twin in SQL
+        "url_dedup": urls.url_dedup,                        # oracled:
+        #   URL canonicalize + latest-capture dedup, full twin in SQL
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_stats",
     "line_dedup",
+    "url_dedup",
     "token_stats",
     "minhash_neardup",
     "simhash_neardup",

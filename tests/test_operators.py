@@ -561,6 +561,32 @@ def test_duplicate_line_removal_planted(spark):
     assert (got[3].n_lines, got[3].n_kept, got[3].n_dropped) == (1, 1, 0)
 
 
+def test_canonicalize_url_edge_cases(spark):
+    """URL canonicalization on the variants a crawl actually sees:
+    casing, default vs explicit ports, fragments, utm params in every
+    position, empty/root paths, trailing slashes."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b/", "http://example.com/A/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/p#frag", "http://example.com/p"),
+        ("http://example.com/p?utm_source=a", "http://example.com/p"),
+        ("http://example.com/p?utm_a=1&id=2&utm_b=3&z=4",
+         "http://example.com/p?id=2&z=4"),
+        ("http://example.com/p?id=2&utm_a=1", "http://example.com/p?id=2"),
+        ("http://example.com///", "http://example.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_driver_contract_parity():
     """queries() and oracle_sql() must stay in lockstep: every oracle has
     a query; every query either has an oracle or is on the documented

@@ -413,6 +413,81 @@ ORACLES: dict[str, str] = {
                    AS n_dropped
         FROM kept GROUP BY doc_id ORDER BY doc_id
     """,
+    # crawl-side URL canonicalization + dedup: same deterministic messy
+    # urls synthesized from doc_id (twin of operators.urls.url_dedup),
+    # same decompose/normalize/rebuild — patterns shared verbatim with
+    # the Spark side (classes + capture groups only, RE2-safe)
+    "url_dedup": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN
+                       'HTTP://Example.COM:80/a/'
+                         || CAST(doc_id // 4 AS VARCHAR) || '/'
+                     WHEN doc_id % 4 = 1 THEN
+                       'http://example.com/a/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                     WHEN doc_id % 4 = 2 THEN
+                       'https://Example.com:443/b/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '?utm_source=x&id='
+                         || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                     ELSE
+                       'https://example.com/b/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+                   END AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + CAST(doc_id AS INT) * INTERVAL 1 SECOND AS warc_ts
+            FROM documents),
+        parts AS (
+            SELECT doc_id, warc_ts,
+                   lower(regexp_extract(url, '^([^:/?#]+)://', 1))
+                       AS scheme,
+                   lower(regexp_extract(
+                       regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       '^([^:]*)', 1)) AS host,
+                   regexp_extract(
+                       regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       ':([0-9]+)$', 1) AS port,
+                   regexp_extract(
+                       regexp_extract(url,
+                                      '^[^:/?#]+://[^/?#]*([^#]*)', 1),
+                       '^([^?]*)', 1) AS path,
+                   regexp_extract(
+                       regexp_extract(url,
+                                      '^[^:/?#]+://[^/?#]*([^#]*)', 1),
+                       '\?(.*)$', 1) AS query
+            FROM pages),
+        canon AS (
+            SELECT doc_id, warc_ts,
+                   scheme || '://' || host
+                   || CASE WHEN port = ''
+                             OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                           THEN '' ELSE ':' || port END
+                   || CASE WHEN regexp_replace(path, '/+$', '') = ''
+                           THEN '/'
+                           ELSE regexp_replace(path, '/+$', '') END
+                   || CASE WHEN COALESCE(array_to_string(
+                               list_filter(string_split(query, '&'),
+                                   p -> p <> ''
+                                        AND NOT starts_with(p, 'utm_')),
+                               '&'), '') = ''
+                           THEN ''
+                           ELSE '?' || array_to_string(
+                               list_filter(string_split(query, '&'),
+                                   p -> p <> ''
+                                        AND NOT starts_with(p, 'utm_')),
+                               '&') END AS canonical_url
+            FROM parts)
+        SELECT canonical_url,
+               arg_max(doc_id, warc_ts) AS keeper_doc_id,
+               count(*) AS n_captures,
+               min(warc_ts) AS first_ts,
+               max(warc_ts) AS last_ts
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
     "lang_guess": """
         WITH t AS (
             SELECT doc_id, lang,
