@@ -379,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ivf_topk": similarity.ivf_topk,
         "ann_lsh_pairs": similarity.ann_lsh_planted,
+        "embedding_dedup": similarity.embedding_dedup,      # oracled:
+        #   SemDeDup decision — LSH pairs -> connected components ->
+        #   keep flags vs recursive-CTE closure of all-pairs cosine
         # sketch dedup
         "minhash_neardup": sketch.minhash_neardup,          # rows-only:
         #   engine-specific xxhash64 signatures (pytest brute-force oracle;

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ivf_topk",
     "ann_lsh_pairs",
+    "embedding_dedup",
     "keyset_pagination",
     "latest_release",
     "lang_trigram",

@@ -749,6 +749,36 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         ORDER BY cosine DESC, a_id, b_id
     """,
+    # SemDeDup decision twin: the same planted all-pairs cosine graph as
+    # ann_lsh_pairs, closed transitively with a recursive CTE; keep =
+    # (vec_id = component min) — equality proves BOTH the pair stage and
+    # the Hash-Min component iteration
+    "embedding_dedup": """
+        WITH RECURSIVE all_v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x * 1.0009765625)
+            FROM embeddings WHERE vec_id < 10),
+        p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION
+            SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
+        SELECT src AS vec_id,
+               least(src, min(dst)) AS cluster_id,
+               (src = least(src, min(dst))) AS keep
+        FROM reach GROUP BY src ORDER BY vec_id
+    """,
     "cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec
                    FROM embeddings WHERE vec_id = 0)

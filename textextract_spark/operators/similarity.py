@@ -193,6 +193,34 @@ def ann_lsh_planted(spark: SparkSession, sf_dir: str, dim: int = 64,
            .unionByName(plants), dim, min_cosine)
 
 
+def embedding_dedup(spark: SparkSession, sf_dir: str,
+                    min_cosine: float = 0.9) -> DataFrame:
+    """SemDeDup-style embedding near-dup DECISION (Abbas et al., 2023:
+    semantic dedup = cluster embeddings, drop within-cluster pairs above
+    a cosine threshold): LSH-bucketed candidate pairs at cosine >=
+    min_cosine -> Hash-Min connected components -> per-vector keep flag
+    (keep = the component's min vec_id, the canonical representative).
+
+    Composition of two already-scale-shaped stages: the pair stage is
+    ann_lsh_planted (capped buckets, no self-join — planted duplicates
+    keep the driver row non-vacuous exactly like the ann_lsh_pairs
+    oracle), the component stage is sketch.connected_components
+    (O(diameter) rounds, aggregate-only driver loop). Output is one row
+    per vector that appears in any near-dup pair; vectors with no pair
+    are trivially kept and omitted (they'd dominate the output with no
+    information).
+    """
+    from .sketch import connected_components
+
+    pairs = (ann_lsh_planted(spark, sf_dir, min_cosine=min_cosine)
+             .select("a_id", "b_id"))
+    labels = connected_components(pairs)
+    return (labels
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
+            .orderBy("vec_id"))
+
+
 def _lsh_keys_udf(dim: int, tables: int = LSH_TABLES,
                   planes_per_table: int = PLANES_PER_TABLE):
     """Arrow-batched signature stage: ONE numpy matmul per batch computes

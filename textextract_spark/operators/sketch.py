@@ -376,14 +376,14 @@ def simhash_neardup(spark: SparkSession, sf_dir: str,
     return simhash_pairs(with_simhash(_docs(spark, sf_dir)), max_hamming)
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str,
-                     threshold: float = 0.5,
-                     max_iters: int = 20) -> DataFrame:
-    """Connected components over the verified near-dup pair graph: the
-    step that turns pairwise matches into dedup DECISIONS — every doc in
-    a component gets cluster_id = min(doc_id) of its component (the
-    canonical keeper), so `keep = (doc_id == cluster_id)` is the final
-    winner predicate.
+def connected_components(edges: DataFrame,
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over an (a_id, b_id) pair graph: the step
+    that turns pairwise matches into dedup DECISIONS — every node in a
+    component gets cluster_id = min(id) of its component (the canonical
+    keeper), so `keep = (doc_id == cluster_id)` is the final winner
+    predicate. Shared by the text near-dup path (neardup_clusters) and
+    the embedding SemDeDup path (similarity.embedding_dedup).
 
     Algorithm: Hash-Min label propagation (the standard Spark CC shape —
     Rastogi et al., "Finding Connected Components in Map-Reduce"):
@@ -393,11 +393,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str,
     clusters, not long chains), so this converges in a handful of rounds
     at any corpus size. The driver-side loop checks ONLY a changed-row
     count per round (an aggregate, not collected data). Restricted to
-    docs that appear in at least one pair — singletons are trivially
+    nodes that appear in at least one pair — singletons are trivially
     their own cluster and would dominate the output for no information.
+
+    Returns (doc_id, cluster_id) ordered by doc_id.
     """
-    edges = (ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
-             .select("a_id", "b_id"))
     # symmetric neighbor list, materialized once — every iteration reuses
     # it (at scale: write to a temp table / cache; here .cache())
     sym = (edges.union(edges.select(F.col("b_id").alias("a_id"),
@@ -436,7 +436,18 @@ def neardup_clusters(spark: SparkSession, sf_dir: str,
         # loudly instead; callers with genuinely deep graphs raise
         # max_iters (rounds needed = O(component diameter))
         raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing); component diameter "
-            f"exceeds max_iters — raise max_iters")
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({changed} labels still changing); component "
+            f"diameter exceeds max_iters — raise max_iters")
     return labels.orderBy("doc_id")
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.5,
+                     max_iters: int = 20) -> DataFrame:
+    """Near-dup cluster formation over the verified text pair graph:
+    ngram_jaccard_pairs edges -> Hash-Min connected components (see
+    connected_components for the algorithm and scale shape)."""
+    edges = (ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+             .select("a_id", "b_id"))
+    return connected_components(edges, max_iters=max_iters)
