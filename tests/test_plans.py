@@ -138,3 +138,56 @@ def test_chunk_filter_pushed_below_udf(spark, corpus_dir):
                       extract_pages(pages, 8, 2, part_keys=keys).collect()})
     assert parts[0] | parts[1] == full
     assert not (parts[0] & parts[1])
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren body of every lambdafunction(...) in a plan string."""
+    out, i = [], 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return out
+        k = j + len("lambdafunction(")
+        depth, start = 1, k
+        while depth and k < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        out.append(plan[start:k])
+        i = k
+
+
+def test_tokenize_lambdas_reference_attributes_not_expressions(spark):
+    """Per-element lambdas must close over materialized COLUMNS: an
+    inline split/trim/lower expression inside a lambdafunction is
+    re-evaluated for EVERY array element, turning shingling and 2-gram
+    construction O(len^2) per doc (measured 2-4x on the bench). Guards
+    sketch shingles/simhash votes and the repetition_stats gram stage
+    against a CollapseProject re-inline."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators import sketch
+    from textextract_spark.operators.textdata import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "一二三四五六七八九"
+             "十一二三四五")],
+        ["doc_id", "text"])
+    plans = [
+        sketch.with_shingles(docs)._jdf.queryExecution()
+              .optimizedPlan().toString(),
+        sketch.with_simhash(docs)._jdf.queryExecution()
+              .optimizedPlan().toString(),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).write.parquet(
+            os.path.join(d, "documents.parquet"))
+        plans.append(repetition_stats(spark, d)._jdf.queryExecution()
+                     .optimizedPlan().toString())
+    for plan in plans:
+        for body in _lambda_bodies(plan):
+            # trim/lower of the lambda's OWN variable is fine; any
+            # reference to the raw text column means the body recomputes
+            # normalization/tokenization per element
+            assert "text#" not in body, body[:200]

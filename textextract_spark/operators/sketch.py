@@ -52,12 +52,18 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _with_tokens(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "tokens", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    """Materialize the normalized text and its whitespace tokens as
+    COLUMNS (not inline expressions): every downstream per-element
+    lambda (char n-grams, word shingles) must reference an attribute —
+    an inline trim(lower(text)) inside a lambdafunction is re-evaluated
+    for EVERY array element, turning shingling O(len^2) per doc
+    (measured 2-4x on the bench; plan-asserted in tests/test_plans)."""
+    return (df.withColumn("__norm", F.trim(F.lower(F.col("text"))))
+              .withColumn("tokens", F.split(F.col("__norm"), r"\s+")))
 
 
 def _norm():
-    return F.trim(F.lower(F.col("text")))
+    return F.col("__norm")
 
 
 def _is_spaceless(norm):
@@ -103,7 +109,7 @@ def with_shingles(df: DataFrame) -> DataFrame:
         F.when(F.col("__spaceless"),
                F.array_distinct(_char_ngrams(norm, CHAR_SHINGLE)))
          .otherwise(word_sh))
-        .drop("__spaceless"))
+        .drop("__spaceless", "__norm"))
 
 
 # Universal-hash coefficients for the K permutations, seeded once.

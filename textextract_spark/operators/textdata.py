@@ -312,13 +312,21 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_bullet, F.col("cnt")).otherwise(F.lit(0)))
          .alias("bullet_lines"))
 
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # tokens materialized as a COLUMN, grams via zip_with over two
+    # slices: an inline split(trim(lower(text))) referenced inside the
+    # per-element lambda is re-evaluated for EVERY gram (O(tokens^2) per
+    # doc — measured 2-4x slower on the bench; plan-asserted in
+    # tests/test_plans), and zip_with slices the array once per row
+    # where a sequence+slice transform re-slices per element
+    nw = F.size("__ws")
     grams = (docs
-             .filter(F.size(words) >= 2)
-             .select("doc_id", F.explode(F.transform(
-                 F.sequence(F.lit(0), F.size(words) - 2),
-                 lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))))
-                 .alias("gram")))
+             .select("doc_id",
+                     F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                      .alias("__ws"))
+             .filter(nw >= 2)
+             .select("doc_id", F.explode(F.zip_with(
+                 F.slice("__ws", 1, nw - 1), F.slice("__ws", 2, nw - 1),
+                 lambda a, b: F.concat(a, F.lit(" "), b))).alias("gram")))
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     # packed (cnt, len) max: deterministic tie-break portable to SQL
     # (gram length < 100000 always — a line is KBs at most)
