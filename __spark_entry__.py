@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis / dedup (graft brief)
         "dedup_exact": textdata.dedup_exact,
         "doc_fingerprint": textdata.doc_fingerprint,
+        "winnow_fingerprint": textdata.winnow_fingerprint,  # oracled:
+        #   MOSS winnowing rolling-hash fingerprint, full Horner twin
         "token_stats": textdata.token_stats,
         "token_bpe_stats": textdata.token_bpe_stats,
         "token_bpe_merge": textdata.token_bpe_merge,        # rows-only:

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "topk_orders",
     "dedup_exact",
+    "winnow_fingerprint",
     "quality_score",
     "repetition_stats",
     "line_dedup",

@@ -370,6 +370,46 @@ ORACLES: dict[str, str] = {
         FROM ls LEFT JOIN gs ON ls.doc_id = gs.doc_id
         ORDER BY ls.doc_id
     """,
+    # winnowing rolling-hash fingerprint twin (textdata.winnow_fingerprint):
+    # same Horner codepoint hash per char 5-gram (unicode() == Spark's
+    # ascii(): first-char codepoint), same window-4 min + distinct + sort.
+    # range() is end-EXCLUSIVE where Spark's sequence() is inclusive, hence
+    # the -3/-2 bounds for the -4/-3 gram/window counts
+    "winnow_fingerprint": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+            FROM documents
+            WHERE length(regexp_replace(trim(lower(text)),
+                                        '\s+', ' ', 'g')) >= 8),
+        h AS (
+            SELECT doc_id, CAST(length(n) - 4 AS INT) AS n_grams,
+                   list_transform(range(1, length(n) - 3),
+                     i -> ((((unicode(substr(n, CAST(i AS INT), 1))
+                              * 31
+                              + unicode(substr(n, CAST(i AS INT) + 1, 1)))
+                              * 31
+                              + unicode(substr(n, CAST(i AS INT) + 2, 1)))
+                              * 31
+                              + unicode(substr(n, CAST(i AS INT) + 3, 1)))
+                              * 31
+                              + unicode(substr(n, CAST(i AS INT) + 4, 1)))
+                   ) AS hs
+            FROM d),
+        w AS (
+            SELECT doc_id, n_grams,
+                   list_sort(list_distinct(list_transform(
+                       range(1, len(hs) - 2),
+                       p -> list_min(list_slice(hs, CAST(p AS INT),
+                                                CAST(p AS INT) + 3)))))
+                       AS fp
+            FROM h)
+        SELECT doc_id, n_grams,
+               CAST(len(fp) AS INT) AS n_fingerprints,
+               fp[1] AS fp_min,
+               md5(array_to_string(fp, ',')) AS fp_digest
+        FROM w ORDER BY doc_id
+    """,
     # C4-style cross-corpus line dedup over the synthesized multi-line
     # corpus (own text + residue-class snippet + global footer — same
     # construction as textdata.line_dedup): group directly on the line
