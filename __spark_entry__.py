@@ -307,6 +307,58 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
+def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data CURATION journey as ONE driver row under
+    the hard gate: crawl pages -> extraction -> quality gate -> exact
+    dedup -> per-url keep/drop decision. Composes three already-oracled
+    stages (extract_docs' chrome trick, textdata.quality_label — the
+    SAME column expression quality_score runs — and a min-url winner
+    aggregation), so the DuckDB twin reconstructs every decision AND the
+    byte-exact curated text in SQL. Planted copies (doc_id+100000) make
+    the dedup stage non-vacuous: each clean doc 0-9 appears twice and
+    exactly one occurrence may be decision='keep'.
+
+    Scale shape: the extraction is the flagship pipeline (one payload
+    shuffle); quality is a stateless projection on extracted text; dedup
+    shuffles (md5, min(url)) only, map-side combinable, then an
+    AQE-splittable hash-key join back. decisions: drop:extract |
+    drop:quality | drop:dup | keep."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    plants = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    both = docs.unionByName(plants)
+    pages = both.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
+                          F.lit(_CHROME_POST)), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+          .select("url", "status", "text"))
+    q = ex.withColumn(
+        "quality",
+        F.when(F.col("status") == "ok",
+               textdata.quality_label(F.col("text")))
+         .otherwise(F.lit("-")))
+    winners = (q.filter((F.col("status") == "ok")
+                        & (F.col("quality") == "ok"))
+               .groupBy(F.md5("text").alias("__h"))
+               .agg(F.min("url").alias("__keeper")))
+    return (q.withColumn("__h", F.md5("text"))
+            .join(winners, "__h", "left")
+            .select("url", "status", "quality",
+                    F.when(F.col("status") != "ok", F.lit("drop:extract"))
+                     .when(F.col("quality") != "ok", F.lit("drop:quality"))
+                     .when(F.col("url") != F.col("__keeper"),
+                           F.lit("drop:dup"))
+                     .otherwise(F.lit("keep")).alias("decision"),
+                    F.length("text").alias("text_len"), "text")
+            .orderBy("url"))
+
+
 def _bpe_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-metric oracle for the BPE merge path (the merge loop is
     not SQL-expressible, so token_bpe_merge itself is rows-only): per-doc
@@ -408,6 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the extraction pipeline itself — full text oracle (see
         # _extract_docs docstring); mixed-format byte identity in pytest
         "extract_docs": _extract_docs,
+        "curate_docs": _curate_docs,                        # oracled:
+        #   extract -> quality gate -> exact dedup -> keep/drop decision,
+        #   every stage + byte-exact curated text reconstructed in SQL
         "extract_mixed_docs": _extract_mixed_docs,          # oracled:
         #   pdf + plain-text dispatch branches (fmt not all-'html')
         "warc_roundtrip": _warc_roundtrip,                  # oracled:

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "latest_release",
     "lang_trigram",
     "media_decode",
+    "curate_docs",
 ]
 
 

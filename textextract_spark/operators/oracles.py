@@ -637,6 +637,55 @@ ORACLES: dict[str, str] = {
                    AS n_spans
         FROM documents ORDER BY url
     """,
+    # -- the curation journey (extract -> quality -> dedup -> decision):
+    # composes the extract_docs chrome twin (extracted text = trim(text)),
+    # the quality_score label CASE (same thresholds), and a min-url
+    # winner group; planted doc_id+100000 copies make dedup non-vacuous --
+    "curate_docs": """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+        e AS (
+            SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+                   trim(text) AS t,
+                   CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                        ELSE 'ok' END AS status
+            FROM all_docs),
+        el AS (
+            SELECT *, list_filter(list_transform(string_split(t, chr(10)),
+                                                 x -> trim(x)),
+                                  x -> length(x) > 0) AS lines
+            FROM e),
+        q AS (
+            SELECT url, t, status,
+                   CASE WHEN status <> 'ok' THEN '-'
+                        WHEN length(t) < 50 THEN 'too_short'
+                        WHEN (length(t) - length(regexp_replace(
+                                  t, '[0-9]', '', 'g'))) / length(t) > 0.3
+                            THEN 'too_numeric'
+                        WHEN (CASE WHEN len(lines) > 0
+                                   THEN CAST(len(lines)
+                                             - len(list_distinct(lines))
+                                         AS DOUBLE) / len(lines)
+                                   ELSE 0.0 END) > 0.3 THEN 'repetitive'
+                        WHEN (length(t) - length(replace(t, ' ', '')))
+                             / length(t) < 0.05 THEN 'no_spaces'
+                        ELSE 'ok' END AS quality
+            FROM el),
+        w AS (
+            SELECT md5(t) AS h, min(url) AS keeper FROM q
+            WHERE status = 'ok' AND quality = 'ok' GROUP BY md5(t))
+        SELECT q.url, q.status, q.quality,
+               CASE WHEN q.status <> 'ok' THEN 'drop:extract'
+                    WHEN q.quality <> 'ok' THEN 'drop:quality'
+                    WHEN q.url <> w.keeper THEN 'drop:dup'
+                    ELSE 'keep' END AS decision,
+               CAST(length(q.t) AS INT) AS text_len,
+               q.t AS text
+        FROM q LEFT JOIN w ON md5(q.t) = w.h
+        ORDER BY url
+    """,
     # -- non-HTML dispatch branches under the same hard gate: doc_id%3==0
     # pages are synthesized FlateDecode PDFs carrying two known text lines
     # ('Document <id>' / 'flate stream body' — datagen.build_pdf), the

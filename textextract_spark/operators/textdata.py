@@ -289,15 +289,38 @@ def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _dup_line_frac(t):
+    """Duplicate-line fraction of a text column (0.0 when no lines)."""
+    lines = _nonempty_lines(t)
+    nl = F.size(lines)
+    return F.when(
+        nl > 0, (nl - F.size(F.array_distinct(lines)))
+        / nl.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_label(t) -> "F.Column":
+    """The pretraining quality gate as ONE column expression, shared by
+    quality_score (per-table query) and the curation pipeline driver row
+    (applied to EXTRACTED text) — one definition, no drift. Thresholds
+    are arbitrary-but-fixed and mirrored in the oracle SQL."""
+    n = F.length(t)
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(t, " ", ""))
+    return (F.when(n < 50, F.lit("too_short"))
+             .when(digits / n > 0.3, F.lit("too_numeric"))
+             .when(_dup_line_frac(t) > 0.3, F.lit("repetitive"))
+             .when(spaces / n < 0.05, F.lit("no_spaces"))
+             .otherwise(F.lit("ok")))
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: digit/punct/space ratios, the
     duplicate-line fraction (the cheapest Gopher repetition signal —
-    shuffle-free array ops), and a CASE label incl. `repetitive`.
+    shuffle-free array ops), and the shared quality_label CASE incl.
+    `repetitive`.
 
-    The same shape a pretraining filter uses (length + symbol ratios +
-    repetition); thresholds are arbitrary-but-fixed and mirrored in the
-    oracle SQL. Deeper repetition metrics (char-weighted duplicate
-    lines, top-2-gram fraction, ellipsis/bullet ratios) live in
+    Deeper repetition metrics (char-weighted duplicate lines,
+    top-2-gram fraction, ellipsis/bullet ratios) live in
     repetition_stats.
     """
     t = F.col("text")
@@ -305,11 +328,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
     punct = n - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     spaces = n - F.length(F.regexp_replace(t, " ", ""))
-    lines = _nonempty_lines(t)
-    nl = F.size(lines)
-    dup_frac = F.when(
-        nl > 0, (nl - F.size(F.array_distinct(lines)))
-        / nl.cast("double")).otherwise(F.lit(0.0))
     return (_docs(spark, sf_dir)
             .filter(n > 0)
             .select(
@@ -318,12 +336,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(digits / n, 4).alias("digit_ratio"),
                 F.round(punct / n, 4).alias("punct_ratio"),
                 F.round(spaces / n, 4).alias("space_ratio"),
-                F.round(dup_frac, 4).alias("dup_line_frac"),
-                F.when(n < 50, F.lit("too_short"))
-                 .when(digits / n > 0.3, F.lit("too_numeric"))
-                 .when(dup_frac > 0.3, F.lit("repetitive"))
-                 .when(spaces / n < 0.05, F.lit("no_spaces"))
-                 .otherwise(F.lit("ok")).alias("quality"))
+                F.round(_dup_line_frac(t), 4).alias("dup_line_frac"),
+                quality_label(t).alias("quality"))
             .orderBy("doc_id"))
 
 
