@@ -191,3 +191,25 @@ def test_tokenize_lambdas_reference_attributes_not_expressions(spark):
             # reference to the raw text column means the body recomputes
             # normalization/tokenization per element
             assert "text#" not in body, body[:200]
+
+
+def test_new_dedup_query_shuffle_shapes(spark, sf_dir):
+    """Shuffle-count/shape contracts for the r4 operators: url_dedup is
+    ONE hash aggregation (plus the deterministic output sort);
+    line_dedup uses groupBy+join — never a Window over the hot line key;
+    winnow_fingerprint is a stateless projection (its only exchange is
+    the output sort's range partitioning)."""
+    from textextract_spark.operators.textdata import (
+        line_dedup, winnow_fingerprint)
+    from textextract_spark.operators.urls import url_dedup
+
+    p = _plan(spark, url_dedup(spark, sf_dir), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" not in p
+
+    p = _plan(spark, line_dedup(spark, sf_dir), "simple")
+    assert "Window" not in p, p
+
+    p = _plan(spark, winnow_fingerprint(spark, sf_dir), "simple")
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "Window" not in p
