@@ -155,3 +155,58 @@ def test_native_stream_dedup_drops_replays(spark):
                 for r in rows}
     assert len(got) == len(expected), (len(got), len(expected))
     assert set(got) == expected
+
+
+def test_stream_canonical_url_dedup(spark):
+    """drop_recrawled_urls: url VARIANTS of the same page (casing, default
+    port, fragment, utm params, trailing slash) arriving across
+    micro-batches collapse to one emitted row per canonical url; distinct
+    pages all survive."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.streaming.dedup import drop_recrawled_urls
+
+    d = tempfile.mkdtemp(prefix="urldedup-")
+    pages_dir = os.path.join(d, "pages")
+    os.makedirs(pages_dir)
+    base = __import__("datetime").datetime(2025, 1, 1)
+
+    def write(recs, name):
+        tbl = pa.table({
+            "url": [u for u, _ in recs],
+            "warc_ts": pa.array([base.replace(second=s) for _, s in recs],
+                                pa.timestamp("us")),
+        })
+        pq.write_table(tbl, os.path.join(pages_dir, name))
+
+    # batch 1: three distinct pages; batch 2: variant re-crawls of the
+    # first two + one genuinely new page
+    write([("http://example.com/a", 0),
+           ("https://example.com/b?id=1", 1),
+           ("http://other.org/c", 2)], "part-0.parquet")
+    write([("HTTP://Example.COM:80/a/", 10),
+           ("https://example.com:443/b?utm_source=x&id=1#f", 11),
+           ("http://other.org/d", 12)], "part-1.parquet")
+
+    stream = (spark.readStream.schema("url STRING, warc_ts TIMESTAMP")
+              .option("maxFilesPerTrigger", "1").parquet(pages_dir))
+    q = (drop_recrawled_urls(stream)
+         .writeStream.format("memory").queryName("url_dedup_stream")
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r.canonical_url for r in
+           spark.sql("SELECT canonical_url FROM url_dedup_stream")
+           .collect()}
+    assert got == {"http://example.com/a", "https://example.com/b?id=1",
+                   "http://other.org/c", "http://other.org/d"}
+    # exactly one row per canonical url (variants were dropped, not
+    # re-emitted)
+    n = spark.sql("SELECT count(*) c FROM url_dedup_stream").collect()[0].c
+    assert n == 4

@@ -34,3 +34,25 @@ def drop_replayed_crawls(pages_stream: DataFrame,
             .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
             .withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["url", "warc_ts"]))
+
+
+def drop_recrawled_urls(pages_stream: DataFrame,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Crawl-frontier dedup on the stream: drop re-crawls of the SAME
+    PAGE — url variants that collapse to one canonical form
+    (urls.canonicalize_url: casing/default-port/fragment/utm/trailing
+    slash) — arriving within the watermark horizon of each other.
+
+    First arrival wins within the horizon (the frontier decision: "we
+    already fetched this recently"); the batch-side
+    urls.dedup_by_canonical_url keeps LATEST-capture semantics for the
+    unbounded historical table. Same bounded-RocksDB-state /
+    JVM-native shape as drop_replayed_crawls.
+    """
+    from ..operators.urls import canonicalize_url
+
+    return (pages_stream
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+            .withColumn("canonical_url", canonicalize_url(F.col("url")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["canonical_url"]))
