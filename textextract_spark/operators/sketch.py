@@ -56,8 +56,9 @@ def _with_tokens(df: DataFrame) -> DataFrame:
     COLUMNS (not inline expressions): every downstream per-element
     lambda (char n-grams, word shingles) must reference an attribute —
     an inline trim(lower(text)) inside a lambdafunction is re-evaluated
-    for EVERY array element, turning shingling O(len^2) per doc
-    (measured 2-4x on the bench; plan-asserted in tests/test_plans)."""
+    for EVERY array element, turning shingling O(len^2) per doc (the
+    same inline-in-lambda bug measured 3x on repetition_stats' gram
+    stage; plan-asserted in tests/test_plans)."""
     return (df.withColumn("__norm", F.trim(F.lower(F.col("text"))))
               .withColumn("tokens", F.split(F.col("__norm"), r"\s+")))
 

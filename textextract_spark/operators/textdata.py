@@ -66,32 +66,49 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowed to the per-window minimum, deduplicated — the standard
     near-dup/plagiarism fingerprint whose size is ~2/(W+1) of the text.
 
-    All built-in functions, zero shuffle, one stateless projection. The
-    gram-hash array is materialized as a COLUMN before the winnowing
-    pass so the per-window lambda slices an attribute (see SCALE.md
-    "lambdas must close over attributes"). Portable: the same Horner
+    Stateless map, zero shuffle. The hash/winnow stage is a vectorized
+    Arrow-batched pandas UDF (numpy shifted-slice Horner +
+    sliding_window_view min + unique): the pure-DataFrame formulation
+    evaluates five interpreted ascii(substr()) calls PER CHARACTER and
+    measured 23.4 s at sf0.1 vs ~1 s for this UDF — the same
+    interpreted-lambda-vs-BLAS tradeoff as the ANN signature stage
+    (similarity._lsh_keys_udf). Portable: the identical Horner
     arithmetic over unicode codepoints runs in the DuckDB twin
-    (ascii()/unicode() both return the codepoint of the first char).
+    (unicode() returns the codepoint; utf-32-le frombuffer here), so the
+    full-value oracle is unaffected by the execution strategy.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", norm.alias("__n"))
-            .filter(F.length("__n") >= WINNOW_K + WINNOW_W - 1))
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
 
-    def gram_hash(i):
-        h = F.lit(0).cast("long")
-        for j in range(WINNOW_K):
-            h = h * _WINNOW_B + F.ascii(F.col("__n").substr(i + j, F.lit(1)))
-        return h
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length("__n") - (WINNOW_K - 1)), gram_hash)
-    hashed = docs.select("doc_id", hashes.alias("__h"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("__h") - (WINNOW_W - 1)),
-        lambda p: F.array_min(F.slice("__h", p, WINNOW_W)))
-    fp = F.array_sort(F.array_distinct(wins))
-    return (hashed
-            .select("doc_id", F.size("__h").alias("n_grams"), fp.alias("__fp"))
+    k, w, b = WINNOW_K, WINNOW_W, _WINNOW_B
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            cps = np.frombuffer(t.encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            n = len(cps) - (k - 1)
+            h = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                h = h * b + cps[j:j + n]
+            wins = np.lib.stride_tricks.sliding_window_view(
+                h, w).min(axis=1)
+            out.append(np.unique(wins).tolist())
+        return pd.Series(out)
+
+    from .sketch import _spread
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    docs = _spread(
+        _docs(spark, sf_dir)
+        .select("doc_id", norm.alias("__n"))
+        .filter(F.length("__n") >= WINNOW_K + WINNOW_W - 1))
+    # np.unique already returns sorted distinct values
+    fped = docs.select("doc_id",
+                       (F.length("__n") - (WINNOW_K - 1)).alias("n_grams"),
+                       winnow(F.col("__n")).alias("__fp"))
+    return (fped
             .select("doc_id", "n_grams",
                     F.size("__fp").alias("n_fingerprints"),
                     F.element_at("__fp", 1).alias("fp_min"),
