@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resp_stats": relational.resp_stats,
         "month_rollup": relational.month_rollup,
         "distinct_users": relational.distinct_users,
+        "approx_stats": relational.approx_stats,            # oracled:
+        #   HLL + approx-percentile sketches self-checked against exact
+        #   twins (bound booleans hard-coded TRUE in the DuckDB side)
         "latest_event_per_user": relational.latest_event_per_user,
         "top1_per_type": relational.top1_per_type,
         "version_rank": relational.version_rank,

@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "fk_broadcast_join",
     "quota_case",
     "daily_counters",
+    "approx_stats",
     "window_ratelimit",
     "latest_event_per_user",
     "topk_orders",

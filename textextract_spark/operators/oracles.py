@@ -122,6 +122,19 @@ ORACLES: dict[str, str] = {
                count(*) AS events
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # sketch-aggregation bound check: exact columns recomputed, booleans
+    # hard-coded TRUE — a sketch drifting outside its advertised bound
+    # (HLL rsd=0.02 vs 5%; percentile_approx vs its RANK guarantee,
+    # 1% slack) goes red
+    "approx_stats": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS events,
+               TRUE AS hll_within_5pct,
+               TRUE AS p50_rank_within_1pct,
+               TRUE AS p95_rank_within_1pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "latest_event_per_user": """
         SELECT user_id, event_id, event_type FROM (
             SELECT user_id, event_id, event_type,

@@ -207,6 +207,62 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations with SELF-CHECKED error bounds: HLL++ distinct
+    counts (approx_count_distinct) and KLL-style approximate percentiles
+    (percentile_approx) next to their exact twins, emitting per-group
+    booleans asserting the approximation landed within tolerance.
+
+    The 10^12-row story: countDistinct is expand+two-phase-shuffle on
+    the full key set and exact percentile is a sort — both infeasible at
+    crawl scale, where HLL (fixed ~kB mergeable sketch, map-side
+    combinable) and approx percentiles are the standard replacements.
+    The driver oracle recomputes the EXACT columns in DuckDB and
+    hard-codes the booleans TRUE, so a sketch drifting out of its
+    advertised bound turns the row red.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile_approx(value, array(0.5D, 0.95D), 10000)")
+    agg = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("distinct_users"),
+                F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("__hll"),
+                pct.alias("__ap"),
+                F.count("*").alias("events")))
+    hll_ok = (F.abs(F.col("__hll") - F.col("distinct_users"))
+              / F.col("distinct_users") <= 0.05)
+    # the approx-percentile guarantee is on RANK (within err*n of the
+    # target), not value distance — verify it as such: the fraction of
+    # values <= (resp. <) the returned value must bracket the target
+    # quantile within 1% slack. One broadcast join back (the agg output
+    # is tiny) + one more map-side-combinable count pass.
+    probes = agg.select("event_type",
+                        F.element_at("__ap", 1).alias("__p50"),
+                        F.element_at("__ap", 2).alias("__p95"))
+    v = F.col("value")
+    ranks = (ev.join(F.broadcast(probes), "event_type")
+             .groupBy("event_type")
+             .agg(*[F.sum((cmp).cast("long")).alias(name)
+                    for name, cmp in [
+                        ("__le50", v <= F.col("__p50")),
+                        ("__lt50", v < F.col("__p50")),
+                        ("__le95", v <= F.col("__p95")),
+                        ("__lt95", v < F.col("__p95"))]],
+                  F.count("*").alias("__n")))
+    n = F.col("__n").cast("double")
+
+    def rank_ok(le, lt, q):
+        return ((F.col(le) / n >= q - 0.01) & (F.col(lt) / n <= q + 0.01))
+    return (agg.join(ranks, "event_type")
+            .select("event_type", "distinct_users", "events",
+                    hll_ok.alias("hll_within_5pct"),
+                    rank_ok("__le50", "__lt50", 0.5)
+                    .alias("p50_rank_within_1pct"),
+                    rank_ok("__le95", "__lt95", 0.95)
+                    .alias("p95_rank_within_1pct"))
+            .orderBy("event_type"))
+
+
 # -- windows / ranking / pagination -----------------------------------------
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
