@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": multimodal.frame_sample,
         "media_decode": multimodal.media_decode,            # oracled:
         #   real stdlib BMP/WAV header decode over synthesized payloads
+        "audio_features": multimodal.audio_features,        # oracled:
+        #   sample-level PCM RMS/ZCR/peak, byte stream re-derived in SQL
         # the extraction pipeline itself — full text oracle (see
         # _extract_docs docstring); mixed-format byte identity in pytest
         "extract_docs": _extract_docs,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "latest_release",
     "lang_trigram",
     "media_decode",
+    "audio_features",
     "curate_docs",
 ]
 

@@ -408,6 +408,77 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def wav_pcm_samples(payload: bytes) -> "np.ndarray":
+    """Flat (channel-interleaved) int16 PCM sample stream of a RIFF/WAV
+    payload — the sample-level counterpart of decode_media's header
+    parse. Walks the chunk list like the header parser (pad-to-even)."""
+    import numpy as np
+    pos, n = 12, len(payload)
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    return np.frombuffer(data, dtype="<i2")
+
+
+def _audio_feature_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    for pdf in batches:
+        rows = {k: [] for k in ("media_id", "channels", "n_samples",
+                                "rms", "zcr", "peak")}
+        for i in pdf["media_id"].tolist():
+            ch, n = 1 + i % 2, 16 + i % 50
+            payload = build_wav(ch, 8000 + i % 100, 16, n)
+            s = wav_pcm_samples(payload)
+            sv = s.astype(np.float64)
+            rows["media_id"].append(i)
+            rows["channels"].append(ch)
+            rows["n_samples"].append(n)
+            rows["rms"].append(float(np.sqrt(np.mean(sv * sv))))
+            rows["zcr"].append(
+                float(np.sum(sv[:-1] * sv[1:] < 0)) / (len(sv) - 1))
+            rows["peak"].append(int(np.max(np.abs(s.astype(np.int64)))))
+        yield pd.DataFrame({
+            "media_id": pd.Series(rows["media_id"], dtype="int64"),
+            "channels": pd.Series(rows["channels"], dtype="int32"),
+            "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+            "rms": pd.Series(rows["rms"], dtype="float64"),
+            "zcr": pd.Series(rows["zcr"], dtype="float64"),
+            "peak": pd.Series(rows["peak"], dtype="int32"),
+        })
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-level audio feature extraction (beyond the header parse):
+    synthesize a deterministic PCM WAV per document id, decode the full
+    int16 sample stream, and compute RMS energy, zero-crossing rate and
+    peak amplitude — the classic audio-quality gate features, numpy-
+    vectorized per payload in one Arrow-batched stage (zero shuffle).
+
+    Every sample is a closed-form function of its byte index
+    (build_wav: byte b_j = (j*31) mod 256), so the DuckDB twin
+    recomputes RMS/ZCR/peak from id arithmetic + generate_series alone —
+    the decode, the signed-int16 reconstruction, and the feature math
+    are all independently re-derived in SQL."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("media_id")))
+    out = docs.repartition(8, "media_id").mapInPandas(
+        _audio_feature_batches,
+        schema="media_id long, channels int, n_samples int, "
+               "rms double, zcr double, peak int")
+    return (out.select("media_id", "channels", "n_samples",
+                       F.round("rms", 4).alias("rms"),
+                       F.round("zcr", 4).alias("zcr"),
+                       "peak")
+            .orderBy("media_id"))
+
+
 def media_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-correctness projection of media_features: the columns with
     exact DuckDB twins (sha256 / octet_length). Entropy stays in the full

@@ -811,6 +811,38 @@ ORACLES: dict[str, str] = {
                          ELSE 0 END AS BIGINT) AS n_samples
         FROM documents ORDER BY media_id
     """,
+    # sample-level audio features: the WAV byte stream is closed-form
+    # (byte j = (j*31) mod 256 — multimodal.build_wav), so the int16 LE
+    # reconstruction and RMS/ZCR/peak are re-derived from id arithmetic +
+    # generate_series, independently of the Python decode path
+    "audio_features": """
+        WITH p AS (
+            SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(16 + doc_id % 50 AS INT) AS n_samples,
+                   (16 + doc_id % 50) * (1 + doc_id % 2) AS total
+            FROM documents),
+        s AS (
+            SELECT media_id, channels, n_samples, total, k,
+                   ((2 * k * 31) % 256) + 256 * (((2 * k + 1) * 31) % 256)
+                       AS v
+            FROM p, LATERAL unnest(range(0, total)) AS u(k)),
+        s2 AS (
+            SELECT media_id, channels, n_samples, total, k,
+                   CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+                        AS DOUBLE) AS sv
+            FROM s),
+        l AS (
+            SELECT media_id, channels, n_samples, total, sv,
+                   lead(sv) OVER (PARTITION BY media_id ORDER BY k) AS nxt
+            FROM s2)
+        SELECT media_id, channels, n_samples,
+               round(sqrt(avg(sv * sv)), 4) AS rms,
+               round(CAST(sum(CASE WHEN sv * nxt < 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / (max(total) - 1), 4) AS zcr,
+               CAST(max(abs(sv)) AS INT) AS peak
+        FROM l GROUP BY media_id, channels, n_samples ORDER BY media_id
+    """,
     # -- similarity ---------------------------------------------------------
     # IVF twin: same coarse-quantize (per-label centroid over the
     # deterministic vec_id%4 build sample — twin of
