@@ -421,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "repetition_stats": textdata.repetition_stats,
+        "mixture_sample": textdata.mixture_sample,          # oracled:
+        #   deterministic hash-threshold mixture sampling, config-
+        #   generated twin
         "line_dedup": textdata.line_dedup,                  # oracled:
         #   C4-style cross-corpus duplicate-line removal over the
         #   synthesized multi-line corpus, full clean_text twin in SQL

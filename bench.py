@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "url_dedup",
     "token_stats",
+    "mixture_sample",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",

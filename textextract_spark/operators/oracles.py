@@ -1056,3 +1056,35 @@ def _lang_trigram_oracle() -> str:
 
 
 ORACLES["lang_trigram"] = _lang_trigram_oracle()
+
+
+def _mixture_sample_oracle() -> str:
+    """GENERATED from textdata.MIXTURE_RATES (like the lang_trigram twin)
+    so the mixture config cannot drift between engines; the two-hex-digit
+    bucket arithmetic mirrors the Spark side exactly."""
+    from .textdata import _HEX, MIXTURE_DEFAULT_RATE, MIXTURE_RATES
+
+    whens = "\n                        ".join(
+        f"WHEN source = '{s}' THEN {r}"
+        for s, r in MIXTURE_RATES.items())
+    return f"""
+        WITH b AS (
+            SELECT source,
+                   CASE {whens}
+                        ELSE {MIXTURE_DEFAULT_RATE} END AS rate,
+                   (instr('{_HEX}',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+                   + (instr('{_HEX}',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                       AS bucket
+            FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST(max(rate) AS INT) AS rate_per256
+        FROM b GROUP BY source ORDER BY source
+    """
+
+
+ORACLES["mixture_sample"] = _mixture_sample_oracle()

@@ -436,6 +436,50 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# Per-source sampling rates for the training-mixture query: a real
+# pipeline reads these from a mixture config; the CASE ladder below is
+# that config as data. Rates out of 256 hash buckets (two md5 hex
+# digits — the bucket arithmetic is portable to ANSI SQL, unlike conv).
+MIXTURE_RATES: dict[str, int] = {"src0": 256, "src1": 128, "src2": 64}
+MIXTURE_DEFAULT_RATE = 26  # ~10%
+_HEX = "0123456789abcdef"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXTURE construction: sample each source at its
+    configured rate with a DETERMINISTIC hash threshold — keep doc iff
+    its md5-derived bucket (first two hex digits, 0..255) falls under
+    rate[source].
+
+    This is the only sampling shape that works at 10^12 docs: a
+    stateless filter (no shuffle, no state, no rand() — reruns and
+    retries keep the exact same docs, so checkpoint/resume and the
+    A/B-ing of downstream models stay reproducible). Per-source
+    row_number()-style quota sampling would funnel each source through
+    one window task; rate-based hash thresholds scale per split.
+    Emits the per-source kept/total counts (one map-side-combinable
+    agg) — the mixture report a curation run logs.
+    """
+    rate = F.lit(MIXTURE_DEFAULT_RATE)
+    for src, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast(doc_id as string)),{i},1))"
+        ) - 1
+    bucket = hexval(1) * 16 + hexval(2)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source", rate.alias("__rate"),
+                    bucket.alias("__b"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("__b") < F.col("__rate")).cast("long"))
+                  .alias("n_sampled"),
+                 F.max("__rate").alias("rate_per256"))
+            .orderBy("source"))
+
+
 # -- cross-corpus duplicate-line removal (C4-style) -------------------------
 
 # winner packing doc_id*PACK + line_no: valid while every doc has fewer
