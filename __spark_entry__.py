@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "repetition_stats": textdata.repetition_stats,
+        "pii_scrub": textdata.pii_scrub,                    # oracled:
+        #   ROOTS-style PII redaction, twin generated from PII_PATTERNS
         "mixture_sample": textdata.mixture_sample,          # oracled:
         #   deterministic hash-threshold mixture sampling, config-
         #   generated twin

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "token_stats",
     "mixture_sample",
+    "pii_scrub",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",

@@ -1088,3 +1088,32 @@ def _mixture_sample_oracle() -> str:
 
 
 ORACLES["mixture_sample"] = _mixture_sample_oracle()
+
+
+def _pii_scrub_oracle() -> str:
+    """GENERATED from textdata.PII_PATTERNS (same planted construction,
+    same ordered sequential replace) — pattern table drift between the
+    engines is impossible."""
+    from .textdata import PII_PATTERNS
+
+    planted = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+               " || '@example.com or 10.0.'"
+               " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+               " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+               " || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')")
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+        SELECT doc_id,
+               {counts},
+               {scrub} AS clean_text
+        FROM p ORDER BY doc_id
+    """
+
+
+ORACLES["pii_scrub"] = _pii_scrub_oracle()

@@ -50,7 +50,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-# Winnowing parameters (Schleimer et al., SIGMOD'03 — the MOSS local
+# PII patterns for the scrubbing pass (ROOTS/RedPajama-style curation):
+# ORDERED — email first (it contains digits a later pattern could eat).
+# Every pattern is shared verbatim by Java regex and RE2 (classes,
+# bounded repeats, ASCII \b only); the DuckDB twin is GENERATED from
+# this table (operators.oracles) so the engines cannot drift.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def scrub_pii(t):
+    """Sequential PII redaction of a text column (native regexp_replace,
+    whole-stage codegen, zero shuffle — the only shape that scrubs
+    10^12 documents)."""
+    for _, pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the PII pass: the corpus has no organic PII, so
+    each doc gets a deterministic planted suffix (an email, an IPv4 and
+    a phone number derived from doc_id — same construction in the
+    DuckDB twin), then per-category match counts are taken BEFORE
+    scrubbing and the scrubbed text is emitted for the byte-exact
+    check."""
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or 10.0."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(" call +1555"), F.lpad(d.cast("string"), 7, "0"))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("__t"))
+    counts = [F.size(F.regexp_extract_all("__t", F.lit(pat), 0))
+               .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    return (docs.select("doc_id", *counts,
+                        scrub_pii(F.col("__t")).alias("clean_text"))
+            .orderBy("doc_id"))
 # fingerprinting algorithm): polynomial rolling hash over char K-grams,
 # then the min hash of every W-gram window; guarantees any shared
 # substring of length >= K+W-1 contributes a shared fingerprint.
