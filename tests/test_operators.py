@@ -561,6 +561,31 @@ def test_duplicate_line_removal_planted(spark):
     assert (got[3].n_lines, got[3].n_kept, got[3].n_dropped) == (1, 1, 0)
 
 
+def test_scrub_pii_edge_cases(spark):
+    """PII redaction on boundary cases: punctuation-adjacent emails,
+    IP-lookalikes that must survive (version strings inside words),
+    ordered scrubbing (the email eats its own digits before the phone
+    pattern can)."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import scrub_pii
+
+    cases = [
+        ("mail a.b-c_d@sub.example.co.uk, thanks", "mail <EMAIL>, thanks"),
+        ("server 192.168.0.1 and 10.0.0.255.", "server <IP> and <IP>."),
+        # embedded in a word: \b keeps v1.2.3.4x from matching... the
+        # leading 'v' blocks the left boundary; trailing x blocks right
+        ("version v1.2.3.4x ok", "version v1.2.3.4x ok"),
+        ("call +4915123456789 now", "call <PHONE> now"),
+        ("short +123456 stays", "short +123456 stays"),  # <7 digits
+        ("x12345@y.io +1234567", "<EMAIL> <PHONE>"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    got = [r.c for r in
+           df.select(scrub_pii(F.col("text")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_winnow_fingerprint_guarantee(spark, tmp_path):
     """The winnowing guarantee (Schleimer et al.): two docs sharing a
     substring of length >= K+W-1 chars share at least one fingerprint;

@@ -7,8 +7,11 @@ hash-sketch ones (MinHash/SimHash) are rows-only checks because portable
 cross-engine 64-bit hashing doesn't exist — their correctness is covered by
 pytest against brute-force pairs (tests/test_dedup.py).
 
-Everything is built-in pyspark.sql.functions (JVM-side, whole-stage
-codegen) — no Python UDFs anywhere in this module.
+Default execution strategy: built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen). The two exceptions are Arrow-batched numpy pandas
+UDFs with measured justifications in their docstrings — lang_trigram
+(profile counting, ~9x vs interpreted lambdas) and winnow_fingerprint
+(rolling hash, 20x) — never row-at-a-time Python.
 """
 
 from __future__ import annotations
