@@ -412,3 +412,53 @@ def test_manifest_time_travel(spark, tmp_path):
     then = keyed.read_keyed(spark, BUCKET_COL, version=1).collect()
     assert [(r.user_id, r.requests) for r in now] == [(1, 7)]
     assert [(r.user_id, r.requests) for r in then] == [(1, 5)]
+
+
+def test_compact_preserves_data_checkpoints_and_history(spark, tmp_path):
+    """compact() (rewrite_data_files analog): identical rows, preserved
+    committed_part_keys (resume still skips), fewer files, pre-compact
+    layout still reachable via VERSION AS OF, and a concurrent writer
+    racing the compaction commit loses cleanly."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from textextract_spark.io.table import (
+        CommitConflictError, ManifestTable)
+
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    for pk in range(3):
+        tbl.append(spark.range(pk * 10, pk * 10 + 10).repartition(4),
+                   part_keys=[pk], run_id=f"w{pk}")
+    before = sorted(r.id for r in tbl.read(spark).collect())
+    pre_ver = tbl.current_version()
+    n_files_before = len(glob.glob(
+        os.path.join(tbl.path, "snap-*", "*.parquet")))
+
+    sid = tbl.compact(spark, target_files=2, run_id="maint")
+    assert sid is not None
+    assert sorted(r.id for r in tbl.read(spark).collect()) == before
+    assert tbl.committed_part_keys() == {0, 1, 2}
+    live_dir = os.path.join(tbl.path, f"snap-{sid}")
+    assert len(glob.glob(os.path.join(live_dir, "*.parquet"))) <= 2
+    assert n_files_before >= 12  # 3 snapshots x 4 files
+    # time travel: the pre-compaction version still reads identically
+    assert sorted(
+        r.id for r in tbl.read(spark, version=pre_ver).collect()) == before
+    # a second compact on a single-snapshot table is a no-op
+    assert tbl.compact(spark) is None
+
+    # concurrency: writer commits between compaction's load and publish
+    tbl.append(spark.range(100, 105), part_keys=[3], run_id="w3")
+    ver, manifest = tbl._load_with_version()
+    racer = ManifestTable(tbl.path)
+    # simulate: compaction loaded `ver`, then the racer publishes ver+1
+    manifest_r = {"snapshots": manifest["snapshots"] + [{
+        "snapshot_id": "rrrr", "dir": "snap-rrrr", "part_keys": [4],
+        "run_id": "race", "parent": None}]}
+    racer._publish(manifest_r, ver)
+    with _pytest.raises(CommitConflictError):
+        # the compaction now tries to publish against its stale parent
+        compacted = {"snapshots": [manifest["snapshots"][0]]}
+        tbl._publish(compacted, ver)

@@ -184,6 +184,57 @@ class ManifestTable:
         self._publish(manifest, ver)
         return snapshot_id
 
+    def compact(self, spark: SparkSession, target_files: int = 8,
+                run_id: str | None = None) -> str | None:
+        """Small-file maintenance (the Iceberg ``rewrite_data_files``
+        analog): rewrite every live append-snapshot into ONE snapshot of
+        ~target_files parquet files and publish it as the sole visible
+        state. Chunked commits write one snapshot per chunk — at crawl
+        scale that accumulates thousands of small files per table, and
+        scan planning degrades with file count, so a real pipeline runs
+        this between ingest waves.
+
+        Correctness properties (pytest-verified):
+          * data is byte-identical before/after (same rows, coalesce is
+            shuffle-free);
+          * ``committed_part_keys`` is preserved (the checkpoint/resume
+            contract survives compaction — reruns still skip);
+          * the commit is the same CAS publish as append: a concurrent
+            writer that lands first wins and this compaction fails with
+            CommitConflictError, leaving its output an orphan (retry);
+          * old manifest versions remain readable (VERSION AS OF time
+            travel shows the pre-compaction layout).
+
+        Tables maintained via replace_partitions have per-bucket
+        ownership semantics that a blind rewrite would collapse —
+        unsupported here (raise), like Iceberg requiring a
+        partition-aware rewrite strategy for those.
+        """
+        ver, manifest = self._load_with_version()
+        snaps = manifest["snapshots"]
+        if len(snaps) <= 1:
+            return None  # nothing to compact
+        if any(s.get("replaces") for s in snaps):
+            raise NotImplementedError(
+                "compact() supports append-only tables; "
+                "replace_partitions tables need a bucket-aware rewrite")
+        dirs = [os.path.join(self.path, s["dir"]) for s in snaps]
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
+        (spark.read.parquet(*dirs).coalesce(target_files)
+         .write.mode("overwrite").parquet(snap_dir))
+        part_keys = sorted({k for s in snaps for k in s["part_keys"]})
+        manifest["snapshots"] = [{
+            "snapshot_id": snapshot_id,
+            "dir": f"snap-{snapshot_id}",
+            "part_keys": part_keys,
+            "run_id": run_id,
+            "parent": snaps[-1]["snapshot_id"],
+            "compacted_from": [s["snapshot_id"] for s in snaps],
+        }]
+        self._publish(manifest, ver)
+        return snapshot_id
+
     def read_keyed(self, spark: SparkSession,
                    bucket_col: str,
                    version: int | None = None) -> DataFrame | None:
