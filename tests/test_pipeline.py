@@ -462,3 +462,36 @@ def test_compact_preserves_data_checkpoints_and_history(spark, tmp_path):
         # the compaction now tries to publish against its stale parent
         compacted = {"snapshots": [manifest["snapshots"][0]]}
         tbl._publish(compacted, ver)
+
+
+def test_resume_after_compaction(spark, corpus_dir, golden):
+    """Maintenance between ingest waves: compacting the chunked output
+    tables must not change a byte of data and must keep the resume
+    contract — a rerun over the same input still skips every part_key."""
+    import tempfile
+
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="textx-compact-")
+    run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=4,
+                 run_id="ingest")
+    ext = ManifestTable(os.path.join(out, "extracted"))
+    met = ManifestTable(os.path.join(out, "metrics"))
+    before = {r.url: r.text for r in ext.read(spark).collect()}
+    assert len(ext.snapshots()) == 4
+
+    assert ext.compact(spark, run_id="maint") is not None
+    assert met.compact(spark, run_id="maint") is not None
+    assert len(ext.snapshots()) == 1
+    assert {r.url: r.text
+            for r in ext.read(spark).collect()} == before
+    assert before == {u: g["text"] for u, g in golden.items()}
+
+    # rerun: everything committed -> nothing reprocessed, table unchanged
+    res = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=4,
+                       run_id="resume")
+    assert sorted(res["committed_part_keys"]) == list(range(8))
+    assert len(ext.snapshots()) == 1  # no new snapshot was needed
+    assert {r.url: r.text
+            for r in ext.read(spark).collect()} == before

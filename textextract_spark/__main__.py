@@ -19,10 +19,16 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser(prog="textextract_spark")
-    ap.add_argument("--pages", required=True,
+    ap.add_argument("--pages", default=None,
                     help="input path: pages parquet (url, warc_ts, html, "
                          "text, lang) or WARC file(s)/glob with "
-                         "--format warc")
+                         "--format warc (not needed for --maintenance)")
+    ap.add_argument("--maintenance", choices=("compact",), default=None,
+                    help="run table maintenance on --out instead of an "
+                         "ingest: 'compact' rewrites each table's "
+                         "accumulated chunk snapshots into one "
+                         "(rewrite_data_files analog; checkpoint- and "
+                         "time-travel-preserving)")
     ap.add_argument("--out", required=True, help="output table directory")
     ap.add_argument("--format", default="parquet",
                     choices=("parquet", "warc"), dest="input_format",
@@ -45,6 +51,25 @@ def main() -> None:
 
     run_id = args.run_id or f"run-{int(time.time())}"
     spark = get_spark(app_name=f"textextract-{run_id}", cores=args.cores)
+
+    if args.maintenance == "compact":
+        import os
+
+        from .io.table import ManifestTable
+
+        report: dict[str, dict] = {}
+        for name in ("extracted", "metrics"):
+            tbl = ManifestTable(os.path.join(args.out, name))
+            before = len(tbl.snapshots())
+            sid = tbl.compact(spark, run_id=run_id)
+            report[name] = {"snapshots_before": before,
+                            "compacted": sid is not None}
+        print(json.dumps({"run_id": run_id, "mode": "compact", **report}))
+        spark.stop()
+        return
+
+    if not args.pages:
+        ap.error("--pages is required unless --maintenance is given")
     t0 = time.perf_counter()
     res = run_pipeline(spark, args.pages, args.out,
                        num_parts=args.num_parts, n_salts=args.n_salts,
