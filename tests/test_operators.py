@@ -694,3 +694,44 @@ def test_decode_media_roundtrip_property():
 
     check_bmp()
     check_wav()
+
+
+def test_curation_operators_idempotent(spark):
+    """Curation passes must be idempotent — running any of them twice
+    changes nothing (reruns/retries at scale must not mutate data):
+    canonicalize(canonicalize(u)) == canonicalize(u),
+    scrub(scrub(t)) == scrub(t), and a second duplicate-line-removal
+    pass keeps every line the first pass kept."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import (
+        duplicate_line_removal, scrub_pii)
+    from textextract_spark.operators.urls import canonicalize_url
+
+    urls = [
+        "HTTP://Example.COM:80/a/b/?utm_x=1&id=2#f",
+        "https://h.io:8443/p?a=1&utm_b=2&c=3",
+        "http://x.org",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+    texts = ["mail a@b.co and 1.2.3.4 call +12345678 end",
+             "no pii at all here"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    once = df.select(scrub_pii(F.col("text")).alias("t"))
+    twice = once.select(scrub_pii(F.col("t")).alias("t"))
+    assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+
+    docs = spark.createDataFrame(
+        [(0, "shared\nalpha"), (1, "shared\nbeta"), (2, "gamma\nshared")],
+        ["doc_id", "text"])
+    first = duplicate_line_removal(docs)
+    second = duplicate_line_removal(
+        first.select("doc_id", F.col("clean_text").alias("text")))
+    got1 = {r.doc_id: r.clean_text for r in first.collect()}
+    got2 = {r.doc_id: r.clean_text for r in second.collect()}
+    assert got1 == got2
+    assert all(r.n_dropped == 0 for r in second.collect())
