@@ -181,13 +181,18 @@ def _warc_docs_dir(sf_dir: str) -> str:
 
     from textextract_spark.io.warc import build_warc
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"textx_warcdocs_v1_{tag}")
-    done = os.path.join(d, "_DONE")
-    if os.path.exists(done):
+    # cache tag = sf_dir path + CONTENT fingerprint (mtime+size of the
+    # parquet): a regenerated documents.parquet at the same path must
+    # miss the cache, or this query would read stale archives while the
+    # oracle reads the fresh table — an untraceable false red
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"textx_warcdocs_v2_{tag}")
+    if os.path.isdir(d):
         return d
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
     recs = []
     for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
                             tbl.column("text").to_pylist()):
@@ -197,12 +202,19 @@ def _warc_docs_dir(sf_dir: str) -> str:
                                  + _dt.timedelta(seconds=int(doc_id))),
                      "html": body,
                      "digest": hashlib.md5(body).hexdigest()})
-    os.makedirs(d, exist_ok=True)
+    # write-to-temp + atomic rename: a concurrent driver never observes
+    # a half-written archive set (the rename loser just reuses the
+    # winner's directory)
+    tmp = tempfile.mkdtemp(prefix=f"{d}.build-")
     per = max(1, len(recs) // 8)
     for i in range(0, len(recs), per):
-        with open(os.path.join(d, f"crawl-{i:07d}.warc.gz"), "wb") as f:
+        with open(os.path.join(tmp, f"crawl-{i:07d}.warc.gz"), "wb") as f:
             f.write(build_warc(recs[i:i + per], compress=True))
-    open(done, "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:  # lost the race — the winner's dir is complete
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 

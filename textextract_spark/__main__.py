@@ -57,6 +57,16 @@ def main() -> None:
 
         from .io.table import ManifestTable
 
+        # fail loudly on a typo'd --out BEFORE ManifestTable mkdir's
+        # empty table dirs there — a "successful" no-op compact of a
+        # wrong path would leave the real table fragmented AND litter
+        # junk directories
+        missing = [n for n in ("extracted", "metrics")
+                   if not os.path.isdir(os.path.join(args.out, n))]
+        if missing:
+            ap.error(f"--out {args.out} has no "
+                     f"{'/'.join(missing)} table(s) — not a pipeline "
+                     "output directory")
         report: dict[str, dict] = {}
         for name in ("extracted", "metrics"):
             tbl = ManifestTable(os.path.join(args.out, name))

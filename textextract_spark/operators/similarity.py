@@ -72,7 +72,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENTROID_SAMPLE_MOD = 4  # deterministic pseudo-sample: vec_id % MOD == 0
+# FIFO-bounded: a long session sweeping many sf_dirs (pytest tmp dirs,
+# bench scales) must not pin one checkpointed RDD per corpus forever —
+# evicted entries are dereferenced and Spark's ContextCleaner reclaims
+# their blocks
 _CENTROID_CACHE: dict[tuple, DataFrame] = {}
+_CENTROID_CACHE_MAX = 8
 
 
 def label_centroids(spark: SparkSession, sf_dir: str,
@@ -106,6 +111,8 @@ def label_centroids(spark: SparkSession, sf_dir: str,
              .select("label",
                      F.transform("dv", lambda s: s.v).alias("centroid"))
              .localCheckpoint(eager=True))
+    while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
     _CENTROID_CACHE[key] = cents
     return cents
 

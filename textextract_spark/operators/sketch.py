@@ -302,7 +302,11 @@ def with_simhash(df: DataFrame) -> DataFrame:
     # filter being pushed below the spread exchange)
     word = (base.filter(~sp)
             .select("doc_id", F.explode_outer("tokens").alias("tok")))
-    chars = (base.filter(sp)
+    # length guard mirrors with_shingles' char branch: a spaceless doc
+    # shorter than the token width has no n-grams — without the filter,
+    # sequence(1, len-2) goes DESCENDING and substr clamps negative
+    # positions, silently voting on duplicate junk tokens
+    chars = (base.filter(sp & (F.length(norm) >= SIMHASH_CHAR_TOKEN))
              .select("doc_id",
                      F.explode_outer(
                          _char_ngrams(norm, SIMHASH_CHAR_TOKEN))

@@ -16,6 +16,8 @@ UDFs with measured justifications in their docstrings — lang_trigram
 
 from __future__ import annotations
 
+import functools as _functools
+
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,6 +97,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", *counts,
                         scrub_pii(F.col("__t")).alias("clean_text"))
             .orderBy("doc_id"))
+
+
+# Winnowing parameters (Schleimer et al., SIGMOD'03 — the MOSS local
 # fingerprinting algorithm): polynomial rolling hash over char K-grams,
 # then the min hash of every W-gram window; guarantees any shared
 # substring of length >= K+W-1 contributes a shared fingerprint.
@@ -281,6 +286,14 @@ def bpe_segment(word: str) -> list[str]:
     return parts
 
 
+@_functools.lru_cache(maxsize=65536)
+def _n_subtokens(word: str) -> int:
+    """Merged-token count of one pre-token — a worker-lifetime cache
+    over the SAME bpe_segment the pytest equivalence battery certifies
+    (never a second copy of the merge loop)."""
+    return len(bpe_segment(word))
+
+
 def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE token counting: pre-tokenize with BPE_TOKEN_RE, then run
     the BPE_MERGES loop over each pre-token and count merged tokens.
@@ -295,46 +308,23 @@ def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-oracled bpe_bounds driver row (n_pretokens <= n_bpe_tokens <=
     n_pretoken_chars per doc, pretoken stats recomputed in SQL)."""
     import re
-    from functools import lru_cache
 
     from pyspark.sql.types import ArrayType, LongType
 
     pat = re.compile(BPE_TOKEN_RE)
-    merges = BPE_MERGES  # close over the table (broadcast shape)
 
     @F.pandas_udf(ArrayType(LongType()))
     def bpe_counts(texts: pd.Series) -> pd.Series:
-        rank = {p: i for i, p in enumerate(merges)}
-
-        @lru_cache(maxsize=65536)
-        def n_subtokens(word: str) -> int:
-            parts = list(word)
-            while len(parts) > 1:
-                best = None
-                for i in range(len(parts) - 1):
-                    r = rank.get((parts[i], parts[i + 1]))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    break
-                a, b = merges[best]
-                out, i = [], 0
-                while i < len(parts):
-                    if (i < len(parts) - 1 and parts[i] == a
-                            and parts[i + 1] == b):
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(parts[i])
-                        i += 1
-                parts = out
-            return len(parts)
-
+        # ONE merge-loop implementation: the UDF kernel IS the module-
+        # level bpe_segment (pytest compares the UDF against it, so a
+        # second inline copy could silently drift from the thing the
+        # test certifies). _n_subtokens' lru_cache is module-level too —
+        # worker-lifetime, ~O(vocabulary) total, not reset per batch.
         rows = []
         for t in texts:
             pre = pat.findall(t)
             rows.append([len(pre),
-                         sum(n_subtokens(w) for w in pre),
+                         sum(_n_subtokens(w) for w in pre),
                          sum(len(w) for w in pre)])
         return pd.Series(rows)
 
