@@ -371,6 +371,15 @@ def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
                "par avec tout fait comme entre aussi sans très mais").split(),
         "es": ("el la los de que en un una es no con por para las del "
                "se su al lo como más pero sus fue este entre").split(),
+        "it": ("di il che per non una sono gli della alla più anche "
+               "come questo quella essere molto bella città nazione "
+               "stazione").split(),
+        "pt": ("não um uma ação coração informação os de que mais "
+               "também olho velho filho sonho caminho ilha primeiro "
+               "brasileiro lições").split(),
+        "nl": ("de het een van en zijn niet maar ook aan door naar "
+               "jaar gelijk eigenlijk moeilijk tussen deze onder "
+               "welke").split(),
         "bn": ("তথ্য পাতা লেখা অনুচ্ছেদ উদাহরণ সংবাদ নিবন্ধ "
                "বিশ্লেষণ").split(),
     }

@@ -612,6 +612,12 @@ TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
            "que", "ent", " qu", "les"),
     "es": (" el", "el ", " de", "de ", "que", " qu", "los", " lo",
            " la", "la ", " es", "ión"),
+    "it": (" di", "di ", " il", "il ", "che", "gli", "lla", "ell",
+           "ità", "zio", " pe", "per"),
+    "pt": ("ção", "ão ", "uma", " um", "lho", "nho", "ém ", " nã",
+           "não", "ões", "inh", "eir"),
+    "nl": ("ijk", "aan", "oor", " zi", "zij", "ijn", "nie", " ni",
+           "het", " he", "aar", " aa"),
     "bn": ("তথ্", "থ্য", "পাত", "লেখ", "অনু", "সংব", "নিব", "বিশ"),
 }
 _PROFILE_LANGS = tuple(TRIGRAM_PROFILE)  # priority order for ties
