@@ -213,3 +213,21 @@ def test_new_dedup_query_shuffle_shapes(spark, sf_dir):
     p = _plan(spark, winnow_fingerprint(spark, sf_dir), "simple")
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "Window" not in p
+
+
+def test_curation_aggregates_are_payload_free(spark, sf_dir):
+    """The curation journey's two winner aggregations (extraction
+    dedup-latest and the exact-dedup keeper) must buffer only (warc_ts,
+    md5) / min(url) — never the text or html payload — and must have
+    map-side partials (the shape that survives a hot content hash at
+    10^12 docs)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["curate_docs"](spark, sf_dir)
+    p = _plan(spark, df, "formatted")
+    fn_lines = [line for line in p.splitlines()
+                if line.strip().startswith("Functions")]
+    assert fn_lines
+    assert all("text" not in line and "html" not in line
+               for line in fn_lines), fn_lines
+    assert any("partial_" in line for line in fn_lines)
