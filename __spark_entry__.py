@@ -322,10 +322,12 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data CURATION journey as ONE driver row under
     the hard gate: crawl pages -> extraction -> quality gate -> exact
-    dedup -> per-url keep/drop decision. Composes three already-oracled
-    stages (extract_docs' chrome trick, textdata.quality_label — the
-    SAME column expression quality_score runs — and a min-url winner
-    aggregation), so the DuckDB twin reconstructs every decision AND the
+    dedup -> per-url keep/drop decision, via pipeline.curation_decisions
+    — the SAME function the product path runs (run_pipeline(curate=True)
+    / the CLI's ``--curate``), so the product surface sits under this
+    oracle. The quality gate is textdata.quality_label (the column
+    expression quality_score also runs); the twin reconstructs every
+    decision AND the
     byte-exact curated text in SQL. Planted copies (doc_id+100000) make
     the dedup stage non-vacuous: each clean doc 0-9 appears twice and
     exactly one occurrence may be decision='keep'.
@@ -348,25 +350,12 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
         F.col("text"), F.col("lang"))
+    from textextract_spark.pipeline import curation_decisions
+
     ex = (extract_pages(pages, num_parts=16, n_salts=4)
           .select("url", "status", "text"))
-    q = ex.withColumn(
-        "quality",
-        F.when(F.col("status") == "ok",
-               textdata.quality_label(F.col("text")))
-         .otherwise(F.lit("-")))
-    winners = (q.filter((F.col("status") == "ok")
-                        & (F.col("quality") == "ok"))
-               .groupBy(F.md5("text").alias("__h"))
-               .agg(F.min("url").alias("__keeper")))
-    return (q.withColumn("__h", F.md5("text"))
-            .join(winners, "__h", "left")
-            .select("url", "status", "quality",
-                    F.when(F.col("status") != "ok", F.lit("drop:extract"))
-                     .when(F.col("quality") != "ok", F.lit("drop:quality"))
-                     .when(F.col("url") != F.col("__keeper"),
-                           F.lit("drop:dup"))
-                     .otherwise(F.lit("keep")).alias("decision"),
+    return (curation_decisions(ex)
+            .select("url", "status", "quality", "decision",
                     F.length("text").alias("text_len"), "text")
             .orderBy("url"))
 

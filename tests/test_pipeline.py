@@ -495,3 +495,40 @@ def test_resume_after_compaction(spark, corpus_dir, golden):
     assert len(ext.snapshots()) == 1  # no new snapshot was needed
     assert {r.url: r.text
             for r in ext.read(spark).collect()} == before
+
+
+def test_run_pipeline_curate(spark, corpus_dir, golden):
+    """run_pipeline(curate=True) commits a `curated` decisions table
+    that partitions the corpus exactly: drop:extract rows == non-ok
+    statuses, every eligible content-hash group keeps exactly its min
+    url, and a rerun recomputes the same decisions (overwrite
+    semantics)."""
+    import tempfile
+    from collections import defaultdict
+
+    from textextract_spark.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="textx-curate-")
+    res = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=2,
+                       run_id="c1", curate=True)
+    cur = {r.url: r for r in res["curated"].read(spark).collect()}
+    assert set(cur) == set(golden)
+
+    n_bad = sum(1 for g in golden.values() if g["status"] != "ok")
+    assert sum(1 for r in cur.values()
+               if r.decision == "drop:extract") == n_bad
+    # per eligible text group: exactly one keep, and it's the min url
+    groups = defaultdict(list)
+    for url, r in cur.items():
+        if r.decision in ("keep", "drop:dup"):
+            groups[r.text].append((url, r.decision))
+    for members in groups.values():
+        keeps = [u for u, d in members if d == "keep"]
+        assert keeps == [min(u for u, _ in members)]
+    # rerun: same decisions, still a single live curated snapshot
+    res2 = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=2,
+                        run_id="c2", curate=True)
+    cur2 = {r.url: r.decision
+            for r in res2["curated"].read(spark).collect()}
+    assert cur2 == {u: r.decision for u, r in cur.items()}
+    assert len(res2["curated"].snapshots()) == 1

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--digest-col", default=None,
                     help="precomputed payload-digest column in a parquet "
                          "input (winner aggregation skips payload hashing)")
+    ap.add_argument("--curate", action="store_true",
+                    help="after extraction, commit a `curated` table of "
+                         "per-url keep/drop decisions (quality gate + "
+                         "corpus-wide exact dedup)")
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=4)
@@ -85,7 +89,7 @@ def main() -> None:
                        num_parts=args.num_parts, n_salts=args.n_salts,
                        chunks=args.chunks, run_id=run_id,
                        input_format=args.input_format,
-                       digest_col=args.digest_col)
+                       digest_col=args.digest_col, curate=args.curate)
     metrics = res["metrics"].read(spark)
     summary = metrics.agg(
         F.coalesce(F.sum("doc_count"), F.lit(0)).alias("docs"),
@@ -93,7 +97,7 @@ def main() -> None:
         F.coalesce(F.sum("byte_count"), F.lit(0)).alias("bytes"),
     ).collect()[0]
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    payload = {
         "run_id": run_id,
         "docs": summary.docs,
         "failures": summary.failures,
@@ -101,7 +105,14 @@ def main() -> None:
         "committed_part_keys": len(res["committed_part_keys"]),
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round((summary.docs or 0) / elapsed, 1),
-    }))
+    }
+    if args.curate:
+        cur = res["curated"].read(spark)
+        decisions = ({r.decision: r.n for r in
+                      cur.groupBy("decision").agg(F.count("*").alias("n"))
+                      .collect()} if cur is not None else {})
+        payload["curated"] = decisions
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -388,6 +388,42 @@ def lineage_metrics(extracted: DataFrame, run_id: str,
      .withColumn("committed_at", F.current_timestamp()))
 
 
+def curation_decisions(extracted: DataFrame) -> DataFrame:
+    """Quality gate + corpus-wide exact dedup over an extracted table —
+    the per-url keep/drop decision a training-data pipeline commits next
+    to the raw extraction (decisions: keep | drop:extract |
+    drop:quality | drop:dup, keeper = min url per content hash).
+
+    Shared by the product path (run_pipeline(curate=True) /
+    ``--curate``) and the oracled driver row (__spark_entry__.
+    _curate_docs) — one implementation under the correctness gate.
+    Scale shape: quality is a stateless projection; the winner
+    aggregation shuffles (md5, min(url)) only — map-side combinable —
+    and the join back is hash-key equality, AQE-splittable
+    (plan-asserted payload-free in tests/test_plans).
+    """
+    from .operators.textdata import quality_label
+
+    q = extracted.withColumn(
+        "quality",
+        F.when(F.col("status") == "ok", quality_label(F.col("text")))
+         .otherwise(F.lit("-")))
+    winners = (q.filter((F.col("status") == "ok")
+                        & (F.col("quality") == "ok"))
+               .groupBy(F.md5("text").alias("__h"))
+               .agg(F.min("url").alias("__keeper")))
+    return (q.withColumn("__h", F.md5("text"))
+            .join(winners, "__h", "left")
+            .withColumn(
+                "decision",
+                F.when(F.col("status") != "ok", F.lit("drop:extract"))
+                 .when(F.col("quality") != "ok", F.lit("drop:quality"))
+                 .when(F.col("url") != F.col("__keeper"),
+                       F.lit("drop:dup"))
+                 .otherwise(F.lit("keep")))
+            .drop("__h", "__keeper"))
+
+
 # ---------------------------------------------------------------------------
 # Orchestration: chunked snapshot commits + resume
 # ---------------------------------------------------------------------------
@@ -403,6 +439,7 @@ def run_pipeline(
     fail_after_chunk: int | None = None,
     input_format: str = "parquet",
     digest_col: str | None = None,
+    curate: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job with chunked snapshot commits.
 
@@ -487,8 +524,19 @@ def run_pipeline(
             raise RuntimeError(f"injected failure after chunk {chunk}")
     if persisted is not None:
         persisted.unpersist()
-    return {
+    result = {
         "extracted": out,
         "metrics": metrics_tbl,
         "committed_part_keys": sorted(out.committed_part_keys()),
     }
+    if curate:
+        # corpus-wide decisions are recomputed over the FULL table each
+        # run (a global property — new docs can demote prior keepers) and
+        # committed as one overwrite snapshot; old versions stay
+        # time-travelable like every ManifestTable commit
+        full = out.read(spark)
+        curated_tbl = ManifestTable(f"{out_dir}/curated")
+        if full is not None:
+            curated_tbl.overwrite(curation_decisions(full))
+        result["curated"] = curated_tbl
+    return result
