@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   synthesized multi-line corpus, full clean_text twin in SQL
         "url_dedup": urls.url_dedup,                        # oracled:
         #   URL canonicalize + latest-capture dedup, full twin in SQL
+        "host_stats": urls.host_stats,                      # oracled:
+        #   per-host crawl/frontier stats, full twin in SQL
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)

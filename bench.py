@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "line_dedup",
     "url_dedup",
+    "host_stats",
     "token_stats",
     "mixture_sample",
     "pii_scrub",

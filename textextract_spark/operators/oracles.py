@@ -541,6 +541,78 @@ ORACLES: dict[str, str] = {
                max(warc_ts) AS last_ts
         FROM canon GROUP BY canonical_url ORDER BY canonical_url
     """,
+    # per-host crawl/frontier stats over the same synthesized crawl
+    # (twin of urls.host_stats; host = lowercased authority sans port)
+    "host_stats": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN
+                       'HTTP://Example.COM:80/a/'
+                         || CAST(doc_id // 4 AS VARCHAR) || '/'
+                     WHEN doc_id % 4 = 1 THEN
+                       'http://example.com/a/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                     WHEN doc_id % 4 = 2 THEN
+                       'https://Example.com:443/b/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '?utm_source=x&id='
+                         || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                     ELSE
+                       'https://example.com/b/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+                   END AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + CAST(doc_id AS INT) * INTERVAL 1 SECOND AS warc_ts
+            FROM documents),
+        parts AS (
+            SELECT lower(regexp_extract(
+                       regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       '^([^:]*)', 1)) AS host,
+                   lower(regexp_extract(url, '^([^:/?#]+)://', 1))
+                       AS scheme,
+                   regexp_extract(
+                       regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       ':([0-9]+)$', 1) AS port,
+                   regexp_extract(
+                       regexp_extract(url,
+                                      '^[^:/?#]+://[^/?#]*([^#]*)', 1),
+                       '^([^?]*)', 1) AS path,
+                   regexp_extract(
+                       regexp_extract(url,
+                                      '^[^:/?#]+://[^/?#]*([^#]*)', 1),
+                       '\?(.*)$', 1) AS query,
+                   warc_ts
+            FROM pages),
+        canon AS (
+            SELECT host, warc_ts,
+                   scheme || '://' || host
+                   || CASE WHEN port = ''
+                             OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                           THEN '' ELSE ':' || port END
+                   || CASE WHEN regexp_replace(path, '/+$', '') = ''
+                           THEN '/'
+                           ELSE regexp_replace(path, '/+$', '') END
+                   || CASE WHEN COALESCE(array_to_string(
+                               list_filter(string_split(query, '&'),
+                                   p -> p <> ''
+                                        AND NOT starts_with(p, 'utm_')),
+                               '&'), '') = ''
+                           THEN ''
+                           ELSE '?' || array_to_string(
+                               list_filter(string_split(query, '&'),
+                                   p -> p <> ''
+                                        AND NOT starts_with(p, 'utm_')),
+                               '&') END AS canonical_url
+            FROM parts)
+        SELECT host, count(*) AS n_captures,
+               count(DISTINCT canonical_url) AS n_pages,
+               min(warc_ts) AS first_ts,
+               max(warc_ts) AS last_ts
+        FROM canon GROUP BY host ORDER BY host
+    """,
     "lang_guess": """
         WITH t AS (
             SELECT doc_id, lang,

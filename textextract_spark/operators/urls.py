@@ -74,11 +74,11 @@ def dedup_by_canonical_url(pages: DataFrame,
             .orderBy("canonical_url"))
 
 
-def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: the documents table carries no urls, so messy crawl
-    urls are SYNTHESIZED deterministically from doc_id (same construction
-    in the DuckDB twin) — four variant families where residue classes
-    0/1 and 2/3 collapse to the same canonical url (casing+default-port+
+def _synth_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table carries no urls, so messy crawl urls are
+    SYNTHESIZED deterministically from doc_id (same construction in the
+    DuckDB twins) — four variant families where residue classes 0/1 and
+    2/3 collapse to the same canonical url (casing+default-port+
     trailing-slash variants, and fragment+tracking-param variants), with
     warc_ts = epoch + doc_id seconds so "latest capture" is decidable on
     both engines."""
@@ -95,6 +95,34 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.lit("https://example.com/b/"), g,
                           F.lit("?id="), g)))
     ts = F.timestamp_seconds(F.lit(1735689600) + d)  # 2025-01-01 + id sec
-    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-             .select("doc_id", raw.alias("url"), ts.alias("warc_ts")))
-    return dedup_by_canonical_url(pages)
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", raw.alias("url"), ts.alias("warc_ts")))
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: canonical-url dedup over the synthesized messy
+    crawl (see _synth_crawl)."""
+    return dedup_by_canonical_url(_synth_crawl(spark, sf_dir))
+
+
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-operations / frontier monitoring: per-host capture counts,
+    distinct canonical pages, and the capture-time range — the query a
+    politeness scheduler and a crawl dashboard run per cycle. One
+    map-side-combinable hash aggregation on the lowercased host (port
+    stripped); at 10^12 docs hosts are the classic skewed key, which is
+    exactly why this is a groupBy (partial aggs absorb the hot host),
+    never a window."""
+    pages = _synth_crawl(spark, sf_dir)
+    authority = F.regexp_extract(F.col("url"), r"^[^:/?#]+://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    return (pages
+            .select(host.alias("host"),
+                    canonicalize_url(F.col("url")).alias("canonical_url"),
+                    "warc_ts")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_captures"),
+                 F.countDistinct("canonical_url").alias("n_pages"),
+                 F.min("warc_ts").alias("first_ts"),
+                 F.max("warc_ts").alias("last_ts"))
+            .orderBy("host"))
