@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   real stdlib BMP/WAV header decode over synthesized payloads
         "audio_features": multimodal.audio_features,        # oracled:
         #   sample-level PCM RMS/ZCR/peak, byte stream re-derived in SQL
+        "resize_media": multimodal.resize_media,            # oracled:
+        #   real PNG decode -> nearest-neighbor thumbnail, weighted
+        #   checksum re-derived from the closed-form pixel in SQL
         # the extraction pipeline itself — full text oracle (see
         # _extract_docs docstring); mixed-format byte identity in pytest
         "extract_docs": _extract_docs,

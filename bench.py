@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "lang_trigram",
     "media_decode",
     "audio_features",
+    "resize_media",
     "curate_docs",
 ]
 

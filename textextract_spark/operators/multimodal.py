@@ -408,6 +408,62 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+RESIZE_W, RESIZE_H = 8, 6  # fixed thumbnail grid for the resize stage
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    for pdf in batches:
+        rows = {k: [] for k in ("media_id", "src_w", "src_h",
+                                "pixel_sum", "weighted_sum")}
+        for i in pdf["media_id"].tolist():
+            w, h = 1 + i % 29, 1 + i % 13
+            f = decode_media(build_png(w, h), "image")  # REAL full decode
+            px = np.frombuffer(f["pixels"],
+                               dtype=np.uint8).reshape(h, w, 3)
+            xs = (np.arange(RESIZE_W) * w) // RESIZE_W
+            ys = (np.arange(RESIZE_H) * h) // RESIZE_H
+            flat = px[ys][:, xs, :].astype(np.int64).ravel()
+            rows["media_id"].append(i)
+            rows["src_w"].append(w)
+            rows["src_h"].append(h)
+            rows["pixel_sum"].append(int(flat.sum()))
+            rows["weighted_sum"].append(
+                int((flat * (np.arange(flat.size) + 1)).sum()))
+        yield pd.DataFrame({
+            "media_id": pd.Series(rows["media_id"], dtype="int64"),
+            "src_w": pd.Series(rows["src_w"], dtype="int32"),
+            "src_h": pd.Series(rows["src_h"], dtype="int32"),
+            "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+            "weighted_sum": pd.Series(rows["weighted_sum"], dtype="int64"),
+        })
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE stage (the remaining verb of the brief's multimodal
+    decode/feature-extract/resize/frame-sample list): synthesize a PNG
+    per document id, run the REAL stdlib decode (inflate + per-row
+    unfilter), nearest-neighbor it to a fixed RESIZE_W x RESIZE_H
+    thumbnail in numpy, and emit position-weighted checksums of the
+    resized plane. The synthetic pixel is the closed form (x*7 + y*13 +
+    c*31) mod 256, so the DuckDB twin recomputes the ENTIRE
+    decode->resize result from id arithmetic — a bug anywhere along
+    IDAT inflate / unfilter / index mapping / channel order shifts the
+    weighted sum and turns the row red. One Arrow stage, zero shuffle;
+    with PIL present only the decode call changes."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("media_id")))
+    out = docs.repartition(8, "media_id").mapInPandas(
+        _resize_batches,
+        schema="media_id long, src_w int, src_h int, "
+               "pixel_sum long, weighted_sum long")
+    return (out.select("media_id", "src_w", "src_h",
+                       F.lit(RESIZE_W).alias("out_w"),
+                       F.lit(RESIZE_H).alias("out_h"),
+                       "pixel_sum", "weighted_sum")
+            .orderBy("media_id"))
+
+
 def wav_pcm_samples(payload: bytes) -> "np.ndarray":
     """Flat (channel-interleaved) int16 PCM sample stream of a RIFF/WAV
     payload — the sample-level counterpart of decode_media's header

@@ -883,6 +883,32 @@ ORACLES: dict[str, str] = {
                          ELSE 0 END AS BIGINT) AS n_samples
         FROM documents ORDER BY media_id
     """,
+    # image resize twin: the synthetic pixel is (x*7+y*13+c*31) mod 256
+    # and nearest-neighbor maps out (ox,oy) -> src (ox*w//8, oy*h//6), so
+    # the position-weighted checksum of the resized plane is pure id
+    # arithmetic — independently re-derived from the Python
+    # decode->unfilter->resize path (twin of multimodal.resize_media)
+    "resize_media": """
+        WITH p AS (
+            SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 29 AS INT) AS src_w,
+                   CAST(1 + doc_id % 13 AS INT) AS src_h
+            FROM documents),
+        px AS (
+            SELECT media_id, src_w, src_h,
+                   ((((ox * src_w) // 8) * 7
+                     + ((oy * src_h) // 6) * 13 + c * 31) % 256) AS v,
+                   (oy * 8 + ox) * 3 + c + 1 AS idx
+            FROM p,
+                 LATERAL unnest(range(0, 6)) AS a(oy),
+                 LATERAL unnest(range(0, 8)) AS b(ox),
+                 LATERAL unnest(range(0, 3)) AS d(c))
+        SELECT media_id, src_w, src_h,
+               CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h,
+               CAST(sum(v) AS BIGINT) AS pixel_sum,
+               CAST(sum(v * idx) AS BIGINT) AS weighted_sum
+        FROM px GROUP BY media_id, src_w, src_h ORDER BY media_id
+    """,
     # sample-level audio features: the WAV byte stream is closed-form
     # (byte j = (j*31) mod 256 — multimodal.build_wav), so the int16 LE
     # reconstruction and RMS/ZCR/peak are re-derived from id arithmetic +
