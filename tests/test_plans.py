@@ -75,19 +75,42 @@ def test_lineage_uses_partial_aggregation(spark, corpus_dir):
 
 
 def test_ann_lsh_plan_capped_no_self_join(spark, sf_dir):
-    """The LSH candidate stage must be a capped groupBy + pair explosion:
-    NO join operator anywhere before the pair filter (the r2 bucket
-    self-join was an uncapped quadratic blowup at 10^9 vectors), and the
-    MAX_BUCKET cap must appear as a size() filter on the bucket members."""
+    """The LSH candidate stage must be a capped groupBy + pair explosion,
+    with pairs produced by Generate (explode over capped members), never
+    by a join (the r2 bucket self-join was an uncapped quadratic blowup
+    at 10^9 vectors). The r5 sampler adds ONE legitimate join — the
+    bounded-state bucket-stats (__sz/__keep_id) equality join — so the
+    assertions distinguish it structurally: non-equi/nested-loop joins
+    stay banned outright, every equi-join in the plan must sit on the
+    bucket key with the stats (__sz/__keep_id) columns present, the
+    bands frame feeds both branches from ONE checkpointed
+    materialization (Scan ExistingRDD — a bands self-join or a
+    re-evaluated signature stage would surface the UDF in the plan),
+    and the MAX_BUCKET cap appears as a size() filter on the bucket
+    members."""
     from textextract_spark.operators.sketch import MAX_BUCKET
     p = _plan(spark, similarity.ann_lsh_pairs(spark, sf_dir), "simple")
-    for join_op in ("SortMergeJoin", "ShuffledHashJoin",
-                    "BroadcastHashJoin", "CartesianProduct",
-                    "BroadcastNestedLoopJoin"):
+    for join_op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join_op not in p, f"{join_op} crept into the LSH path:\n{p}"
+    equi_joins = [ln for ln in p.splitlines()
+                  if any(j in ln for j in ("SortMergeJoin",
+                                           "ShuffledHashJoin",
+                                           "BroadcastHashJoin"))]
+    for ln in equi_joins:
+        assert "band_key" in ln, f"join off the bucket key:\n{ln}\n{p}"
+    if equi_joins:
+        assert "__sz" in p or "__keep_id" in p, \
+            f"a non-stats join crept into the LSH path:\n{p}"
     assert "size(members#" in p or f"<= {MAX_BUCKET}" in p
-    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, \
-        "signature stage must be the Arrow-batched pandas UDF"
+    # bands materialized once: the checkpointed RDD scan replaces any
+    # visible UDF eval; a duplicated/non-checkpointed signature stage
+    # would show ArrowEvalPython (once per diamond branch) instead
+    assert "Scan ExistingRDD" in p, \
+        f"bands must come from one checkpointed materialization:\n{p}"
+    n_udf = sum(p.count(tag) for tag in ("ArrowEvalPython",
+                                         "BatchEvalPython"))
+    assert n_udf == 0, \
+        f"signature stage leaked out of the checkpoint (saw {n_udf}):\n{p}"
 
 
 def test_ivf_query_path_uses_prebuilt_centroids(spark, sf_dir):

@@ -140,8 +140,12 @@ def _decode_png(payload: bytes) -> dict:
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + clen]
         if ctype == b"IHDR":
-            (width, height, bit_depth, color_type,
-             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+            try:
+                (width, height, bit_depth, color_type,
+                 _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:  # truncated IHDR: keep the
+                # documented ValueError-on-malformed contract
+                raise ValueError(f"truncated PNG IHDR chunk: {e}") from e
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
             if bit_depth != 8:
@@ -153,9 +157,14 @@ def _decode_png(payload: bytes) -> dict:
         pos += 12 + clen  # length + type + data + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt IDAT stream
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data size mismatch")
     out = bytearray()

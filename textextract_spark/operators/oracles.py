@@ -455,16 +455,26 @@ ORACLES: dict[str, str] = {
                    (s.c = 1 OR n.doc_id * 1000000 + n.line_no = s.w)
                        AS keep
             FROM ne n JOIN stats s ON n.line = s.line)
-        SELECT doc_id,
-               COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
-                                   ORDER BY line_no), '') AS clean_text,
-               count(*) AS n_lines,
-               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept,
-               count(*)
-                 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dropped
-        FROM kept GROUP BY doc_id ORDER BY doc_id
+        , agg AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY line_no), '')
+                       AS clean_text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM kept GROUP BY doc_id)
+        -- left join from the INPUT docs (twin of the Spark side's
+        -- verdict-for-every-row left join): a whitespace-only doc keeps
+        -- its row with clean_text='' and zero counts
+        SELECT m.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(a.n_lines, 0) - COALESCE(a.n_kept, 0)
+                    AS BIGINT) AS n_dropped
+        FROM multi m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        ORDER BY m.doc_id
     """,
     # crawl-side URL canonicalization + dedup: same deterministic messy
     # urls synthesized from doc_id (twin of operators.urls.url_dedup),

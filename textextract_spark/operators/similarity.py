@@ -14,6 +14,7 @@ LSH path, never a global cross join.
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -73,9 +74,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CENTROID_SAMPLE_MOD = 4  # deterministic pseudo-sample: vec_id % MOD == 0
 # FIFO-bounded: a long session sweeping many sf_dirs (pytest tmp dirs,
-# bench scales) must not pin one checkpointed RDD per corpus forever —
-# evicted entries are dereferenced and Spark's ContextCleaner reclaims
-# their blocks
+# bench scales) must not pin one checkpointed RDD per corpus forever.
+# Eviction only drops the CACHE's reference; a caller-held DataFrame
+# still strong-references the checkpointed RDD through its LogicalRDD
+# plan node, so ContextCleaner (weak-ref driven) reclaims the blocks
+# only after every caller reference is gone — never mid-use.
 _CENTROID_CACHE: dict[tuple, DataFrame] = {}
 _CENTROID_CACHE_MAX = 8
 
@@ -95,8 +98,17 @@ def label_centroids(spark: SparkSession, sf_dir: str,
     the checkpointed centroid RDD — NO posexplode over the embeddings
     table remains in the query plan (plan-asserted, tests/test_plans).
     At 10^9 vectors this stage writes a real table instead; a production
-    build would also sample stratified per cell rather than globally."""
-    key = (spark.sparkContext.applicationId, sf_dir, sample_mod)
+    build would also sample stratified per cell rather than globally.
+
+    Cache key carries a CONTENT fingerprint (mtime_ns+size of the
+    parquet, mirroring __spark_entry__._warc_docs_dir): a regenerated
+    embeddings.parquet at the same path within one application must miss
+    the cache, or ivf_topk would quantize against stale centroids while
+    the oracle reads the fresh table."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (spark.sparkContext.applicationId, sf_dir, sample_mod,
+           st.st_mtime_ns, st.st_size)
     got = _CENTROID_CACHE.get(key)
     if got is not None:
         return got

@@ -32,6 +32,11 @@ CHAR_SHINGLE = 5       # char n-gram width (unsegmented scripts: CJK etc.)
 SIMHASH_CHAR_TOKEN = 3  # char token width for simhash votes, unsegmented
 SPACELESS_MAX_WS = 0.05  # whitespace density below this = unsegmented
 MAX_BUCKET = 50        # cap candidate fan-out per band bucket (skew guard)
+# row-wise pre-sample threshold for monster buckets: below this the exact
+# first-MAX_BUCKET-by-doc_id sample is taken; above it a deterministic
+# doc-hash rate filter thins the bucket to ~this many rows BEFORE the
+# per-bucket collect, bounding aggregation state (see _candidate_pairs)
+_PRESAMPLE_TARGET = 64 * MAX_BUCKET
 SIMHASH_BITS = 64
 
 
@@ -194,25 +199,53 @@ def _candidate_pairs(bands: DataFrame, payload_col: str | None) -> DataFrame:
     primary dedup target lands in over-cap buckets in EVERY band, and
     dropping those buckets zeroed its pair recall. First-by-doc_id is
     deterministic and keeps the canonical keeper (min id) in the sample,
-    so downstream cluster formation still anchors on it. The size/rank
-    windows and the member aggregation share one hash partitioning on
-    (band_id, band_key) — a single exchange, and per-bucket state is
-    bounded by MAX_BUCKET (no unbounded collect_list on a hot key).
-    """
-    from pyspark.sql.window import Window
+    so downstream cluster formation still anchors on it.
 
+    Hot-key shape (r5, replaces the r4 row_number window): SCALE.md's
+    rule — hot-key stages must be aggregations or joins, never windows —
+    applies to this sampler itself; the r4 window funneled an entire
+    10^9-copy bucket through ONE task's sort before the cap filter.
+    Now: (1) a bounded-state hash agg computes per-bucket size + keeper
+    (count/min are map-side combinable — a 10^9-row bucket arrives at
+    its reducer as partials); (2) buckets over _PRESAMPLE_TARGET are
+    thinned row-wise by a deterministic doc-hash rate filter (keeper
+    always survives) BEFORE any per-bucket collection, so expected
+    per-bucket agg state is ~_PRESAMPLE_TARGET, never the raw bucket;
+    (3) one collect_list + sort_array + slice takes the first
+    MAX_BUCKET by doc_id. Buckets <= _PRESAMPLE_TARGET hit rate 1, so
+    the sample is byte-identical to the r4 first-MAX_BUCKET-by-id
+    semantics at any realistic bucket size (and at every oracle/test
+    scale); only >64x-over-cap monster buckets switch to the hash
+    sample, which still contains the min-id keeper by construction.
+    The stats join back is key-equality on (band_id, band_key) and
+    AQE-splittable when one bucket dominates.
+
+    The stats/join diamond would otherwise evaluate the bands frame —
+    and its whole upstream (signature UDF / 64-hash agg) — TWICE
+    (Catalyst does not share subplans across branches; measured as a
+    duplicated ArrowEvalPython in the LSH plan), so bands is lazily
+    localCheckpoint'ed: one materialization feeds both branches, the
+    same "write signatures/bands to a scratch table" step a production
+    dedup pipeline performs anyway. Blocks are MEMORY_AND_DISK, per
+    query, reclaimed by ContextCleaner when the plan is dropped.
+    """
     member = (F.struct("doc_id", payload_col) if payload_col
               else F.struct("doc_id"))
-    bucket = Window.partitionBy("band_id", "band_key")
-    sampled = (bands
-               .withColumn("__sz", F.count("*").over(bucket))
-               .filter(F.col("__sz") > 1)  # singletons never pair; skip
-                                           # their sort entirely
-               .withColumn("__rk",
-                           F.row_number().over(bucket.orderBy("doc_id")))
-               .filter(F.col("__rk") <= MAX_BUCKET))
-    members = (sampled.groupBy("band_id", "band_key")
-               .agg(F.collect_list(member).alias("members"))
+    bands = bands.localCheckpoint(eager=False)
+    stats = (bands.groupBy("band_id", "band_key")
+             .agg(F.count("*").alias("__sz"),
+                  F.min("doc_id").alias("__keep_id"))
+             .filter(F.col("__sz") > 1))  # singletons never pair
+    rate = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("__sz") / F.lit(_PRESAMPLE_TARGET)).cast("long"))
+    survivors = (bands.join(stats, ["band_id", "band_key"])
+                 .filter((F.col("doc_id") == F.col("__keep_id"))
+                         | (F.pmod(F.xxhash64("doc_id", "band_key"), rate)
+                            == 0)))
+    members = (survivors.groupBy("band_id", "band_key")
+               .agg(F.slice(F.sort_array(F.collect_list(member)),
+                            1, MAX_BUCKET).alias("members"))
                .filter(F.size("members") > 1))
 
     def mk_pair(a, b):

@@ -539,9 +539,14 @@ def duplicate_line_removal(docs: DataFrame,
     hot line skews it (the reason this is a groupBy+join, not a window:
     a window over the hot key would pin every copy to ONE task). One
     final reassembly shuffle on doc_id rebuilds clean_text; per-doc
-    state is bounded by the doc's own line count.
+    state is bounded by the doc's own line count. A final left join
+    from the input doc_ids re-attaches documents with ZERO non-empty
+    lines (whitespace-only pages) as (clean_text='', counts 0) rows —
+    a corpus-cleaning pass must return a verdict for every input row,
+    never silently delete one (ADVICE r4).
 
-    Returns (doc_id, clean_text, n_lines, n_kept, n_dropped).
+    Returns (doc_id, clean_text, n_lines, n_kept, n_dropped) — one row
+    per input doc; n_lines counts the doc's non-empty lines.
     """
     packed = F.col("doc_id") * LINE_PACK + F.col("line_no")
     lines = (docs
@@ -563,10 +568,17 @@ def duplicate_line_removal(docs: DataFrame,
         F.array_sort(F.collect_list(
             F.when(F.col("__keep"), F.struct("line_no", "line")))),
         lambda s: s.line))
-    return (kept.groupBy("doc_id")
-            .agg(clean.alias("clean_text"),
-                 F.count("*").alias("n_lines"),
-                 F.sum(F.col("__keep").cast("long")).alias("n_kept"))
+    agg = (kept.groupBy("doc_id")
+           .agg(clean.alias("__clean"),
+                F.count("*").alias("__n"),
+                F.sum(F.col("__keep").cast("long")).alias("__k")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__clean", F.lit("")).alias("clean_text"),
+                    F.coalesce("__n", F.lit(0).cast("long"))
+                     .alias("n_lines"),
+                    F.coalesce("__k", F.lit(0).cast("long"))
+                     .alias("n_kept"))
             .withColumn("n_dropped", F.col("n_lines") - F.col("n_kept"))
             .orderBy("doc_id"))
 

@@ -60,14 +60,17 @@ def canonicalize_url(u: Column) -> Column:
 
 def dedup_by_canonical_url(pages: DataFrame,
                            url_col: str = "url",
-                           ts_col: str = "warc_ts") -> DataFrame:
+                           ts_col: str = "warc_ts",
+                           id_col: str = "doc_id") -> DataFrame:
     """One row per canonical url: the LATEST capture wins (recrawl
     freshness), with capture count and first/last timestamps — the
-    crawl-frontier dedup decision. One shuffle on the canonical key."""
+    crawl-frontier dedup decision. One shuffle on the canonical key.
+    id_col names the keeper column (any schema works, not just the
+    documents table's doc_id — ADVICE r4)."""
     return (pages
             .withColumn("canonical_url", canonicalize_url(F.col(url_col)))
             .groupBy("canonical_url")
-            .agg(F.max_by("doc_id", ts_col).alias("keeper_doc_id"),
+            .agg(F.max_by(id_col, ts_col).alias("keeper_doc_id"),
                  F.count("*").alias("n_captures"),
                  F.min(ts_col).alias("first_ts"),
                  F.max(ts_col).alias("last_ts"))
