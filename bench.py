@@ -8,6 +8,17 @@ deterministic generated corpus, and print ONE JSON line:
 Extra keys: extract_docs, extract_docs_per_sec (the BASELINE.json target
 metric). Query timings force full computation via the noop sink (no driver
 collect cost, no output I/O cost).
+
+Steal self-description (r5): this box has documented multi-minute
+co-tenant CPU-steal bursts (0-40%); a bench captured inside one records
+the box, not the code (the r4 driver artifact did exactly that — see
+BENCH/NOTES_r04.md). Every emitted JSON now carries its own control:
+`control` holds the flagship extract_corpus samples taken before/after
+the suite plus the documented quiet-window reference, `steal_factor` =
+best control sample / reference, and `queries_normalized` divides each
+raw timing by that factor. Raw timings stay canonical; the normalized
+block makes a burst-polluted artifact self-describing instead of
+needing a hand re-derivation.
 """
 
 from __future__ import annotations
@@ -125,14 +136,15 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
     for _ in range(3):
         noop(ext_plan)
 
-    def timed_extract(best: float, reps: int = 2) -> float:
+    control_samples: list[float] = []
+
+    def timed_extract(reps: int = 2) -> None:
         for _ in range(reps):
             t0 = time.perf_counter()
             noop(ext_plan)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            control_samples.append(time.perf_counter() - t0)
 
-    extract_sec = timed_extract(float("inf"))
+    timed_extract()
 
     timings: dict[str, float] = {}
     qmap = entry_mod.queries()
@@ -162,11 +174,17 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
         best = min(best, time.perf_counter() - t0)
     timings["extract_warc"] = round(best, 3)
 
-    extract_sec = timed_extract(extract_sec)
+    timed_extract()
+    extract_sec = min(control_samples)
     timings["extract_corpus"] = round(extract_sec, 3)
     n_urls = pages.select("url").distinct().count()
     spark.stop()
 
+    # quiet-window steady-state reference for the flagship control at the
+    # canonical config (sf0.1, 20k docs, 32 cores): measured 3.16-3.47 s
+    # across r3-r5 quiet sessions. Overridable when the config differs.
+    control_ref = float(os.environ.get("SPARK_GRAFT_CONTROL_REF", "3.4"))
+    steal_factor = round(extract_sec / control_ref, 3)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_plus_extraction_total",
@@ -177,6 +195,18 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
         "extract_docs": n_urls,
         "extract_docs_per_sec": round(n_urls / extract_sec, 1),
         "cores": cores,
+        "control": {
+            "query": "extract_corpus",
+            "samples_sec": [round(s, 3) for s in control_samples],
+            "reference_sec": control_ref,
+        },
+        "steal_factor": steal_factor,
+        # raw / steal_factor: what the same code measures in a quiet
+        # window, assuming the burst scales all queries alike (NOTES_r04
+        # validated that assumption within ~10% across the suite)
+        "queries_normalized": {
+            k: round(v / max(steal_factor, 1e-9), 3)
+            for k, v in timings.items()},
     }
 
 
