@@ -419,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   the pure-Python reference; bounds oracled by bpe_bounds)
         "bpe_bounds": _bpe_bounds,                          # oracled:
         #   per-doc BPE bounds + pretoken totals recomputed in DuckDB
+        "bpe_train_stats": textdata.bpe_train_stats,        # oracled:
+        #   BPE merge TRAINING (iterated pair-frequency agg); pretoken
+        #   totals + base alphabet recomputed in SQL, merge-loop facts
+        #   as hard-coded invariants; trainer equivalence in pytest
         "payload_base64": textdata.payload_base64,
         "quality_score": textdata.quality_score,
         "repetition_stats": textdata.repetition_stats,

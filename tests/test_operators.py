@@ -527,6 +527,115 @@ def test_token_bpe_merge_matches_reference(spark, tmp_path):
         assert r.n_pretokens <= r.n_bpe_tokens <= r.n_pretoken_chars
 
 
+def _train_bpe_py(word_freqs: dict, n_merges: int, min_freq: int = 2):
+    """Pure-Python BPE trainer oracle: same greedy-left regex merge on
+    sentinel-padded symbol strings, same (count desc, pair asc)
+    tie-break as textdata.train_bpe_merges."""
+    import re
+
+    words = {" " + " ".join(w) + " ": f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in words.items():
+            parts = syms.split()
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        if counts[best] < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        pat = re.compile(f"(?<= ){re.escape(a)} {re.escape(b)}(?= )")
+        new_words: dict = {}
+        for syms, f in words.items():
+            new_words[pat.sub(a + b, syms)] = f
+        words = new_words
+    return merges, words
+
+
+def test_train_bpe_merges_equals_python_reference(spark, tmp_path):
+    """The Spark trainer must learn the IDENTICAL merge list (content
+    AND rank order) as the pure-Python reference on a planted corpus —
+    including tie-breaks — and applying the learned table through the
+    bpe_segment kernel must reproduce the trainer's own final word
+    segmentations (the train/apply consistency contract)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import (
+        BPE_TOKEN_RE, bpe_segment, train_bpe_merges)
+
+    texts = [
+        "the theme and the anthem of the partition",
+        "parting ending theming streaming 123 tokens, tokens!",
+        "aaa aaaa aa a",              # back-to-back pair merges
+        "tie tie pie pie",            # count ties -> lexicographic pair
+        "তথ্য পাতা লেখা তথ্য",        # non-Latin marks class
+    ] * 3  # repetition pushes pairs over min_freq
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts, "lang": ["en"] * len(texts)})
+    d = tmp_path / "bpetrain"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    learned = train_bpe_merges(docs, n_merges=24, min_freq=2,
+                               checkpoint_every=5)
+
+    pat = re.compile(BPE_TOKEN_RE)
+    freqs: dict = {}
+    for t in texts:
+        for w in pat.findall(t):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected, final_words = _train_bpe_py(freqs, 24, 2)
+    assert learned == expected, (learned, expected)
+    assert 0 < len(learned) <= 24
+
+    # train/apply consistency: the kernel with the learned ranks lands
+    # on the trainer's own final segmentation for EVERY distinct word
+    merges_t = tuple(learned)
+    seg_by_word = {syms.replace(" ", ""): syms.split()
+                   for syms in final_words}
+    for w in freqs:
+        assert bpe_segment(w, merges_t) == seg_by_word[w], w
+
+
+def test_bpe_train_stats_row(spark, tmp_path):
+    """The derived-metric row: exact pretoken totals, base alphabet =
+    distinct non-ws chars, vocab accounting, and both invariants true."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import (
+        BPE_TOKEN_RE, bpe_train_stats)
+
+    texts = ["the parting and the ending of the partition",
+             "partition parting the the the and and ending"] * 4
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts, "lang": ["en"] * len(texts)})
+    d = tmp_path / "bpestats"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    r = bpe_train_stats(spark, str(d), n_merges=10).collect()[0]
+    pat = re.compile(BPE_TOKEN_RE)
+    pre = [w for t in texts for w in pat.findall(t)]
+    assert r.total_pretokens == len(pre)
+    assert r.total_pretoken_chars == sum(len(w) for w in pre)
+    assert r.n_base_chars == len({c for w in pre for c in w})
+    assert r.n_merges_learned == 10
+    assert r.vocab_size == r.n_base_chars + r.n_merges_learned
+    assert r.merged_bounds_ok and r.merges_well_formed
+
+
 def test_repetition_stats_planted(spark, tmp_path):
     """Gopher-style repetition metrics on planted cases: duplicated
     lines, a dominating 2-gram, ellipsis/bullet lines, and a clean doc —

@@ -293,6 +293,35 @@ ORACLES: dict[str, str] = {
                    AS total_pretoken_chars
         FROM documents WHERE length(text) > 0
     """,
+    # BPE TRAINING derived metrics (twin of textdata.bpe_train_stats):
+    # pretoken totals + the base alphabet (distinct non-whitespace chars
+    # == distinct chars over pretokens, since the pretoken classes cover
+    # every non-ws char) recomputed exactly; the merge-loop facts are
+    # invariants hard-coded here — a Spark-side violation diverges.
+    # 48 = textdata.BPE_TRAIN_N_MERGES.
+    "bpe_train_stats": r"""
+        WITH pre AS (
+            SELECT regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]') AS toks
+            FROM documents WHERE length(text) > 0),
+        chars AS (
+            SELECT DISTINCT unnest(list_transform(
+                       range(1, length(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1))) AS ch
+            FROM (SELECT DISTINCT unnest(toks) AS w FROM pre))
+        SELECT CAST(48 AS BIGINT) AS n_merges_learned,
+               (SELECT CAST(count(*) AS BIGINT) FROM chars)
+                   AS n_base_chars,
+               (SELECT CAST(count(*) + 48 AS BIGINT) FROM chars)
+                   AS vocab_size,
+               CAST(sum(len(toks)) AS BIGINT) AS total_pretokens,
+               CAST(sum(COALESCE(list_sum(list_transform(
+                   toks, x -> length(x))), 0)) AS BIGINT)
+                   AS total_pretoken_chars,
+               TRUE AS merged_bounds_ok,
+               TRUE AS merges_well_formed
+        FROM pre
+    """,
     "quality_score": """
         WITH q AS (
             SELECT doc_id, text, length(text) AS n,

@@ -259,20 +259,27 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 _BPE_RANK = {pair: rank for rank, pair in enumerate(BPE_MERGES)}
 
 
-def bpe_segment(word: str) -> list[str]:
+def bpe_segment(word: str,
+                merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+                ranks: dict[tuple[str, str], int] | None = None) -> list[str]:
     """Reference BPE merge loop (also the UDF kernel): start from chars,
     repeatedly merge ALL occurrences of the lowest-rank adjacent pair
-    until no merge applies. Pure function of (word, BPE_MERGES)."""
+    until no merge applies. Pure function of (word, merges) — the
+    default table is the checked-in kernel-test fixture; the production
+    path passes a table learned by train_bpe_merges."""
+    if ranks is None:
+        ranks = (_BPE_RANK if merges is BPE_MERGES
+                 else {p: i for i, p in enumerate(merges)})
     parts = list(word)
     while len(parts) > 1:
         best_rank = None
         for i in range(len(parts) - 1):
-            r = _BPE_RANK.get((parts[i], parts[i + 1]))
+            r = ranks.get((parts[i], parts[i + 1]))
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank = r
         if best_rank is None:
             break
-        a, b = BPE_MERGES[best_rank]
+        a, b = merges[best_rank]
         out, i = [], 0
         while i < len(parts):
             if (i < len(parts) - 1 and parts[i] == a
@@ -338,6 +345,184 @@ def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").getItem(1).alias("n_bpe_tokens"),
         F.col("c").getItem(2).alias("n_pretoken_chars"))
         .orderBy("doc_id"))
+
+
+# -- BPE merge TRAINING (Sennrich et al., ACL 2016) -------------------------
+
+def _rx_quote(s: str) -> str:
+    """Literal-quote a symbol for a Java/RE2-free regex (\\Q...\\E)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _repl_quote(s: str) -> str:
+    """Literal-quote a regexp_replace replacement ($ and \\ are special)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) distinct pre-token frequencies — the one pass over the
+    raw corpus; everything after runs on the distinct-word table, which
+    is vocabulary-sized (a 10^12-doc crawl reduces to ~10^7-10^8
+    distinct words via this map-side-combinable hash agg)."""
+    return (docs.filter(F.length(text_col) > 0)
+            .select(F.explode(
+                F.regexp_extract_all(F.col(text_col),
+                                     F.lit(BPE_TOKEN_RE), 0)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("freq")))
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = 48,
+                     min_freq: int = 2, text_col: str = "text",
+                     checkpoint_every: int = 8
+                     ) -> list[tuple[str, str]]:
+    """Learn a BPE merges table from the corpus — the training loop
+    (Sennrich et al. 2016) as the classic iterated Spark job, replacing
+    a shipped hand-built table with a corpus-learned one. bpe_segment
+    stays the apply kernel (pass the returned list as its ``merges``).
+
+    Shape per round (driver loop is aggregates-only, never data):
+      1. adjacent-pair weighted count: explode the symbol arrays of the
+         DISTINCT-WORD table (never the raw corpus) into (a, b) pairs
+         weighted by word frequency -> one map-side-combinable hash agg;
+      2. winner = orderBy(count desc, a, b).limit(1) — ONE collected
+         row per round, the deterministic tie-break (lexicographic on
+         the pair) that the pure-Python pytest reference mirrors;
+      3. merge apply = a native regexp_replace on the sentinel-padded
+         space-joined symbols string, with zero-width lookarounds so
+         back-to-back occurrences ("a a a") merge greedy-left exactly
+         like the bpe_segment kernel scan.
+    localCheckpoint every `checkpoint_every` rounds flattens the stacked
+    regexp_replace lineage (otherwise round N re-evaluates N nested
+    replaces and the expression tree outgrows codegen).
+
+    Stops early when the best pair's corpus count drops below min_freq.
+    Returns the learned merge list in rank order.
+    """
+    words = (_word_freqs(docs, text_col)
+             .select(
+                 # " a b c " — sentinel spaces so one fixed-width
+                 # lookbehind/lookahead pair covers word edges
+                 F.concat(F.lit(" "),
+                          F.regexp_replace("w", "(.)", "$1 "))
+                  .alias("syms"),
+                 "freq")
+             .localCheckpoint(eager=True))
+    # explicit partition sizing for the loop state: the distinct-word
+    # table inherits the corpus agg's shuffle partitioning, but the loop
+    # runs ~n_merges tiny jobs over it, so per-round scheduler overhead
+    # is partitions x rounds. Size to ~50k words/partition (measured:
+    # 48 rounds over a toy vocab on 32 partitions cost 17 s of pure
+    # task overhead; 1 partition, ~4 s) — at 10^8 distinct words this
+    # still spreads to thousands of partitions.
+    n_words = words.count()
+    parts = max(1, min(words.rdd.getNumPartitions(),
+                       n_words // 50_000 + 1))
+    if parts < words.rdd.getNumPartitions():
+        words = words.coalesce(parts).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for rnd in range(n_merges):
+        arr = F.split(F.trim(F.col("syms")), " ")
+        # single-symbol words -> NULL; plain explode yields zero rows
+        # for them (and sequence(1, 0) would go DESCENDING, so the
+        # guard is required, not defensive)
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(F.element_at(arr, i).alias("a"),
+                                   F.element_at(arr, i + 1).alias("b"))))
+        top = (words.select(F.explode(pairs).alias("p"), "freq")
+               .groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        pat = f"(?<= ){_rx_quote(a)} {_rx_quote(b)}(?= )"
+        words = words.withColumn(
+            "syms", F.regexp_replace("syms", F.lit(pat),
+                                     F.lit(_repl_quote(a + b))))
+        if (rnd + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+BPE_TRAIN_N_MERGES = 48  # driver-row config (mirrored in the SQL twin)
+
+
+def bpe_train_stats(spark: SparkSession, sf_dir: str,
+                    n_merges: int = BPE_TRAIN_N_MERGES) -> DataFrame:
+    """Driver row for BPE TRAINING: learn n_merges merges from the
+    corpus, apply them corpus-wide through the bpe_segment kernel, and
+    emit one stats row. SQL-recomputable facts are exact twin columns
+    (pretoken totals via regexp_extract_all; the base alphabet = count
+    of distinct non-whitespace chars, identical by construction since
+    every non-ws char is in some pretoken); the merge loop itself is
+    not SQL-expressible, so its facts surface as invariants the twin
+    hard-codes TRUE — any Spark-side violation diverges the hash:
+      * merged_bounds_ok: pretokens <= merged tokens <= pretoken chars,
+        summed over the corpus with per-word frequency weights;
+      * merges_well_formed: each learned pair's parts are base chars or
+        previously-learned symbols, in rank order (a malformed table —
+        e.g. a rank referencing a symbol learned later — trips it);
+      * n_merges_learned: hard-coded to the requested n_merges (the
+        synthetic corpus vocabulary supports hundreds of >=min_freq
+        merges at every sf, so early exhaustion is a real failure).
+    Trainer-vs-pure-Python equivalence runs in pytest."""
+    from pyspark.sql.types import LongType
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe_merges(docs, n_merges=n_merges)
+    merges_t = tuple(merges)
+    ranks = {p: i for i, p in enumerate(merges_t)}
+
+    # well-formedness of the learned table, checked in rank order
+    known: set[str] = set()
+    well_formed = len(merges) > 0
+    for a, b in merges:
+        for part in (a, b):
+            if len(part) > 1 and part not in known:
+                well_formed = False
+        known.add(a + b)
+
+    @F.pandas_udf(LongType())
+    def seg_len(ws: pd.Series) -> pd.Series:
+        # per-batch memo over distinct words; the learned ranks ride the
+        # closure (broadcast shape). Kernel = the SAME bpe_segment the
+        # pytest battery certifies.
+        cache: dict[str, int] = {}
+
+        def n(w: str) -> int:
+            if w not in cache:
+                cache[w] = len(bpe_segment(w, merges_t, ranks))
+            return cache[w]
+        return ws.map(n)
+
+    words = _word_freqs(docs, "text")
+    base_chars = (words
+                  .select(F.explode(F.split(
+                      F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+                      " ")).alias("ch"))
+                  .agg(F.countDistinct("ch").alias("n")))
+    totals = (words
+              .select("freq", F.length("w").alias("len"),
+                      seg_len(F.col("w")).alias("nseg"))
+              .agg(F.sum("freq").alias("pre"),
+                   F.sum(F.col("freq") * F.col("len")).alias("chars"),
+                   F.sum(F.col("freq") * F.col("nseg")).alias("merged")))
+    return (totals.crossJoin(base_chars)
+            .select(
+                F.lit(len(merges)).cast("long").alias("n_merges_learned"),
+                F.col("n").cast("long").alias("n_base_chars"),
+                (F.col("n") + F.lit(len(merges))).cast("long")
+                 .alias("vocab_size"),
+                F.col("pre").alias("total_pretokens"),
+                F.col("chars").alias("total_pretoken_chars"),
+                ((F.col("pre") <= F.col("merged"))
+                 & (F.col("merged") <= F.col("chars")))
+                 .alias("merged_bounds_ok"),
+                F.lit(well_formed).alias("merges_well_formed")))
 
 
 def _dup_line_frac(t):
