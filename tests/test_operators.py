@@ -385,10 +385,12 @@ def test_extract_mixed_docs_formats(spark, sf_dir):
 
 
 def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
-    """Char-trigram lang-ID accuracy >= 0.9 on a seeded multilingual
-    corpus built from genuine function words, including the confusable
-    pairs the profile deliberately overlaps on (' de' in de/fr/es, 'nd '
-    in en/de, ' la' in fr/es): summed-hit argmax must separate them."""
+    """Char-trigram lang-ID accuracy >= 0.98 on a seeded multilingual
+    corpus built from genuine function words across all 20 profiled
+    languages, including the confusable pairs the profile deliberately
+    overlaps on (' de' in de/fr/es, 'nd ' in en/de, ' не' in ru/uk,
+    Arabic-script ar/fa, Devanagari hi/mr): summed-hit argmax must
+    separate them."""
     import random as _random
 
     import pyarrow as pa
@@ -416,6 +418,32 @@ def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
                "welke").split(),
         "bn": ("তথ্য পাতা লেখা অনুচ্ছেদ উদাহরণ সংবাদ নিবন্ধ "
                "বিশ্লেষণ").split(),
+        "ru": ("и не что на это был как его нового большого русского "
+               "времени быть жить говорить здания чтения средств "
+               "начать такое").split(),
+        "uk": ("і що це не знання питання життя українська історія "
+               "нової років суспільства розвитку міська працюють "
+               "більшість").split(),
+        "ar": ("في من المدينة الكتاب العالم المعلومات وهي كانت يكون "
+               "منها البيانات الذين والتي عندما الناس").split(),
+        "fa": ("که را می در است این برای ایران داده شهر زبان "
+               "اطلاعات باشد کرد آمد").split(),
+        "hi": ("है का की के और वह इस से होता लोगों समय भारत सरकार "
+               "करता जाता अपने").split(),
+        "mr": ("आहे येथे त्याचा त्याची शाळा मराठी झाले माहिती "
+               "घरात वेळ मोठा काळात").split(),
+        "ja": ("ました である という します ている ことが された "
+               "ません のです について").split(),
+        "zh": ("的时候 是一个 我们的 中国的 可以在 这是一 在这里 "
+               "了一个 的一种 他们的").split(),
+        "ko": ("습니다 니다 하는 있다 에서 으로 그리고 한국어 "
+               "그리고 있다").split(),
+        "tr": ("ve bir için onlar yapmak olduğunu vardır bunlar "
+               "kitaplar evler yazıyor gelmek insanların").split(),
+        "pl": ("w nie się przez innych polskich wielkość możliwość "
+               "praca dobrego które przy rzeczy").split(),
+        "sv": ("och är för att det den som har inte med detta "
+               "människor många tillsammans").split(),
     }
     rng = _random.Random(99)
     rows = []
@@ -438,7 +466,7 @@ def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
     for r in got:
         per_lang.setdefault(r.lang, []).append(r.lang_guess == r.lang)
     detail = {k: round(sum(v) / len(v), 2) for k, v in per_lang.items()}
-    assert acc >= 0.9, f"accuracy {acc}: {detail}"
+    assert acc >= 0.98, f"accuracy {acc}: {detail}"
 
 
 def test_token_bpe_stats_classes(spark, tmp_path):
@@ -773,11 +801,70 @@ def test_scrub_pii_edge_cases(spark):
         ("call +4915123456789 now", "call <PHONE> now"),
         ("short +123456 stays", "short +123456 stays"),  # <7 digits
         ("x12345@y.io +1234567", "<EMAIL> <PHONE>"),
+        # credit cards: bare, spaced and dashed groupings all redact
+        # (scrubbing is pattern-based — Luhn validity is a metric, not
+        # a scrub gate, so the Luhn-invalid 1111... goes too)
+        ("pay 4242424242424242 ok", "pay <CC> ok"),
+        ("pay 4242 4242 4242 4242 ok", "pay <CC> ok"),
+        ("pay 4242-4242-4242-4242 ok", "pay <CC> ok"),
+        ("pay 1111111111111111 ok", "pay <CC> ok"),
+        ("short 424242424242 stays", "short 424242424242 stays"),
+        # 17 contiguous digits: \b blocks the 16-digit match inside
+        ("long 42424242424242420 stays", "long 42424242424242420 stays"),
+        # IBAN: real shape redacts; too-short and lowercase survive
+        ("iban DE89370400440532013000 sent",
+         "iban <IBAN> sent"),
+        ("iban GB29NWBK60161331926819 sent", "iban <IBAN> sent"),
+        ("code DE12ABC stays", "code DE12ABC stays"),
+        ("de89370400440532013000 stays",
+         "de89370400440532013000 stays"),
     ]
     df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
     got = [r.c for r in
            df.select(scrub_pii(F.col("text")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_pii_luhn_check_digit(spark, tmp_path):
+    """The planted card is genuinely Luhn-valid: the in-engine check
+    digit matches a from-scratch Python Luhn, and cc_luhn_ok is true
+    for every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import pii_scrub
+
+    texts = ["alpha beta", "gamma delta", "epsilon"]
+    tbl = pa.table({"doc_id": pa.array([0, 7, 123456789], pa.int64()),
+                    "text": texts, "lang": ["en"] * 3})
+    d = tmp_path / "piidocs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    def luhn_valid(num: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(num)):
+            v = int(ch)
+            if i % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            s += v
+        return s % 10 == 0
+
+    rows = pii_scrub(spark, str(d)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_cc == 1 and r.n_iban == 1
+        assert r.cc_luhn_ok, r
+        assert "<CC>" in r.clean_text and "<IBAN>" in r.clean_text
+        assert "4242" not in r.clean_text
+    # independent reconstruction of doc 7's planted card: exactly one
+    # check digit makes the base Luhn-valid, so cc_luhn_ok being true
+    # pins the in-engine digit to this one
+    base = "4242" + f"{7:08d}" + "424"
+    checks = [c for c in range(10) if luhn_valid(base + str(c))]
+    assert len(checks) == 1
 
 
 def test_winnow_fingerprint_guarantee(spark, tmp_path):

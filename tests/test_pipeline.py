@@ -494,6 +494,68 @@ def test_compact_preserves_data_checkpoints_and_history(spark, tmp_path):
         tbl._publish(compacted, ver)
 
 
+def test_compact_replace_partitions_bucket_aware(spark, tmp_path):
+    """Bucket-aware compaction (r4 raised NotImplementedError): over a
+    merge_counters history, read_keyed before == after byte-for-byte,
+    the compacted snapshot owns every ever-replaced bucket, subsequent
+    merges keep working, VERSION AS OF still resolves the pre-compaction
+    ownership, and a mixed append+replace history stays rejected."""
+    import pytest as _pytest
+
+    from textextract_spark.io.table import ManifestTable
+    from textextract_spark.operators.maintenance import (
+        BUCKET_COL, merge_counters)
+
+    tbl = ManifestTable(str(tmp_path / "counters"))
+
+    def upd(rows):
+        return spark.createDataFrame(rows, "user_id int, n long")
+
+    merge_counters(spark, tbl, upd([(i, 1) for i in range(40)]),
+                   ["user_id"], ["n"])
+    merge_counters(spark, tbl, upd([(i, 2) for i in range(0, 40, 2)]),
+                   ["user_id"], ["n"])
+    merge_counters(spark, tbl, upd([(i, 5) for i in range(35, 45)]),
+                   ["user_id"], ["n"])
+    before = sorted((r.user_id, r.n)
+                    for r in tbl.read_keyed(spark, BUCKET_COL).collect())
+    pre_ver = tbl.current_version()
+    assert len(tbl.snapshots()) == 3
+
+    sid = tbl.compact(spark, target_files=2, run_id="maint")
+    assert sid is not None
+    snaps = tbl.snapshots()
+    assert len(snaps) == 1 and snaps[0]["snapshot_id"] == sid
+    after = sorted((r.user_id, r.n)
+                   for r in tbl.read_keyed(spark, BUCKET_COL).collect())
+    assert after == before
+    # the compacted snapshot owns every bucket the history ever replaced
+    assert snaps[0]["replaces"][BUCKET_COL] == sorted(
+        {b for s in tbl._load_version(pre_ver)["snapshots"]
+         for b in s["replaces"][BUCKET_COL]})
+
+    # merges keep working on the compacted table
+    merge_counters(spark, tbl, upd([(0, 100)]), ["user_id"], ["n"])
+    got = {r.user_id: r.n
+           for r in tbl.read_keyed(spark, BUCKET_COL).collect()}
+    assert got[0] == dict(before)[0] + 100
+    assert len(got) == len(before)
+
+    # VERSION AS OF: pre-compaction ownership still resolves identically
+    tt = sorted((r.user_id, r.n) for r in
+                tbl.read_keyed(spark, BUCKET_COL,
+                               version=pre_ver).collect())
+    assert tt == before
+
+    # mixed append+replace history is rejected, not silently collapsed
+    mixed = ManifestTable(str(tmp_path / "mixed"))
+    mixed.replace_partitions(
+        upd([(1, 1)]).withColumn(BUCKET_COL, F.lit(0)), BUCKET_COL, [0])
+    mixed.append(upd([(2, 2)]), part_keys=[0])
+    with _pytest.raises(NotImplementedError, match="bucket-aware"):
+        mixed.compact(spark)
+
+
 def test_resume_after_compaction(spark, corpus_dir, golden):
     """Maintenance between ingest waves: compacting the chunked output
     tables must not change a byte of data and must keep the resume

@@ -205,19 +205,33 @@ class ManifestTable:
           * old manifest versions remain readable (VERSION AS OF time
             travel shows the pre-compaction layout).
 
-        Tables maintained via replace_partitions have per-bucket
-        ownership semantics that a blind rewrite would collapse —
-        unsupported here (raise), like Iceberg requiring a
-        partition-aware rewrite strategy for those.
+        Tables maintained via replace_partitions take the BUCKET-AWARE
+        path (the Iceberg partition-aware rewrite strategy): the live
+        newest-wins-per-bucket state (exactly what read_keyed resolves)
+        is rewritten as ONE snapshot that replaces every bucket the
+        table has ever owned, so ``read_keyed`` before == after
+        byte-for-byte, including buckets whose newest write emptied
+        them (the compacted snapshot owns them with zero rows, same as
+        the pre-compaction owner did). Mixed append+replace histories
+        have no single read semantics and stay unsupported (raise).
         """
         ver, manifest = self._load_with_version()
         snaps = manifest["snapshots"]
         if len(snaps) <= 1:
             return None  # nothing to compact
-        if any(s.get("replaces") for s in snaps):
-            raise NotImplementedError(
-                "compact() supports append-only tables; "
-                "replace_partitions tables need a bucket-aware rewrite")
+        replace_cols = {col for s in snaps
+                        for col in s.get("replaces", {})}
+        if replace_cols:
+            if len(replace_cols) > 1 or not all(
+                    s.get("replaces") for s in snaps):
+                raise NotImplementedError(
+                    "bucket-aware compact() needs a pure "
+                    "replace_partitions history on ONE bucket column "
+                    f"(saw columns {sorted(replace_cols)}, "
+                    f"{sum(1 for s in snaps if not s.get('replaces'))} "
+                    "non-replace snapshots)")
+            return self._compact_keyed(spark, replace_cols.pop(),
+                                       target_files, run_id)
         dirs = [os.path.join(self.path, s["dir"]) for s in snaps]
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
@@ -230,6 +244,43 @@ class ManifestTable:
             "part_keys": part_keys,
             "run_id": run_id,
             "parent": snaps[-1]["snapshot_id"],
+            "compacted_from": [s["snapshot_id"] for s in snaps],
+        }]
+        self._publish(manifest, ver)
+        return snapshot_id
+
+    def _compact_keyed(self, spark: SparkSession, bucket_col: str,
+                       target_files: int, run_id: str | None) -> str | None:
+        """Bucket-aware rewrite for replace_partitions tables: write the
+        resolved live state once, owning ALL ever-replaced buckets.
+
+        The scan is read_keyed itself — partition-pruned to each
+        snapshot's still-owned buckets, never a full read of dead data.
+        coalesce keeps the rewrite shuffle-free; the partitionBy write
+        restores the physical bucket layout readers prune on. The CAS
+        publish is the same commit point as append/replace: losing the
+        race raises CommitConflictError and leaves an orphan snapshot.
+        """
+        ver, manifest = self._load_with_version()
+        snaps = manifest["snapshots"]
+        all_buckets = sorted({int(b) for s in snaps
+                              for b in s["replaces"][bucket_col]})
+        live = self.read_keyed(spark, bucket_col)
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = os.path.join(self.path, f"snap-{snapshot_id}")
+        if live is not None:
+            (live.coalesce(target_files)
+             .write.mode("overwrite").partitionBy(bucket_col)
+             .parquet(snap_dir))
+        else:  # every owned bucket is empty: commit an empty snapshot
+            os.makedirs(snap_dir, exist_ok=True)
+        manifest["snapshots"] = [{
+            "snapshot_id": snapshot_id,
+            "dir": f"snap-{snapshot_id}",
+            "part_keys": sorted({k for s in snaps for k in s["part_keys"]}),
+            "run_id": run_id,
+            "parent": snaps[-1]["snapshot_id"],
+            "replaces": {bucket_col: all_buckets},
             "compacted_from": [s["snapshot_id"] for s in snaps],
         }]
         self._publish(manifest, ver)

@@ -1230,13 +1230,29 @@ ORACLES["mixture_sample"] = _mixture_sample_oracle()
 def _pii_scrub_oracle() -> str:
     """GENERATED from textdata.PII_PATTERNS (same planted construction,
     same ordered sequential replace) — pattern table drift between the
-    engines is impossible."""
-    from .textdata import PII_PATTERNS
+    engines is impossible. The Luhn position logic comes from the SAME
+    textdata.luhn_doubled the Spark columns use: the check digit of the
+    planted card is derived here in SQL, and cc_luhn_ok re-validates
+    the extracted card with the full-16 sum."""
+    from .textdata import _CC_PATTERN, PII_PATTERNS, luhn_doubled
+
+    def luhn_sum(col, length):
+        terms = []
+        for i in range(1, length + 1):
+            d = f"CAST(substr({col}, {i}, 1) AS INT)"
+            if luhn_doubled(i):
+                terms.append(
+                    f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9"
+                    f" ELSE 2*{d} END)")
+            else:
+                terms.append(d)
+        return "(" + " + ".join(terms) + ")"
 
     planted = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
                " || '@example.com or 10.0.'"
                " || CAST(doc_id % 256 AS VARCHAR) || '.'"
                " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+               " || ' card ' || cc || ' iban ' || iban"
                " || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')")
     counts = ",\n               ".join(
         f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
@@ -1245,11 +1261,30 @@ def _pii_scrub_oracle() -> str:
     for _, pat, repl in PII_PATTERNS:
         scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
     return f"""
-        WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+        WITH b AS (
+            SELECT doc_id, text,
+                   '4242' || lpad(CAST(doc_id % 100000000 AS VARCHAR),
+                                  8, '0') || '424' AS cc_base,
+                   'DE' || lpad(CAST((doc_id * 13) % 100 AS VARCHAR),
+                                2, '0') || 'BANK'
+                        || lpad(CAST(doc_id % 10000000000 AS VARCHAR),
+                                10, '0') AS iban
+            FROM documents),
+        c AS (
+            SELECT doc_id, text, iban,
+                   cc_base || CAST((10 - ({luhn_sum('cc_base', 15)} % 10))
+                                   % 10 AS VARCHAR) AS cc
+            FROM b),
+        p AS (SELECT doc_id, {planted} AS t FROM c),
+        e AS (SELECT doc_id, t,
+                     regexp_replace(regexp_extract(t, '{_CC_PATTERN}'),
+                                    '[ -]', '', 'g') AS cc_m
+              FROM p)
         SELECT doc_id,
                {counts},
+               ({luhn_sum('cc_m', 16)} % 10 = 0) AS cc_luhn_ok,
                {scrub} AS clean_text
-        FROM p ORDER BY doc_id
+        FROM e ORDER BY doc_id
     """
 
 

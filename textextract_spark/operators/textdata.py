@@ -60,12 +60,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every pattern is shared verbatim by Java regex and RE2 (classes,
 # bounded repeats, ASCII \b only); the DuckDB twin is GENERATED from
 # this table (operators.oracles) so the engines cannot drift.
+# Ordered: email first (it eats its own digits), ip before cc (dotted
+# digit runs), iban/cc before phone. Patterns are Java-regex AND RE2
+# compatible (no lookarounds — RE2 has none), so the generated DuckDB
+# twin runs them verbatim. Scrubbing is pattern-based (a Luhn-invalid
+# 16-digit number is still redacted — a scrubber must over-redact, not
+# leak); Luhn validation is a reported metric (cc_luhn_ok), not a gate.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
+    ("cc", r"\b[0-9]{4}([ -]?[0-9]{4}){3}\b", "<CC>"),
     ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
 )
+_CC_PATTERN = dict((n, p) for n, p, _ in PII_PATTERNS)["cc"]
+
+
+def luhn_doubled(i: int) -> bool:
+    """Whether the 1-based-from-LEFT digit position i is doubled. For an
+    even-length number this validates it (rightmost digit is position 1
+    from the right, doubling hits even from-right positions); for an
+    odd-length base whose check digit will be APPENDED, the same rule
+    derives the check (appending shifts every parity by one). Single
+    source of the position logic for the Spark columns AND the generated
+    DuckDB twin (operators.oracles imports this)."""
+    return i % 2 == 1
+
+
+def _luhn_sum(col, length: int):
+    """Luhn digit sum of a fixed-length digit-string column — native
+    column arithmetic (codegen), one substring/cast per position."""
+    total = F.lit(0)
+    for i in range(1, length + 1):
+        d = F.substring(col, i, 1).cast("int")
+        if luhn_doubled(i):
+            t = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        else:
+            t = d
+        total = total + t
+    return total
 
 
 def scrub_pii(t):
@@ -79,22 +113,38 @@ def scrub_pii(t):
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query for the PII pass: the corpus has no organic PII, so
-    each doc gets a deterministic planted suffix (an email, an IPv4 and
-    a phone number derived from doc_id — same construction in the
-    DuckDB twin), then per-category match counts are taken BEFORE
-    scrubbing and the scrubbed text is emitted for the byte-exact
-    check."""
+    each doc gets a deterministic planted suffix (an email, an IPv4, a
+    LUHN-VALID credit card — check digit derived in-engine from the
+    doc_id-based 15-digit base via _luhn_sum — an IBAN-shaped account id
+    and a phone number; same construction in the DuckDB twin), then
+    per-category match counts are taken BEFORE scrubbing, the extracted
+    card is re-validated (cc_luhn_ok recomputes the full-16 Luhn sum in
+    BOTH engines — the 'Luhn-checkable in SQL' contract), and the
+    scrubbed text is emitted for the byte-exact check."""
     d = F.col("doc_id")
+    cc_base = F.concat(F.lit("4242"),
+                       F.lpad((d % 100000000).cast("string"), 8, "0"),
+                       F.lit("424"))
+    check = (F.lit(10) - (_luhn_sum(cc_base, 15) % 10)) % 10
+    cc = F.concat(cc_base, check.cast("string"))
+    iban = F.concat(F.lit("DE"),
+                    F.lpad(((d * 13) % 100).cast("string"), 2, "0"),
+                    F.lit("BANK"),
+                    F.lpad((d % 10000000000).cast("string"), 10, "0"))
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"), d.cast("string"),
         F.lit("@example.com or 10.0."), (d % 256).cast("string"),
         F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(" card "), cc, F.lit(" iban "), iban,
         F.lit(" call +1555"), F.lpad(d.cast("string"), 7, "0"))
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("__t"))
     counts = [F.size(F.regexp_extract_all("__t", F.lit(pat), 0))
                .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    cc_m = F.regexp_replace(
+        F.regexp_extract("__t", _CC_PATTERN, 0), "[ -]", "")
     return (docs.select("doc_id", *counts,
+                        (_luhn_sum(cc_m, 16) % 10 == 0).alias("cc_luhn_ok"),
                         scrub_pii(F.col("__t")).alias("clean_text"))
             .orderBy("doc_id"))
 
@@ -795,11 +845,18 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Char-trigram profiles: high-frequency function-word trigrams per
 # language (padded with spaces where word-boundary-anchored). Deliberately
 # OVERLAPPING across languages (' de' is German/French/Spanish, 'nd ' is
-# English/German, 'es ' is French/Spanish...) — scoring sums hits per
-# language and argmaxes, which is what separates confusables; the oracle
-# SQL is generated from THIS dict (operators.oracles), so the two engines
-# can never drift. bn rows are Bengali-script trigrams from the corpus
-# vocabulary (script alone identifies it).
+# English/German, ' не' is Russian/Ukrainian, Hindi/Marathi share
+# Devanagari suffixes...) — scoring sums hits per language and argmaxes,
+# which is what separates confusables; the oracle SQL is generated from
+# THIS dict (operators.oracles), so the two engines can never drift.
+# Non-Latin rows lean on script ranges first (Cyrillic/Arabic/Devanagari/
+# Kana/Han/Hangul trigrams can only hit their own script) and then on
+# intra-script separators: uk rows use і/ї-bearing trigrams absent from
+# ru; fa rows use Persian ی (U+06CC) and Persian-only function words vs
+# ar's ال-dominated profile; mr rows use ळ (Marathi-only letter) and आहे
+# vs hi's है. Depth is profile-demo vs fastText's 176 languages, but the
+# architecture (profile-in-closure Arrow map, generated SQL twin) is the
+# scale shape.
 TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
     "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
            " of", "of ", " is", "is "),
@@ -816,6 +873,30 @@ TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
     "nl": ("ijk", "aan", "oor", " zi", "zij", "ijn", "nie", " ni",
            "het", " he", "aar", " aa"),
     "bn": ("তথ্", "থ্য", "পাত", "লেখ", "অনু", "সংব", "নিব", "বিশ"),
+    "ru": (" и ", " не", "ого", " на", "ени", "что", " чт", "ть ",
+           "ния", "ств", "ать", "ое "),
+    "uk": (" і ", "ння", "ськ", "ття", " що", "що ", "ої ", "ів ",
+           "іст", " не", "ько", "ють"),
+    "ar": (" ال", "الم", "الع", " في", "في ", "ة و", "ين ", "ون ",
+           "ها ", " من", "من ", "ات "),
+    "fa": (" که", "که ", " را", "را ", " می", "می ", "ست ", " اس",
+           " در", "در ", "ای ", "ان "),
+    "hi": (" है", "है ", " का", "का ", " की", "की ", " के", "के ",
+           "ों ", " और", "और ", "ता "),
+    "mr": (" आह", "आहे", "हे ", "ात ", "चा ", "ची ", "ले ", "ाळा",
+           " मर", "मरा", "राठ", "ाठी"),
+    "ja": ("ました", "である", "という", "します", "ている", "ことが",
+           "された", "ません", "のです", "につい"),
+    "zh": ("的时候", "是一个", "我们的", "他们的", "中国的", "可以在",
+           "这是一", "的一种", "在这里", "了一个"),
+    "ko": ("습니다", "니다 ", "하는 ", " 있다", "있다 ", "에서 ",
+           "으로 ", "그리고", " 그리", "한국어"),
+    "tr": (" ve", "ve ", "bir", " bi", "lar", "ler", "ın ", "dır",
+           "yor", "mak", " iç", "çin"),
+    "pl": (" w ", "nie", " ni", "ych", "ego", "ość", "rze", "prz",
+           " pr", "się", " si", "ać "),
+    "sv": (" oc", "och", "ch ", " är", "är ", "för", " fö", "att",
+           " at", "det", "en ", "ng "),
 }
 _PROFILE_LANGS = tuple(TRIGRAM_PROFILE)  # priority order for ties
 
@@ -826,7 +907,8 @@ def lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRIGRAM_PROFILE per language, argmax with a fixed priority tie-break.
 
     Scale shape: the counting stage is ONE Arrow-batched pandas UDF
-    emitting 5 longs per doc — a stateless map with ZERO shuffle (the
+    emitting len(_PROFILE_LANGS) longs per doc (one per profiled
+    language) — a stateless map with ZERO shuffle (the
     profile rides inside the UDF closure, the classic broadcast-variable
     shape). The first implementation exploded trigrams through a
     broadcast join + hash agg in pure DataFrame ops; Catalyst evaluates
