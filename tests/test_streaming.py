@@ -210,3 +210,91 @@ def test_stream_canonical_url_dedup(spark):
     # re-emitted)
     n = spark.sql("SELECT count(*) c FROM url_dedup_stream").collect()[0].c
     assert n == 4
+
+
+def test_stream_extract_warc_end_to_end(spark):
+    """The full streaming WARC journey (r5): binaryFile stream over a
+    GROWING crawl dir -> WARC parse -> frontier dedup -> extract with
+    checkpoint/resume. Wave 2 contains canonical-url variant RECRAWLS of
+    wave-1 pages (different payloads): the restored frontier state must
+    drop them across query restarts, the extracted table must equal the
+    batch pipeline over wave1 + the genuinely-new wave-2 pages, and a
+    rerun on the same checkpoint must add nothing."""
+    import datetime as dt
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from textextract_spark.io.warc import build_warc, read_warc
+    from textextract_spark.pipeline import extract_pages
+    from textextract_spark.streaming.stream import stream_extract_warc
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def rec(url, text, sec):
+        html = (f"<html><body><nav><a href='/x'>nav</a></nav><article>"
+                f"<p>{text}</p></article></body></html>").encode()
+        return {"url": url, "warc_ts": t0 + dt.timedelta(seconds=sec),
+                "html": html,
+                "digest": hashlib.md5(html).hexdigest()}
+
+    pad = "sufficient body words for the density scorer to keep"
+    wave1 = [rec(f"https://example.com/p/{i}",
+                 f"original content {i} {pad}", i)
+             for i in range(30)]
+    # variant recrawls (same canonical url, new payload, +120 s) + new
+    recrawl = [rec(f"https://Example.COM:443/p/{i}",
+                   f"recrawled content {i} {pad}", 120 + i)
+               for i in range(0, 30, 3)]
+    new2 = [rec(f"https://example.com/q/{i}",
+                f"second wave {i} {pad}", 200 + i)
+            for i in range(10)]
+
+    workdir = tempfile.mkdtemp(prefix="textx-warcstream-")
+    crawl = os.path.join(workdir, "crawl")
+    os.makedirs(crawl)
+    out_dir = os.path.join(workdir, "extracted")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    def write_warc(recs, name):
+        with open(os.path.join(crawl, name), "wb") as f:
+            f.write(build_warc(recs, compress=True))
+
+    write_warc(wave1[:15], "crawl-000.warc.gz")
+    write_warc(wave1[15:], "crawl-001.warc.gz")
+    q = stream_extract_warc(spark, crawl, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    # the crawl grows; restart the stream on the SAME checkpoint
+    write_warc(recrawl + new2[:5], "crawl-002.warc.gz")
+    write_warc(new2[5:], "crawl-003.warc.gz")
+    q = stream_extract_warc(spark, crawl, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    tbl = ManifestTable(out_dir)
+    got = {r.url: (r.text, r.status) for r in tbl.read(spark).collect()}
+    # recrawl variants dropped by the RESTORED frontier state: neither
+    # their raw urls nor a second canonical copy appear
+    assert set(got) == ({r["url"] for r in wave1}
+                        | {r["url"] for r in new2})
+    for i in range(0, 30, 3):
+        assert got[f"https://example.com/p/{i}"][0] == \
+            f"original content {i} {pad}"
+
+    # batch equivalence over the same accepted record set
+    batch_dir = os.path.join(workdir, "batch")
+    os.makedirs(batch_dir)
+    with open(os.path.join(batch_dir, "all.warc.gz"), "wb") as f:
+        f.write(build_warc(wave1 + new2, compress=True))
+    batch = extract_pages(
+        read_warc(spark, batch_dir)
+        .withColumn("lang", F.lit(None).cast("string")),
+        num_parts=16, n_salts=4, digest_col="digest")
+    want = {r.url: (r.text, r.status) for r in batch.collect()}
+    assert got == want
+
+    # resume idempotence: nothing new -> no new snapshots
+    n_snaps = len(tbl.snapshots())
+    q = stream_extract_warc(spark, crawl, out_dir, ckpt)
+    q.awaitTermination(300)
+    assert len(tbl.snapshots()) == n_snaps

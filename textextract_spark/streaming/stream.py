@@ -82,3 +82,68 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# binaryFile's fixed schema — streaming file sources require it spelled
+# out (no inference on streams)
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    crawl_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_parts: int = 16,
+    n_salts: int = 4,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """The streaming WARC ingestion journey end-to-end, composing three
+    already-tested pieces (r4 had each, not the wiring): readStream
+    binaryFile over a growing crawl directory -> per-file WARC record
+    parse with the SAME Arrow kernel batch read_warc uses
+    (io.warc._warc_batches — one parser, no drift) -> crawl-frontier
+    canonical-url dedup (dedup.drop_recrawled_urls: first fetch wins
+    within the watermark horizon, bounded JVM/RocksDB state) ->
+    foreachBatch extract_pages + idempotent ManifestTable append.
+
+    Replay semantics are stream_extract's: at-least-once micro-batches
+    made effectively-once by the run_id epoch guard. The frontier state
+    ADDS cross-batch dedup the plain pages stream lacks: a url recrawled
+    in a later wave (any canonical variant) is dropped before the
+    extractor ever sees its payload.
+    """
+    from ..io.warc import PAGES_FROM_WARC_SCHEMA, _warc_batches
+    from .dedup import drop_recrawled_urls
+
+    out = ManifestTable(out_dir)
+    ckpt_tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        run_id = f"streamwarc-{ckpt_tag}-epoch-{epoch_id}"
+        if any(s.get("run_id") == run_id for s in out.snapshots()):
+            return
+        pages = (batch_df.drop("canonical_url")
+                 .withColumn("lang", F.lit(None).cast("string")))
+        extracted = extract_pages(pages, num_parts=num_parts,
+                                  n_salts=n_salts, digest_col="digest")
+        out.append(extracted, part_keys=[], run_id=run_id)
+
+    files = (spark.readStream.format("binaryFile")
+             .schema(_BINARY_FILE_SCHEMA)
+             .option("maxFilesPerTrigger", "8")
+             .load(crawl_dir))
+    pages = (files.select("content")
+             .mapInPandas(_warc_batches, schema=PAGES_FROM_WARC_SCHEMA))
+    fresh = drop_recrawled_urls(pages, watermark=watermark)
+    writer = (fresh.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
