@@ -428,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": textdata.repetition_stats,
         "pii_scrub": textdata.pii_scrub,                    # oracled:
         #   ROOTS-style PII redaction, twin generated from PII_PATTERNS
+        "char_lm_ppl": textdata.char_lm_ppl,                # oracled:
+        #   CCNet-style perplexity filter — reference-slice char-bigram
+        #   LM, per-doc cross-entropy/perplexity, fixed-cutoff buckets;
+        #   the full train+score loop re-run in SQL
         "mixture_sample": textdata.mixture_sample,          # oracled:
         #   deterministic hash-threshold mixture sampling, config-
         #   generated twin

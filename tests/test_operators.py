@@ -1016,3 +1016,55 @@ def test_curation_operators_idempotent(spark):
     got2 = {r.doc_id: r.clean_text for r in second.collect()}
     assert got1 == got2
     assert all(r.n_dropped == 0 for r in second.collect())
+
+
+def test_char_lm_perplexity_hand_computed(spark):
+    """The bigram LM math on a corpus small enough to verify by hand:
+    ref 'ab ab' gives counts {' a':2,'ab':2,'b ':2}, V=3 (a,b,space);
+    scoring 'ab' is all-seen (P=3/5 per bigram), 'zz' is all-unseen
+    (one 1/5, two 1/3). Cross-entropies must match the closed form and
+    the buckets must follow the fixed thresholds."""
+    import math
+
+    import pytest as _pytest
+
+    from textextract_spark.operators.textdata import char_lm_perplexity
+
+    ref = spark.createDataFrame([("ab ab",)], ["text"])
+    docs = spark.createDataFrame([(0, "ab"), (1, "zz")],
+                                 ["doc_id", "text"])
+    got = {r.doc_id: r for r in char_lm_perplexity(docs, ref).collect()}
+
+    h_ab = -math.log2(3 / 5)
+    assert got[0].n_bigrams == 3
+    assert got[0].cross_entropy == _pytest.approx(round(h_ab, 4))
+    assert got[0].perplexity == _pytest.approx(2 ** h_ab, abs=1e-3)
+    assert got[0].ppl_bucket == "head"
+
+    h_zz = (math.log2(5) + 2 * math.log2(3)) / 3
+    assert got[1].cross_entropy == _pytest.approx(round(h_zz, 4))
+    assert got[1].perplexity == _pytest.approx(2 ** h_zz, abs=1e-3)
+    assert got[1].ppl_bucket == "head"  # 3.56 < PPL_HEAD_MAX
+
+
+def test_char_lm_ppl_buckets_nonvacuous(spark):
+    """The driver row's planted variants must land one per bucket (the
+    CCNet decision is exercised, not vacuous): originals head,
+    half-reversed middle, fully-reversed tail — with clear margin to
+    the fixed thresholds."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import char_lm_ppl
+
+    df = char_lm_ppl(spark, "/root/testdata/sf0.001")
+    grp = (F.when(F.col("doc_id") < 1000000, "orig")
+           .when(F.col("doc_id") < 2000000, "halfrev")
+           .otherwise("rev"))
+    rows = (df.groupBy(grp.alias("g"), "ppl_bucket")
+            .count().collect())
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.g, {})[r.ppl_bucket] = r["count"]
+    assert set(by_group["orig"]) == {"head"}
+    assert set(by_group["halfrev"]) == {"middle"}
+    assert set(by_group["rev"]) == {"tail"}

@@ -1289,3 +1289,65 @@ def _pii_scrub_oracle() -> str:
 
 
 ORACLES["pii_scrub"] = _pii_scrub_oracle()
+
+
+def _char_lm_ppl_oracle() -> str:
+    """GENERATED from textdata's PPL_* constants (twin of
+    char_lm_perplexity): same reference slice, same add-one bigram
+    model, same fixed CCNet-style cutoffs — the full train+score loop
+    re-run in SQL."""
+    from .textdata import PPL_HEAD_MAX, PPL_MIDDLE_MAX, PPL_REF_LANG
+
+    return f"""
+        WITH scoring AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                   || reverse(substr(text,
+                          CAST(floor(length(text) / 2) AS INT) + 1,
+                          length(text)))
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, reverse(text) FROM documents),
+        d AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS pad
+            FROM scoring WHERE length(text) > 0),
+        bg AS (
+            SELECT doc_id, substr(pad, CAST(i AS INT), 2) AS bg
+            FROM d, LATERAL unnest(range(1, length(pad))) AS u(i)),
+        refd AS (
+            SELECT ' ' || lower(text) || ' ' AS pad FROM documents
+            WHERE lang = '{PPL_REF_LANG}' AND length(text) > 0),
+        refbg AS (
+            SELECT substr(pad, CAST(i AS INT), 2) AS bg
+            FROM refd, LATERAL unnest(range(1, length(pad))) AS u(i)),
+        bc AS (
+            SELECT bg, count(*) AS bc FROM refbg GROUP BY bg),
+        uc AS (
+            SELECT substr(bg, 1, 1) AS c1, sum(bc) AS uc
+            FROM bc GROUP BY 1),
+        v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bc),
+        lp AS (
+            SELECT b.doc_id,
+                   log2((COALESCE(bc.bc, 0) + 1)
+                        / (COALESCE(uc.uc, 0) + v.v)) AS lp
+            FROM bg b
+            LEFT JOIN bc ON b.bg = bc.bg
+            LEFT JOIN uc ON substr(b.bg, 1, 1) = uc.c1
+            CROSS JOIN v),
+        h AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   -avg(lp) AS h
+            FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               round(h, 4) AS cross_entropy,
+               round(power(2, h), 3) AS perplexity,
+               CASE WHEN power(2, h) <= {PPL_HEAD_MAX} THEN 'head'
+                    WHEN power(2, h) <= {PPL_MIDDLE_MAX} THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM h ORDER BY doc_id
+    """
+
+
+ORACLES["char_lm_ppl"] = _char_lm_ppl_oracle()

@@ -818,6 +818,127 @@ def duplicate_line_removal(docs: DataFrame,
             .orderBy("doc_id"))
 
 
+# -- CCNet-style perplexity filtering ---------------------------------------
+
+# Fixed perplexity cutoffs (the CCNet shape: the LM is trained ONCE on a
+# clean reference slice and documents are bucketed by FIXED thresholds —
+# Wenzek et al., LREC 2020 — not by per-corpus quantiles, which would
+# need a global sort/percentile over 10^12 docs and make the decision
+# dataset-relative). head = lowest perplexity under the reference model.
+PPL_HEAD_MAX = 20.0
+PPL_MIDDLE_MAX = 110.0
+PPL_REF_LANG = "en"  # the "clean reference corpus" slice
+
+
+def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
+    """CCNet-style perplexity filter: train an add-one-smoothed char
+    BIGRAM language model on the clean reference corpus ``ref`` (the
+    Wikipedia-LM analog), score EVERY document in ``docs`` by
+    cross-entropy / perplexity under it, and bucket into
+    head/middle/tail with the fixed thresholds — the
+    quality-partitioning pass a pretraining pipeline runs before
+    mixture sampling.
+
+    Scale shape (10^12 docs): the TRAIN stage is one explode + hash agg
+    over the reference slice, but its OUTPUT is vocabulary-bounded
+    (V^2 bigram rows at most) — a classic broadcast model. The SCORE
+    stage is stateless per doc: explode bigrams, two broadcast joins
+    (bigram + first-char counts), one map-side-combinable avg per
+    doc_id — a single shuffle on doc_id, no window, no global sort
+    anywhere (the reason for fixed thresholds). Bigrams are built with
+    zip_with over two slices of a materialized char array (SCALE.md
+    rule 9: slices evaluate once per row; a sequence+substr transform
+    re-evaluates interpreted substr per element).
+
+    Model definition (mirrored exactly in the DuckDB twin):
+      pad      = ' ' || lower(text) || ' '
+      P(c2|c1) = (count(c1c2) + 1) / (count(c1*) + V),
+      V        = distinct second-chars in the reference bigrams,
+      H(doc)   = -avg(log2 P) over the doc's bigrams, ppl = 2^H.
+    Unseen bigrams fall back through the add-one smoothing; unseen
+    first chars score 1/V per bigram.
+    """
+    def with_pad(df):
+        return (df.filter(F.length("text") > 0)
+                .withColumn("__pad", F.concat(F.lit(" "), F.lower("text"),
+                                              F.lit(" "))))
+
+    def bigrams(df, keep=()):
+        chars = F.array_remove(F.split(F.col("__pad"), ""), "")
+        n = F.size(chars)
+        return df.select(
+            *keep,
+            F.explode(F.zip_with(
+                F.slice(chars, 1, n - 1),
+                F.slice(chars, 2, n - 1),
+                lambda a, b: F.concat(a, b))).alias("bg"))
+
+    docs = with_pad(docs)
+    ref_bg = bigrams(with_pad(ref))
+    bg_counts = ref_bg.groupBy("bg").agg(F.count("*").alias("bc"))
+    c1_counts = (bg_counts
+                 .groupBy(F.substring("bg", 1, 1).alias("c1"))
+                 .agg(F.sum("bc").alias("uc")))
+    v = bg_counts.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v"))
+
+    scored = (bigrams(docs, keep=("doc_id",))
+              .join(F.broadcast(bg_counts), "bg", "left")
+              .withColumn("c1", F.substring("bg", 1, 1))
+              .join(F.broadcast(c1_counts), "c1", "left")
+              .crossJoin(F.broadcast(v))
+              .select(
+                  "doc_id",
+                  (F.log2((F.coalesce("bc", F.lit(0)) + 1)
+                          / (F.coalesce("uc", F.lit(0)) + F.col("v"))))
+                  .alias("lp"))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   (-F.avg("lp")).alias("__h")))
+    ppl = F.pow(F.lit(2.0), F.col("__h"))
+    bucket = (F.when(ppl <= PPL_HEAD_MAX, F.lit("head"))
+              .when(ppl <= PPL_MIDDLE_MAX, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.select("doc_id", "n_bigrams",
+                          F.round("__h", 4).alias("cross_entropy"),
+                          F.round(ppl, 3).alias("perplexity"),
+                          bucket.alias("ppl_bucket"))
+            .orderBy("doc_id"))
+
+
+def char_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the perplexity filter. The synthetic corpus draws
+    every doc from one English word pool (its lang column is a label,
+    not a script change), so scored as-is all docs land in one tight
+    cluster and the bucket decision would be vacuous. The scoring set
+    is therefore the corpus UNION two deterministic planted variants
+    (same construction in the DuckDB twin):
+      * doc_id+1000000: the second half of the text reversed in place —
+        half the bigrams stay natural, so the cross-entropy lands
+        midway (measured ppl ~30-70: the 'middle' band);
+      * doc_id+2000000: reverse(text) — real chars, wrong-order bigrams
+        throughout (measured ppl ~160-750: the 'tail' band).
+    The fixed thresholds sit in the empty gaps BETWEEN the three
+    measured clusters (orig <=6.8 | 20 | >=27 half-rev <=71 | 110 |
+    >=161 rev at sf0.01), so every bucket is exercised and the decision
+    is robust to float noise. The reference slice is the original
+    lang='en' docs only."""
+    base = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    n = F.length("text")
+    half = F.floor(n / 2).cast("int")
+    halfrev = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.substring(F.col("text"), F.lit(1), half),
+                 F.reverse(F.substring(F.col("text"), half + 1, n)))
+         .alias("text"))
+    rev = base.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                      F.reverse("text").alias("text"))
+    scoring = (base.select("doc_id", "text")
+               .unionByName(halfrev).unionByName(rev))
+    ref = base.filter(F.col("lang") == PPL_REF_LANG).select("text")
+    return char_lm_perplexity(scoring, ref)
+
+
 LINE_DEDUP_BOILER = "subscribe to our newsletter for updates and offers"
 
 
