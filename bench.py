@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "token_stats",
     "mixture_sample",
     "pii_scrub",
+    "char_lm_ppl",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",
