@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   URL canonicalize + latest-capture dedup, full twin in SQL
         "host_stats": urls.host_stats,                      # oracled:
         #   per-host crawl/frontier stats, full twin in SQL
+        "host_cap": urls.host_cap,                          # oracled:
+        #   per-domain doc cap — exact two-level distributed top-N
+        #   (no window over the hot host); twin uses DuckDB row_number
         "lang_guess": textdata.lang_guess,
         "lang_trigram": textdata.lang_trigram,
         # release-feed path (SURVEY §3.3: P6/W1/W2/F4-F7)

@@ -1068,3 +1068,34 @@ def test_char_lm_ppl_buckets_nonvacuous(spark):
     assert set(by_group["orig"]) == {"head"}
     assert set(by_group["halfrev"]) == {"middle"}
     assert set(by_group["rev"]) == {"tail"}
+
+
+def test_cap_per_host_exact_two_level_topn(spark):
+    """cap_per_host must equal the naive per-host first-N by (ts, id) —
+    including across many input partitions (the two-level partial merge
+    is exact), on ties, and on hosts under the cap."""
+    import datetime as dt
+
+    from textextract_spark.operators.urls import cap_per_host
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    # hot host: 40 docs, interleaved timestamps incl. ties
+    for i in range(40):
+        rows.append((i, f"https://HOT.example:443/p/{i}",
+                     t0 + dt.timedelta(seconds=i % 10)))
+    # small host: 2 docs (under cap — all kept)
+    rows += [(100, "http://tiny.example/a", t0),
+             (101, "http://tiny.example/b", t0)]
+    pages = (spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+             .repartition(7))  # force multi-partition partials
+    got = sorted(r.doc_id for r in cap_per_host(pages, cap=5).collect())
+
+    expect_hot = sorted(
+        i for _, i in sorted(
+            ((t0 + dt.timedelta(seconds=i % 10), i) for i in range(40)))
+        [:5])
+    assert got == expect_hot + [100, 101]
+    # host column is the lowercased port-stripped authority
+    hosts = {r.host for r in cap_per_host(pages, cap=5).collect()}
+    assert hosts == {"hot.example", "tiny.example"}

@@ -509,6 +509,28 @@ ORACLES: dict[str, str] = {
     # urls synthesized from doc_id (twin of operators.urls.url_dedup),
     # same decompose/normalize/rebuild — patterns shared verbatim with
     # the Spark side (classes + capture groups only, RE2-safe)
+    # per-host document cap (twin of urls.host_cap): same synthesized
+    # multi-host crawl with one hot even-doc host; DuckDB may use the
+    # row_number window the Spark side deliberately avoids (oracle
+    # scale has no hot-key problem) — divergence of the two FORMS is
+    # the point of the check
+    "host_cap": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                    ELSE doc_id % 7 + 1 END AS VARCHAR)
+                       || '.example.com' AS host,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + CAST(doc_id AS INT) * INTERVAL 1 SECOND AS warc_ts
+            FROM documents),
+        r AS (
+            SELECT doc_id, host, warc_ts,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY warc_ts, doc_id) AS rn
+            FROM pages)
+        SELECT doc_id, host, warc_ts FROM r WHERE rn <= 10
+        ORDER BY doc_id
+    """,
     "url_dedup": r"""
         WITH pages AS (
             SELECT doc_id,

@@ -77,6 +77,76 @@ def dedup_by_canonical_url(pages: DataFrame,
             .orderBy("canonical_url"))
 
 
+HOST_CAP_DEFAULT = 8
+
+
+def cap_per_host(pages: DataFrame, cap: int = HOST_CAP_DEFAULT,
+                 url_col: str = "url", ts_col: str = "warc_ts",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap — the crawl-curation rule that stops one
+    mega-host (a link farm, a wiki mirror) from dominating the training
+    mix: keep each host's first ``cap`` documents by (ts, id), drop the
+    rest.
+
+    Top-N-per-key WITHOUT a window (the hot-key rule): hosts are THE
+    skewed key, and ``row_number().over(partitionBy(host))`` would pin a
+    10^8-page host's rows to one task. This is the classic EXACT
+    two-level distributed top-N instead:
+      1. per-(host, input-partition) capped partial:
+         slice(array_sort(collect_list(struct(ts, id))), 1, cap) — the
+         group's rows all live in one input partition, so agg state is
+         bounded by the partition and the shuffle carries only capped
+         lists, never raw rows of the hot host;
+      2. per-host merge of the capped lists (state: partitions-with-
+         host x cap structs) re-sorted and re-capped — exact, because
+         any global top-cap element is top-cap within its partition.
+    The keeper ids then semi-join back, payload-free key equality.
+    Grouping by spark_partition_id is safe here: it only shapes the
+    partial groups; the final top-cap is partitioning-invariant.
+
+    Returns the kept rows of ``pages`` (all columns) plus the host
+    column, ordered by id.
+    """
+    host = F.lower(F.regexp_extract(
+        F.regexp_extract(F.col(url_col), r"^[^:/?#]+://([^/?#]*)", 1),
+        r"^([^:]*)", 1))
+    keyed = pages.withColumn("host", host)
+    member = F.struct(F.col(ts_col).alias("ts"),
+                      F.col(id_col).alias("id"))
+    part_top = (keyed
+                .withColumn("__p", F.spark_partition_id())
+                .groupBy("host", "__p")
+                .agg(F.slice(F.array_sort(F.collect_list(member)),
+                             1, cap).alias("k")))
+    keepers = (part_top
+               .groupBy("host")
+               .agg(F.slice(F.array_sort(F.flatten(F.collect_list("k"))),
+                            1, cap).alias("keep"))
+               .select(F.explode("keep.id").alias(id_col)))
+    return (keyed.join(keepers, id_col, "semi")
+            .orderBy(id_col))
+
+
+def host_cap(spark: SparkSession, sf_dir: str,
+             cap: int = 10) -> DataFrame:
+    """Driver query for cap_per_host: a multi-host crawl is synthesized
+    deterministically from doc_id (host h{doc_id%7}.example.com, one
+    Zipf-ish hot host taking every even doc — same construction in the
+    DuckDB twin, which uses the row_number window DuckDB is allowed at
+    oracle scale), so the cap demonstrably bites the hot host hardest.
+    Returns the kept rows' ids, hosts and capture times."""
+    d = F.col("doc_id")
+    hostnum = F.when(d % 2 == 0, F.lit(0)).otherwise((d % 7) + 1)
+    url = F.concat(F.lit("https://h"), hostnum.cast("string"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    ts = F.timestamp_seconds(F.lit(1735689600) + d)
+    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", url.alias("url"), ts.alias("warc_ts")))
+    return (cap_per_host(pages, cap=cap)
+            .select("doc_id", "host", "warc_ts")
+            .orderBy("doc_id"))
+
+
 def _synth_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table carries no urls, so messy crawl urls are
     SYNTHESIZED deterministically from doc_id (same construction in the
