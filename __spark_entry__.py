@@ -378,6 +378,48 @@ def _bpe_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pretoken_chars").alias("total_pretoken_chars"))
 
 
+def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation journey v2 under the hard gate: crawl pages ->
+    extraction -> quality gate -> exact dedup -> NEAR-dup cluster stage
+    (LSH candidates -> exact jaccard >= 0.6 -> connected components ->
+    min-url cluster keeper) -> one decision per url, via
+    pipeline.curation_decisions_neardup — the SAME function the product
+    ``--curate`` path now commits. Two plant families make both dedup
+    stages non-vacuous: doc_id+100000 exact copies (docs 0-9, caught by
+    stage 1) and doc_id+200000 near copies (docs 0-19, one appended
+    word — jaccard (w-2)/(w-1) >= ~0.86, far above threshold AND high
+    enough that 16-band LSH recall is exact for the oracle; the cluster
+    keeper is the lexicographic min url, which for single-digit doc
+    urls may be the PLANT — decided identically by both engines).
+    decisions: drop:extract | drop:quality | drop:dup | drop:neardup |
+    keep; the twin reconstructs the full journey including the
+    recursive-CTE cluster closure."""
+    from textextract_spark.pipeline import curation_decisions_neardup
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    exact_plants = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    near_plants = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" postscriptum")).alias("text"), "lang")
+    both = docs.unionByName(exact_plants).unionByName(near_plants)
+    pages = both.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
+                          F.lit(_CHROME_POST)), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+          .select("url", "status", "text"))
+    return (curation_decisions_neardup(ex)
+            .select("url", "status", "quality", "decision",
+                    F.length("text").alias("text_len"))
+            .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational inventory (SURVEY.md §2.2-2.7)
@@ -490,6 +532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": _curate_docs,                        # oracled:
         #   extract -> quality gate -> exact dedup -> keep/drop decision,
         #   every stage + byte-exact curated text reconstructed in SQL
+        "curate_neardup": _curate_neardup,                  # oracled:
+        #   curation v2 (the product --curate path): + near-dup cluster
+        #   stage, twin closes the jaccard pair graph by recursive CTE
         "extract_mixed_docs": _extract_mixed_docs,          # oracled:
         #   pdf + plain-text dispatch branches (fmt not all-'html')
         "warc_roundtrip": _warc_roundtrip,                  # oracled:

@@ -624,3 +624,37 @@ def test_run_pipeline_curate(spark, corpus_dir, golden):
             for r in res2["curated"].read(spark).collect()}
     assert cur2 == {u: r.decision for u, r in cur.items()}
     assert len(res2["curated"].snapshots()) == 1
+
+
+def test_curation_neardup_decisions(spark):
+    """curation_decisions_neardup on planted cases: exact copies fall in
+    stage 1 (drop:dup), one-word-appended near copies fall in stage 2
+    (drop:neardup), a CHAIN of near copies collapses into one cluster
+    with a single min-url keeper, and distinct/short/failed docs keep
+    their stage-1 decisions."""
+    from textextract_spark.pipeline import curation_decisions_neardup
+
+    A = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+         "juliet kilo lima mike november oscar papa quebec romeo")
+    B = ("zulu yankee xray whiskey victor uniform tango sierra "
+         "quebec papa oscar november mike lima kilo juliet india")
+    rows = [
+        ("u://a", "ok", A),
+        ("u://b", "ok", A),                           # exact dup
+        ("u://c", "ok", A + " postscriptum"),         # near dup of a
+        ("u://g", "ok", A + " postscriptum addendum"),  # chain
+        ("u://d", "ok", B),                           # distinct
+        ("u://e", "ok", "short"),                     # quality gate
+        ("u://f", "error:boom", ""),                  # extraction fail
+    ]
+    ex = spark.createDataFrame(rows, "url string, status string, "
+                               "text string")
+    got = {r.url: r.decision
+           for r in curation_decisions_neardup(ex).collect()}
+    assert got == {"u://a": "keep",
+                   "u://b": "drop:dup",
+                   "u://c": "drop:neardup",
+                   "u://g": "drop:neardup",
+                   "u://d": "keep",
+                   "u://e": "drop:quality",
+                   "u://f": "drop:extract"}

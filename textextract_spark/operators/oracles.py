@@ -832,6 +832,94 @@ ORACLES: dict[str, str] = {
         FROM q LEFT JOIN w ON md5(q.t) = w.h
         ORDER BY url
     """,
+    # -- curation v2 (twin of pipeline.curation_decisions_neardup via
+    # __spark_entry__._curate_neardup): the curate_docs journey plus a
+    # near-dup stage over the keep survivors — word-3-shingle jaccard
+    # >= 0.6 pair graph closed by recursive CTE, min-url cluster keeper.
+    # Word shingles ONLY: the upstream no_spaces quality gate guarantees
+    # every scored doc is space-segmented (see the operator docstring).
+    # Exact plants (+100000, docs 0-9) exercise stage 1; near plants
+    # (+200000, docs 0-19, one appended word) exercise stage 2 --------
+    "curate_neardup": r"""
+        WITH RECURSIVE all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 200000, text || ' postscriptum'
+            FROM documents WHERE doc_id < 20),
+        e AS (
+            SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+                   trim(text) AS t,
+                   CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                        ELSE 'ok' END AS status
+            FROM all_docs),
+        el AS (
+            SELECT *, list_filter(list_transform(string_split(t, chr(10)),
+                                                 x -> trim(x)),
+                                  x -> length(x) > 0) AS lines
+            FROM e),
+        q AS (
+            SELECT url, t, status,
+                   CASE WHEN status <> 'ok' THEN '-'
+                        WHEN length(t) < 50 THEN 'too_short'
+                        WHEN (length(t) - length(regexp_replace(
+                                  t, '[0-9]', '', 'g'))) / length(t) > 0.3
+                            THEN 'too_numeric'
+                        WHEN (CASE WHEN len(lines) > 0
+                                   THEN CAST(len(lines)
+                                             - len(list_distinct(lines))
+                                         AS DOUBLE) / len(lines)
+                                   ELSE 0.0 END) > 0.3 THEN 'repetitive'
+                        WHEN (length(t) - length(replace(t, ' ', '')))
+                             / length(t) < 0.05 THEN 'no_spaces'
+                        ELSE 'ok' END AS quality
+            FROM el),
+        w AS (
+            SELECT md5(t) AS h, min(url) AS keeper FROM q
+            WHERE status = 'ok' AND quality = 'ok' GROUP BY md5(t)),
+        d1 AS (
+            SELECT q.url, q.status, q.quality, q.t,
+                   CASE WHEN q.status <> 'ok' THEN 'drop:extract'
+                        WHEN q.quality <> 'ok' THEN 'drop:quality'
+                        WHEN q.url <> w.keeper THEN 'drop:dup'
+                        ELSE 'keep' END AS decision
+            FROM q LEFT JOIN w ON md5(q.t) = w.h),
+        kt AS (
+            SELECT url,
+                   string_split_regex(trim(lower(t)), '\s+') AS toks
+            FROM d1 WHERE decision = 'keep'),
+        s AS (
+            SELECT url,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                      toks[CAST(i AS INT) + 1],
+                                      toks[CAST(i AS INT) + 2]))) AS sh
+            FROM kt WHERE len(toks) >= 3),
+        p AS (
+            SELECT a.url AS a_id, b.url AS b_id
+            FROM s a JOIN s b ON a.url < b.url
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION
+            SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        comp AS (
+            SELECT src AS url, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src)
+        SELECT d1.url, d1.status, d1.quality,
+               CASE WHEN d1.decision = 'keep' AND comp.url IS NOT NULL
+                         AND d1.url <> comp.cluster
+                    THEN 'drop:neardup' ELSE d1.decision END AS decision,
+               CAST(length(d1.t) AS INT) AS text_len
+        FROM d1 LEFT JOIN comp ON d1.url = comp.url
+        ORDER BY d1.url
+    """,
     # -- non-HTML dispatch branches under the same hard gate: doc_id%3==0
     # pages are synthesized FlateDecode PDFs carrying two known text lines
     # ('Document <id>' / 'flate stream body' — datagen.build_pdf), the

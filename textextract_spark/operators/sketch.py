@@ -292,7 +292,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     pair set is orders of magnitude smaller than docs x 16 bands, so the
     shingle payload never rides the bucket shuffle (r1 carried it 16x).
     """
-    docs = _docs(spark, sf_dir)
+    return (exact_jaccard_pairs(_docs(spark, sf_dir), threshold)
+            .orderBy(F.desc("jaccard"), "a_id", "b_id"))
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """LSH-candidates -> exact-jaccard-verified pairs over any
+    (doc_id, text) frame (doc_id may be any orderable type — the
+    curation path passes urls). Shared by ngram_jaccard_pairs and the
+    near-dup curation stage (pipeline.curation_decisions_neardup) — one
+    implementation of the candidate/verify shape."""
     pairs = _candidate_pairs(
         minhash_bands(minhash_signatures(docs)), None)
     sh = with_shingles(docs).select("doc_id", "shingles")
@@ -308,8 +317,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     return (joined.select("a_id", "b_id",
                           (inter / union).alias("__raw"))
             .filter(F.col("__raw") >= threshold)
-            .select("a_id", "b_id", F.round("__raw", 4).alias("jaccard"))
-            .orderBy(F.desc("jaccard"), "a_id", "b_id"))
+            .select("a_id", "b_id", F.round("__raw", 4).alias("jaccard")))
 
 
 def with_simhash(df: DataFrame) -> DataFrame:

@@ -424,6 +424,53 @@ def curation_decisions(extracted: DataFrame) -> DataFrame:
             .drop("__h", "__keeper"))
 
 
+def curation_decisions_neardup(extracted: DataFrame,
+                               threshold: float = 0.6) -> DataFrame:
+    """The curation journey v2: the exact-dedup decisions of
+    curation_decisions PLUS a NEAR-duplicate stage over the surviving
+    keeps — LSH candidates -> exact n-gram-jaccard verify (>= threshold)
+    -> Hash-Min connected components -> within each near-dup cluster
+    only the min-url keeper stays 'keep', the rest become
+    'drop:neardup'. This is the full pretraining curation decision:
+    boilerplate-stripped text, quality gate, byte-exact dedup, and
+    fuzzy dedup, one verdict per url.
+
+    Scale shape: stage 1 is curation_decisions (payload-free winner
+    agg); the near-dup leg runs ONLY on keep survivors and reuses the
+    capped/bounded sketch machinery (sketch.exact_jaccard_pairs +
+    connected_components: payload-free banding, sampled buckets,
+    survivors-only shingle join-back, aggregate-only CC driver loop).
+    The final decision join back is key equality on url against the
+    (small) non-keeper set.
+
+    The upstream quality gate drops whitespace-poor docs ('no_spaces',
+    space density < 0.05) BEFORE this stage, so every scored doc takes
+    the word-shingle branch — which is what lets the DuckDB twin use a
+    single word-shingle CTE (the operator itself stays script-aware for
+    other callers).
+    """
+    from .operators.sketch import connected_components, exact_jaccard_pairs
+
+    base = curation_decisions(extracted)
+    keeps = (base.filter(F.col("decision") == "keep")
+             .select(F.col("url").alias("doc_id"), "text"))
+    pairs = (exact_jaccard_pairs(keeps, threshold)
+             .select("a_id", "b_id"))
+    labels = connected_components(pairs)
+    non_keepers = (labels
+                   .filter(F.col("doc_id") != F.col("cluster_id"))
+                   .select(F.col("doc_id").alias("url"),
+                           F.lit(True).alias("__nd")))
+    return (base.join(non_keepers, "url", "left")
+            .withColumn(
+                "decision",
+                F.when((F.col("decision") == "keep")
+                       & F.col("__nd").isNotNull(),
+                       F.lit("drop:neardup"))
+                 .otherwise(F.col("decision")))
+            .drop("__nd"))
+
+
 # ---------------------------------------------------------------------------
 # Orchestration: chunked snapshot commits + resume
 # ---------------------------------------------------------------------------
@@ -537,6 +584,7 @@ def run_pipeline(
         full = out.read(spark)
         curated_tbl = ManifestTable(f"{out_dir}/curated")
         if full is not None:
-            curated_tbl.overwrite(curation_decisions(full))
+            # v2 decisions: exact dedup AND the near-dup cluster stage
+            curated_tbl.overwrite(curation_decisions_neardup(full))
         result["curated"] = curated_tbl
     return result
