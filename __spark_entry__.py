@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": textdata.repetition_stats,
         "pii_scrub": textdata.pii_scrub,                    # oracled:
         #   ROOTS-style PII redaction, twin generated from PII_PATTERNS
+        "decontam": textdata.decontam,                      # oracled:
+        #   benchmark decontamination — exact word-8-gram overlap vs a
+        #   broadcast eval-set gram table; full twin in SQL
         "char_lm_ppl": textdata.char_lm_ppl,                # oracled:
         #   CCNet-style perplexity filter — reference-slice char-bigram
         #   LM, per-doc cross-entropy/perplexity, fixed-cutoff buckets;

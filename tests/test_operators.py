@@ -1099,3 +1099,32 @@ def test_cap_per_host_exact_two_level_topn(spark):
     # host column is the lowercased port-stripped authority
     hosts = {r.host for r in cap_per_host(pages, cap=5).collect()}
     assert hosts == {"hot.example", "tiny.example"}
+
+
+def test_contamination_flags_planted(spark):
+    """Decontamination on planted cases: a doc embedding an eval
+    sentence is flagged with the exact shared-8-gram count, a 7-word
+    overlap stays clean, matching is case/whitespace-insensitive, and
+    short docs are trivially clean."""
+    from textextract_spark.operators.textdata import contamination_flags
+
+    ev = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [(0, "intro words then " + ev + " trailing stuff"),
+         # exactly 7 shared words -> no shared 8-gram
+         (1, "the quick brown fox jumps over the city"),
+         (2, "  THE  Quick   BROWN fox JUMPS over the LAZY dog tonight"),
+         (3, "the quick brown fox"),
+         (4, "completely unrelated content about spark and arrow "
+             "partitions shuffling nicely")],
+        ["doc_id", "text"])
+    eval_docs = spark.createDataFrame([(ev,)], ["text"])
+    got = {r.doc_id: r for r in
+           contamination_flags(docs, eval_docs).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    # eval text has 3 distinct 8-grams; doc 0 contains all of them
+    assert (got[0].n_overlap, got[0].contaminated) == (3, True)
+    assert (got[1].n_overlap, got[1].contaminated) == (0, False)
+    assert (got[2].n_overlap, got[2].contaminated) == (3, True)
+    assert (got[3].n_overlap, got[3].contaminated) == (0, False)
+    assert (got[4].n_overlap, got[4].contaminated) == (0, False)

@@ -1401,6 +1401,37 @@ def _pii_scrub_oracle() -> str:
 ORACLES["pii_scrub"] = _pii_scrub_oracle()
 
 
+def _decontam_oracle() -> str:
+    """GENERATED from textdata.CONTAM_NGRAM (twin of textdata.decontam):
+    same lowercased word n-grams, same %97 eval-set selection."""
+    from .textdata import CONTAM_NGRAM as N
+
+    terms = ", ".join(f"toks[CAST(i AS INT) + {k}]" for k in range(N))
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {N - 2}),
+                       i -> concat_ws(' ', {terms}))) AS g
+            FROM t WHERE len(toks) >= {N}),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 5),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n
+            FROM g JOIN ev USING (g) GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+ORACLES["decontam"] = _decontam_oracle()
+
+
 def _char_lm_ppl_oracle() -> str:
     """GENERATED from textdata's PPL_* constants (twin of
     char_lm_perplexity): same reference slice, same add-one bigram

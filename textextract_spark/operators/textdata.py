@@ -818,6 +818,68 @@ def duplicate_line_removal(docs: DataFrame,
             .orderBy("doc_id"))
 
 
+# -- benchmark decontamination ----------------------------------------------
+
+CONTAM_NGRAM = 8  # word n-gram width (GPT-3 used 13-grams; 8 fits the
+#                   short synthetic docs while keeping the semantics)
+
+
+def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = CONTAM_NGRAM) -> DataFrame:
+    """Benchmark DECONTAMINATION (the Brown et al. 2020 appendix-C rule,
+    standard in PaLM/Llama data reports): flag every training document
+    that shares an exact lowercased word n-gram with the evaluation
+    set, so eval answers cannot leak into the training mix — including
+    the benchmark copies that circulate inside the crawl itself.
+
+    Scale shape (10^12 docs vs a benchmark of ~10^5 questions): the
+    eval side collapses to a DISTINCT n-gram-hash set — benchmark-sized,
+    the classic broadcast side — and the doc side streams its n-gram
+    hashes through one broadcast hash join (no shuffle of the corpus),
+    then one map-side-combinable count per doc_id. N-gram hashes (md5)
+    ride the join, never the gram text. Docs with fewer than n tokens
+    have no n-grams and are trivially clean.
+
+    Returns one verdict row per input doc:
+    (doc_id, n_overlap, contaminated).
+    """
+    def grams(df, *keep):
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        df = df.withColumn("__toks", toks)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__toks", i + k)
+                       for k in range(n)]))
+        return (df.filter(F.size("__toks") >= n)
+                .select(*keep, F.explode(g).alias("g"))
+                .select(*keep, F.md5("g").alias("__h")))
+
+    eval_grams = grams(eval_docs).distinct()
+    hits = (grams(docs, "doc_id")
+            .join(F.broadcast(eval_grams), "__h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("__o")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__o", F.lit(0).cast("long"))
+                     .alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0)
+            .orderBy("doc_id"))
+
+
+def decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for decontamination: the 'benchmark' is the docs with
+    doc_id % 97 == 5 (a realistically small eval set, same selection in
+    the DuckDB twin). Those docs flag themselves — the in-crawl
+    benchmark-copy case — and any other doc sharing an exact 8-gram
+    with them by pool coincidence is flagged identically by both
+    engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 5)
+    return contamination_flags(docs, eval_docs)
+
+
 # -- CCNet-style perplexity filtering ---------------------------------------
 
 # Fixed perplexity cutoffs (the CCNet shape: the LM is trained ONCE on a
