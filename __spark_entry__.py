@@ -480,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": textdata.mixture_sample,          # oracled:
         #   deterministic hash-threshold mixture sampling, config-
         #   generated twin
+        "temp_mixture": textdata.temperature_mixture,       # oracled:
+        #   mC4-style temperature (alpha) multilingual mixture — rates
+        #   derived from corpus counts, same 256-bucket hash filter
         "line_dedup": textdata.line_dedup,                  # oracled:
         #   C4-style cross-corpus duplicate-line removal over the
         #   synthesized multi-line corpus, full clean_text twin in SQL

@@ -1128,3 +1128,51 @@ def test_contamination_flags_planted(spark):
     assert (got[2].n_overlap, got[2].contaminated) == (3, True)
     assert (got[3].n_overlap, got[3].contaminated) == (0, False)
     assert (got[4].n_overlap, got[4].contaminated) == (0, False)
+
+
+def test_temperature_mixture_rates(spark, tmp_path):
+    """Temperature sampling math on a planted skewed corpus: the rarest
+    language is kept at rate 256/256, rates are monotone decreasing in
+    language share, every rate matches the closed form
+    floor(256*(n_min/n)^(1-alpha)), and the sampled counts match a
+    from-scratch python md5-bucket recomputation."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import (
+        TEMP_ALPHA, temperature_mixture)
+
+    langs = ["en"] * 400 + ["de"] * 80 + ["bn"] * 16
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": ["x"] * len(langs),
+        "lang": langs,
+    })
+    d = tmp_path / "tempmix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {r.lang: r for r in temperature_mixture(spark, str(d)).collect()}
+    n = {"en": 400, "de": 80, "bn": 16}
+    n_min = 16
+    for lang, r in got.items():
+        want = min(256, math.floor(
+            256 * (n_min / n[lang]) ** (1 - TEMP_ALPHA)))
+        assert r.rate_per256 == want, (lang, r.rate_per256, want)
+        assert r.n_docs == n[lang]
+    assert got["bn"].rate_per256 == 256 and got["bn"].n_sampled == 16
+    assert (got["bn"].rate_per256 > got["de"].rate_per256
+            > got["en"].rate_per256)
+
+    def bucket(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    start = {"en": 0, "de": 400, "bn": 480}
+    for lang, r in got.items():
+        expect = sum(1 for i in range(start[lang], start[lang] + n[lang])
+                     if bucket(i) < r.rate_per256)
+        assert r.n_sampled == expect, lang

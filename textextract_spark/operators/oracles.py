@@ -1401,6 +1401,47 @@ def _pii_scrub_oracle() -> str:
 ORACLES["pii_scrub"] = _pii_scrub_oracle()
 
 
+def _temp_mixture_oracle() -> str:
+    """GENERATED from textdata.TEMP_ALPHA (twin of temperature_mixture):
+    identical count-driven rate formula and md5 bucket arithmetic."""
+    from .textdata import _HEX, TEMP_ALPHA
+
+    exp = 1.0 - TEMP_ALPHA
+    return f"""
+        WITH c AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        t AS (SELECT sum(n) AS nn, min(n) AS nmin FROM c),
+        r AS (
+            SELECT lang, n,
+                   CAST(n AS DOUBLE) / nn AS p,
+                   CAST(least(256, floor(256 * power(
+                       CAST(nmin AS DOUBLE) / n, {exp}))) AS INT)
+                       AS rate256
+            FROM c, t),
+        d AS (
+            SELECT doc_id, lang,
+                   (instr('{_HEX}', substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (instr('{_HEX}', substr(
+                        md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+            FROM documents)
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(max(r.p), 4) AS share,
+               max(r.rate256) AS rate_per256,
+               CAST(sum(CASE WHEN d.b < r.rate256 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               round(CAST(sum(CASE WHEN d.b < r.rate256
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS eff_rate
+        FROM d JOIN r USING (lang)
+        GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+ORACLES["temp_mixture"] = _temp_mixture_oracle()
+
+
 def _decontam_oracle() -> str:
     """GENERATED from textdata.CONTAM_NGRAM (twin of textdata.decontam):
     same lowercased word n-grams, same %97 eval-set selection."""

@@ -749,6 +749,63 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+TEMP_ALPHA = 0.3  # mC4/XLM-R's temperature exponent
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str,
+                        alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-based MULTILINGUAL mixture (the mC4 / XLM-R rule):
+    sample language l with probability proportional to p_l^alpha, so
+    low-resource languages are upsampled relative to their raw share.
+    Normalized to keep-rates by capping the rarest language at rate 1
+    (rate_l = (n_min/n_l)^(1-alpha)), then quantized to the same
+    256-bucket md5 hash threshold as mixture_sample — deterministic,
+    stateless, rerun/retry-stable, no rand().
+
+    Scale shape: one map-side-combinable groupBy(lang) count, a
+    languages-sized rate table broadcast back, the same stateless
+    bucket filter, and one report agg. The only data-dependent inputs
+    are exact integer counts; both engines evaluate the identical
+    floor(256 * pow(n_min/n, 1-alpha)) expression, so the quantized
+    rates cannot drift.
+
+    Returns the per-language mixture report:
+    (lang, n_docs, share, rate_per256, n_sampled, eff_rate).
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("__n"))
+    # NB __tot not __N: Spark resolution is case-insensitive, so an
+    # __N total next to counts' __n is AMBIGUOUS_REFERENCE
+    tot = counts.agg(F.sum("__n").alias("__tot"),
+                     F.min("__n").alias("__nmin"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("lang", "__n",
+                     (F.col("__n") / F.col("__tot")).alias("__p"),
+                     F.least(
+                         F.lit(256),
+                         F.floor(F.lit(256) * F.pow(
+                             F.col("__nmin") / F.col("__n"),
+                             F.lit(1.0 - alpha))).cast("int"))
+                      .alias("__rate")))
+
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast(doc_id as string)),{i},1))"
+        ) - 1
+    bucket = hexval(1) * 16 + hexval(2)
+    return (docs.withColumn("__b", bucket)
+            .join(F.broadcast(rates), "lang")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.max("__p"), 4).alias("share"),
+                 F.max("__rate").alias("rate_per256"),
+                 F.sum((F.col("__b") < F.col("__rate")).cast("long"))
+                  .alias("n_sampled"))
+            .withColumn("eff_rate",
+                        F.round(F.col("n_sampled") / F.col("n_docs"), 4))
+            .orderBy("lang"))
+
+
 # -- cross-corpus duplicate-line removal (C4-style) -------------------------
 
 # winner packing doc_id*PACK + line_no: valid while every doc has fewer
