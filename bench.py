@@ -46,10 +46,13 @@ BENCH_QUERIES = [
     "line_dedup",
     "url_dedup",
     "host_stats",
+    "host_cap",
     "token_stats",
     "mixture_sample",
+    "temp_mixture",
     "pii_scrub",
     "char_lm_ppl",
+    "decontam",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",
