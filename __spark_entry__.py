@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   URL canonicalize + latest-capture dedup, full twin in SQL
         "host_stats": urls.host_stats,                      # oracled:
         #   per-host crawl/frontier stats, full twin in SQL
+        "url_blocklist": urls.url_blocklist,                # oracled:
+        #   UT1-style host blocklist (broadcast) + spam-path keyword
+        #   verdicts, full twin in SQL
         "host_cap": urls.host_cap,                          # oracled:
         #   per-domain doc cap — exact two-level distributed top-N
         #   (no window over the hot host); twin uses DuckDB row_number

@@ -1176,3 +1176,26 @@ def test_temperature_mixture_rates(spark, tmp_path):
         expect = sum(1 for i in range(start[lang], start[lang] + n[lang])
                      if bucket(i) < r.rate_per256)
         assert r.n_sampled == expect, lang
+
+
+def test_filter_blocked_urls_planted(spark):
+    """URL blocklist verdicts: banned host (any casing/port), spam path
+    keyword (path or query, case-insensitive), clean rows keep, and the
+    host column is normalized."""
+    from textextract_spark.operators.urls import filter_blocked_urls
+
+    pages = spark.createDataFrame(
+        [(0, "https://ok.example/p/1"),
+         (1, "https://BAD.example:443/p/2"),
+         (2, "https://ok.example/casino/p/3"),
+         (3, "https://ok.example/p/4?ref=VIAGRA-deal"),
+         (4, "http://bad.example/warez/x")],
+        ["doc_id", "url"])
+    bl = spark.createDataFrame([("bad.example",)], ["host"])
+    got = {r.doc_id: r for r in filter_blocked_urls(pages, bl).collect()}
+    assert got[0].keep and not got[0].blocked_host
+    assert got[1].blocked_host and not got[1].keep
+    assert got[1].host == "bad.example"
+    assert got[2].blocked_path and not got[2].keep
+    assert got[3].blocked_path  # keyword in the query string
+    assert got[4].blocked_host and got[4].blocked_path

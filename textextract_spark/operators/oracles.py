@@ -509,6 +509,35 @@ ORACLES: dict[str, str] = {
     # urls synthesized from doc_id (twin of operators.urls.url_dedup),
     # same decompose/normalize/rebuild — patterns shared verbatim with
     # the Spark side (classes + capture groups only, RE2-safe)
+    # URL blocklist filtering (twin of urls.url_blocklist): same
+    # synthesized hosts/paths, same banned-host list and keyword regex
+    "url_blocklist": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                       ELSE doc_id % 7 + 1 END AS VARCHAR)
+                   || '.example.com'
+                   || CASE WHEN doc_id % 31 = 6 THEN '/casino' ELSE '' END
+                   || '/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents),
+        v AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(
+                       regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       '^([^:]*)', 1)) AS host,
+                   lower(regexp_extract(
+                       url, '^[^:/?#]+://[^/?#]*(.*)', 1)) AS rest
+            FROM pages)
+        SELECT doc_id, url, host,
+               host IN ('h3.example.com', 'h5.example.com')
+                   AS blocked_host,
+               regexp_matches(rest, '(casino|xxx|viagra|warez)')
+                   AS blocked_path,
+               NOT (host IN ('h3.example.com', 'h5.example.com'))
+               AND NOT regexp_matches(rest, '(casino|xxx|viagra|warez)')
+                   AS keep
+        FROM v ORDER BY doc_id
+    """,
     # per-host document cap (twin of urls.host_cap): same synthesized
     # multi-host crawl with one hot even-doc host; DuckDB may use the
     # row_number window the Spark side deliberately avoids (oracle

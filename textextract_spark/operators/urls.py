@@ -147,6 +147,67 @@ def host_cap(spark: SparkSession, sf_dir: str,
             .orderBy("doc_id"))
 
 
+# Spam/adult path keywords (demo-depth stand-in for the UT1-style
+# category blocklists RefinedWeb/C4 use; RE2- and Java-regex-safe)
+BLOCK_PATH_RE = r"(casino|xxx|viagra|warez)"
+
+
+def filter_blocked_urls(pages: DataFrame, blocked_hosts: DataFrame,
+                        url_col: str = "url") -> DataFrame:
+    """RefinedWeb/C4-style URL filtering — the curation step that runs
+    BEFORE any payload is parsed: a verdict per page from (a) the host
+    blocklist (UT1-style domain lists) and (b) spam keyword patterns in
+    the url path/query.
+
+    Scale shape: the blocklist is list-sized (10^5-10^7 hosts), the
+    classic broadcast side — one broadcast left join on the lowercased
+    port-stripped host, zero shuffle of the crawl; the path check is a
+    native rlike. Emits every input row with (host, blocked_host,
+    blocked_path, keep) so downstream stages filter on `keep` and the
+    drop reasons stay auditable.
+
+    `blocked_hosts` is a single-column ('host') DataFrame.
+    """
+    host = F.lower(F.regexp_extract(
+        F.regexp_extract(F.col(url_col), r"^[^:/?#]+://([^/?#]*)", 1),
+        r"^([^:]*)", 1))
+    rest = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[^:/?#]+://[^/?#]*(.*)", 1))
+    bl = (blocked_hosts
+          .select(F.lower(F.col("host")).alias("host"),
+                  F.lit(True).alias("__blocked")))
+    return (pages.withColumn("host", host)
+            .join(F.broadcast(bl), "host", "left")
+            .withColumn("blocked_host",
+                        F.coalesce("__blocked", F.lit(False)))
+            .withColumn("blocked_path", rest.rlike(BLOCK_PATH_RE))
+            .withColumn("keep",
+                        ~F.col("blocked_host") & ~F.col("blocked_path"))
+            .drop("__blocked"))
+
+
+def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for filter_blocked_urls: the synthesized crawl puts
+    every doc on host h{0|doc_id%7+1}.example.com (host_cap's
+    construction); the blocklist bans h3/h5, and docs with
+    doc_id % 31 == 6 get a '/casino/' path segment (same construction
+    in the DuckDB twin). Verdict row per doc."""
+    d = F.col("doc_id")
+    hostnum = F.when(d % 2 == 0, F.lit(0)).otherwise((d % 7) + 1)
+    seg = F.when(d % 31 == 6, F.lit("/casino")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://h"), hostnum.cast("string"),
+                   F.lit(".example.com"), seg,
+                   F.lit("/p/"), d.cast("string"))
+    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", url.alias("url")))
+    bl = spark.createDataFrame(
+        [("h3.example.com",), ("h5.example.com",)], ["host"])
+    return (filter_blocked_urls(pages, bl)
+            .select("doc_id", "url", "host", "blocked_host",
+                    "blocked_path", "keep")
+            .orderBy("doc_id"))
+
+
 def _synth_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table carries no urls, so messy crawl urls are
     SYNTHESIZED deterministically from doc_id (same construction in the
