@@ -254,3 +254,47 @@ def test_curation_aggregates_are_payload_free(spark, sf_dir):
     assert all("text" not in line and "html" not in line
                for line in fn_lines), fn_lines
     assert any("partial_" in line for line in fn_lines)
+
+
+def test_host_cap_no_window_over_hosts(spark, sf_dir):
+    """cap_per_host's top-N must be the two-level aggregation, never a
+    window over the skewed host key; the join back must be a semi
+    join."""
+    from textextract_spark.operators import urls
+    p = _plan(spark, urls.host_cap(spark, sf_dir), "simple")
+    assert "Window" not in p, f"window crept into the host cap:\n{p}"
+    assert "LeftSemi" in p, f"keeper join-back must be semi:\n{p}"
+    assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must broadcast the benchmark gram set — the
+    corpus side must never shuffle for the overlap join."""
+    from textextract_spark.operators import textdata
+    p = _plan(spark, textdata.decontam(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, \
+        f"eval grams must broadcast:\n{p}"
+    assert "SortMergeJoin" not in p, \
+        f"corpus shuffled for the overlap join:\n{p}"
+
+
+def test_temp_mixture_broadcasts_rates_no_window(spark, sf_dir):
+    """Temperature mixture: rate table broadcast, no window, no
+    rand() (determinism is the contract)."""
+    from textextract_spark.operators import textdata
+    df = textdata.temperature_mixture(spark, sf_dir)
+    p = _plan(spark, df, "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p
+    assert "rand(" not in p
+
+
+def test_char_lm_ppl_model_broadcasts(spark, sf_dir):
+    """The perplexity filter's bigram/first-char model tables must reach
+    the scoring join as broadcasts (vocabulary-bounded model), with no
+    window and no sort-merge of the corpus gram stream."""
+    from textextract_spark.operators import textdata
+    p = _plan(spark, textdata.char_lm_ppl(spark, sf_dir), "simple")
+    assert p.count("BroadcastHashJoin") >= 2, \
+        f"model tables must broadcast:\n{p}"
+    assert "Window" not in p
