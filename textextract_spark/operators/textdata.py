@@ -8,10 +8,12 @@ cross-engine 64-bit hashing doesn't exist — their correctness is covered by
 pytest against brute-force pairs (tests/test_dedup.py).
 
 Default execution strategy: built-in pyspark.sql.functions (JVM-side,
-whole-stage codegen). The two exceptions are Arrow-batched numpy pandas
-UDFs with measured justifications in their docstrings — lang_trigram
-(profile counting, ~9x vs interpreted lambdas) and winnow_fingerprint
-(rolling hash, 20x) — never row-at-a-time Python.
+whole-stage codegen). The exceptions are Arrow-batched pandas UDFs with
+measured or structural justifications in their docstrings —
+lang_trigram (profile counting, ~9x vs interpreted lambdas),
+winnow_fingerprint (rolling hash, 20x), and the BPE merge-loop kernels
+(token_bpe_merge / bpe_train_stats: the loop is not SQL-expressible) —
+never row-at-a-time Python.
 """
 
 from __future__ import annotations
