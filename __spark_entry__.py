@@ -483,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mixture": textdata.temperature_mixture,       # oracled:
         #   mC4-style temperature (alpha) multilingual mixture — rates
         #   derived from corpus counts, same 256-bucket hash filter
+        "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
+        #   fixed-width duplicated-span stats (Lee et al. shape) with
+        #   planted whole-doc copies + boilerplate tails, full twin
+        "split_report": textdata.split_report,              # oracled:
+        #   deterministic md5-bucket train/val/test split report
         "line_dedup": textdata.line_dedup,                  # oracled:
         #   C4-style cross-corpus duplicate-line removal over the
         #   synthesized multi-line corpus, full clean_text twin in SQL

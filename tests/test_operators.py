@@ -1199,3 +1199,62 @@ def test_filter_blocked_urls_planted(spark):
     assert got[2].blocked_path and not got[2].keep
     assert got[3].blocked_path  # keyword in the query string
     assert got[4].blocked_host and got[4].blocked_path
+
+
+def test_duplicated_span_stats_planted(spark):
+    """Span-dedup on planted cases: an exact whole-doc copy is fully
+    duplicated while the original (canonical min (doc_id, offset))
+    stays clean, a shared 128-char boilerplate tail flags only its
+    windows, a unique doc is clean, and a doc shorter than one window
+    still gets its zero-verdict row."""
+    from textextract_spark.operators.textdata import (
+        SPAN_K, SPAN_STRIDE, duplicated_span_stats)
+
+    base = ("the corpus analytics engine shuffles partitions across "
+            "executors while the optimizer prunes columns and pushes "
+            "filters into the scan for every query plan it builds")
+    boiler = "x" * (SPAN_K + SPAN_STRIDE)  # spans >= k+stride chars
+    docs = spark.createDataFrame(
+        [(0, base),                      # original
+         (1, base),                      # whole-doc copy
+         (2, "completely different words " * 8 + boiler),
+         (3, "another unrelated body of text " * 7 + boiler),
+         (4, "unique and unshared content that stands alone here "
+             "with nothing repeated elsewhere in this tiny corpus ok"),
+         (5, "tiny")],                   # < k chars
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in duplicated_span_stats(docs).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]
+    # original keeps every window (its offsets are the winners)
+    assert got[0].n_dup_windows == 0 and got[0].n_windows > 0
+    # the copy is 100% duplicated
+    assert got[1].n_dup_windows == got[1].n_windows > 0
+    assert got[1].dup_window_frac == 1.0
+    # the shared tail flags windows in exactly one of docs 2/3 (the
+    # later occurrence), and only partially
+    flagged = [d for d in (2, 3) if got[d].n_dup_windows > 0]
+    assert len(flagged) == 1
+    d = flagged[0]
+    assert 0 < got[d].n_dup_windows < got[d].n_windows
+    assert got[4].n_dup_windows == 0
+    assert (got[5].n_windows, got[5].n_dup_windows,
+            got[5].dup_window_frac) == (0, 0, 0.0)
+
+
+def test_dataset_split_deterministic_partition(spark):
+    """The split is a pure function of the id: every doc gets exactly
+    one split, proportions land near the configured 246/5/5 buckets,
+    and a recomputation (fresh frame, different partitioning) assigns
+    identical splits."""
+    from textextract_spark.operators.textdata import dataset_split
+
+    ids = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in dataset_split(ids).collect()}
+    b = {r.doc_id: r.split
+         for r in dataset_split(ids.repartition(13)).collect()}
+    assert a == b and len(a) == 5000
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.93 < c["train"] / 5000 < 0.99
+    assert c["val"] / 5000 < 0.04 and c["test"] / 5000 < 0.04

@@ -1430,6 +1430,91 @@ def _pii_scrub_oracle() -> str:
 ORACLES["pii_scrub"] = _pii_scrub_oracle()
 
 
+def _span_dedup_oracle() -> str:
+    """GENERATED from textdata's SPAN_K/SPAN_STRIDE/LINE_PACK (twin of
+    span_dedup_stats): same planted copies/boilerplate tails, same
+    stride windows, same packed winner key."""
+    from .textdata import LINE_PACK, SPAN_K as K, SPAN_STRIDE as S
+
+    boiler = (" this website uses cookies to improve your experience"
+              " and by continuing you accept our terms and conditions"
+              " in full")
+    return f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 300000, text FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 400000, text || '{boiler}'
+            FROM documents WHERE doc_id % 17 = 4),
+        w AS (
+            SELECT doc_id,
+                   CAST(u.i * {S} AS BIGINT) AS off,
+                   md5(substr(text, CAST(u.i * {S} + 1 AS INT), {K}))
+                       AS h
+            FROM all_docs,
+                 LATERAL unnest(range(0,
+                     CAST(floor((length(text) - {K}) / {S}) AS INT) + 1))
+                     AS u(i)
+            WHERE length(text) >= {K}),
+        st AS (
+            SELECT h, count(*) AS c,
+                   min(doc_id * {LINE_PACK} + off) AS win
+            FROM w GROUP BY h),
+        f AS (
+            SELECT w.doc_id,
+                   (st.c > 1 AND w.doc_id * {LINE_PACK} + w.off <> st.win)
+                       AS dup
+            FROM w JOIN st USING (h)),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows
+            FROM f GROUP BY doc_id)
+        -- one verdict row per input doc: short docs report zeros
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT)
+                   AS n_dup_windows,
+               CASE WHEN COALESCE(a.n_windows, 0) > 0
+                    THEN round(CAST(a.n_dup_windows AS DOUBLE)
+                               / a.n_windows, 4)
+                    ELSE 0.0 END AS dup_window_frac
+        FROM all_docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+ORACLES["span_dedup_stats"] = _span_dedup_oracle()
+
+
+def _split_report_oracle() -> str:
+    """GENERATED from textdata's split thresholds (twin of
+    split_report): same md5 bucket arithmetic and cutoffs."""
+    from .textdata import _HEX, SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    bucket = (f"(instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)),"
+              f" 1, 1)) - 1) * 16"
+              f" + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)),"
+              f" 2, 1)) - 1)")
+    return f"""
+        WITH s AS (
+            SELECT doc_id, length(text) AS len,
+                   CASE WHEN {bucket} < {SPLIT_TRAIN_MAX} THEN 'train'
+                        WHEN {bucket} < {SPLIT_VAL_MAX} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS n_chars
+        FROM s GROUP BY split ORDER BY split
+    """
+
+
+ORACLES["split_report"] = _split_report_oracle()
+
+
 def _temp_mixture_oracle() -> str:
     """GENERATED from textdata.TEMP_ALPHA (twin of temperature_mixture):
     identical count-driven rate formula and md5 bucket arithmetic."""

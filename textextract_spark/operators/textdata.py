@@ -751,6 +751,130 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+# Split thresholds out of 256 md5 buckets: ~96.1% train / ~2% val /
+# ~2% test (the usual pretraining holdout shape)
+SPLIT_TRAIN_MAX = 246
+SPLIT_VAL_MAX = 251
+
+
+def dataset_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment — the split a pipeline
+    must make REPRODUCIBLY at 10^12 docs: a doc's split is a pure
+    function of its id (md5 bucket vs fixed thresholds), so reruns,
+    retries, late-arriving shards and incremental ingests all agree,
+    and no shuffle, sample() or rand() is involved. Stateless
+    projection; the same 256-bucket arithmetic as mixture_sample.
+
+    Returns the input ids with a `split` column.
+    """
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
+        ) - 1
+    b = hexval(1) * 16 + hexval(2)
+    split = (F.when(b < SPLIT_TRAIN_MAX, F.lit("train"))
+             .when(b < SPLIT_VAL_MAX, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: per-split doc/char counts over the corpus — the
+    sanity report a split job logs (one map-side-combinable agg)."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.length("text")
+                                       .alias("__len"))
+    return (dataset_split(docs).join(docs, "doc_id")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__len").alias("n_chars"))
+            .orderBy("split"))
+
+
+# Fixed-width duplicated-span detection (the Lee et al. 2022 "Dedup-
+# licating Training Data Makes Language Models Better" shape, stride-
+# windowed as in RefinedWeb rather than suffix-array exact): a window's
+# content occurring anywhere else in the corpus marks this occurrence
+# duplicated unless it is the canonical (min (doc_id, offset)) one.
+SPAN_K = 64       # window width (chars)
+SPAN_STRIDE = 32  # window stride (chars) — 2x coverage of every char
+
+
+def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K,
+                          stride: int = SPAN_STRIDE) -> DataFrame:
+    """Cross-corpus duplicated-SPAN statistics: slide fixed k-char
+    windows at `stride` over each doc, count corpus-wide duplicate
+    windows, and report per doc how much of it is duplicated material —
+    the fixed-width practical form of exact substring dedup (a suffix
+    array finds arbitrary-length repeats; stride windows catch any
+    repeat of length >= k+stride-1 and are embarrassingly parallel).
+
+    Scale shape: one explode of (doc_id, offset, md5(window)) — window
+    TEXT never leaves the row it came from; the frequency/winner agg
+    shuffles 16-byte hashes with map-side combine (a 10^9-copy
+    boilerplate window arrives as partials), the join back is
+    AQE-splittable hash equality, and the per-doc rollup is one
+    aggregation. Same groupBy+join-not-window reasoning as
+    duplicate_line_removal.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_window_frac) — one
+    row per INPUT doc (a doc shorter than k chars has no windows and
+    reports zeros; a cleaning pass never silently drops a row — the
+    duplicate_line_removal lesson). A window counts as duplicated when
+    its content occurs elsewhere in the corpus and this occurrence is
+    not the canonical min (doc_id, offset) one.
+    """
+    t = F.col("text")
+    offs = F.sequence(F.lit(0),
+                      F.floor((F.length(t) - k) / stride).cast("int"))
+    wins = (docs.filter(F.length(t) >= k)
+            .select("doc_id", t.alias("__t"),
+                    F.explode(F.transform(
+                        offs, lambda i: i * stride)).alias("off"))
+            .select("doc_id", "off",
+                    F.md5(F.substring(F.col("__t"), F.col("off") + 1,
+                                      F.lit(k))).alias("__h")))
+    packed = F.col("doc_id") * F.lit(LINE_PACK) + F.col("off")
+    stats = wins.groupBy("__h").agg(
+        F.count("*").alias("__c"), F.min(packed).alias("__w"))
+    flagged = (wins.join(stats, "__h")
+               .withColumn("__dup",
+                           (F.col("__c") > 1) & (packed != F.col("__w"))))
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.count("*").alias("__n"),
+                F.sum(F.col("__dup").cast("long")).alias("__d")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__n", F.lit(0).cast("long"))
+                     .alias("n_windows"),
+                    F.coalesce("__d", F.lit(0).cast("long"))
+                     .alias("n_dup_windows"))
+            .withColumn("dup_window_frac",
+                        F.when(F.col("n_windows") > 0,
+                               F.round(F.col("n_dup_windows")
+                                       / F.col("n_windows"), 4))
+                         .otherwise(F.lit(0.0)))
+            .orderBy("doc_id"))
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for duplicated_span_stats: planted whole-doc copies
+    (doc_id+300000 of docs 0-9) and a shared boilerplate suffix
+    appended to every doc in residue class doc_id%17==4 (same
+    construction in the DuckDB twin) make both the whole-doc and the
+    partial-span duplication paths non-vacuous."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    boiler = (" this website uses cookies to improve your experience"
+              " and by continuing you accept our terms and conditions"
+              " in full")
+    tails = docs.filter(F.col("doc_id") % 17 == 4).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(boiler)).alias("text"))
+    return duplicated_span_stats(
+        docs.unionByName(copies).unionByName(tails))
+
+
 TEMP_ALPHA = 0.3  # mC4/XLM-R's temperature exponent
 
 
