@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_stats",
     "line_dedup",
+    "span_dedup_stats",
+    "split_report",
     "url_dedup",
     "host_stats",
     "host_cap",
