@@ -483,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mixture": textdata.temperature_mixture,       # oracled:
         #   mC4-style temperature (alpha) multilingual mixture — rates
         #   derived from corpus counts, same 256-bucket hash filter
+        "chunk_docs": textdata.chunk_docs,                  # oracled:
+        #   training-sequence chunking (overlapping stride windows over
+        #   the whitespace-token stream), full chunk_text twin in SQL
+        "bigram_pmi": textdata.bigram_pmi,                  # oracled:
+        #   corpus collocations — top-k adjacent-word pairs by PMI,
+        #   exact-count twin in SQL
         "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
         #   fixed-width duplicated-span stats (Lee et al. shape) with
         #   planted whole-doc copies + boilerplate tails, full twin
@@ -498,6 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": urls.url_blocklist,                # oracled:
         #   UT1-style host blocklist (broadcast) + spam-path keyword
         #   verdicts, full twin in SQL
+        "link_graph": urls.link_graph,                      # oracled:
+        #   host-level web graph from href extraction over planted-link
+        #   pages, full edge-list twin in SQL
+        "host_pagerank": urls.host_pagerank,                # oracled:
+        #   3-iteration PageRank over the host graph, unrolled-CTE twin
         "host_cap": urls.host_cap,                          # oracled:
         #   per-domain doc cap — exact two-level distributed top-N
         #   (no window over the hot host); twin uses DuckDB row_number

@@ -1258,3 +1258,150 @@ def test_dataset_split_deterministic_partition(spark):
     assert set(c) == {"train", "val", "test"}
     assert 0.93 < c["train"] / 5000 < 0.99
     assert c["val"] / 5000 < 0.04 and c["test"] / 5000 < 0.04
+
+
+def test_chunk_sequences_stride_semantics(spark):
+    """Chunk windows: starts at 0, stride, 2*stride, ... while start < n;
+    each chunk holds min(max_tokens, n-start) tokens; adjacent chunks
+    share exactly (max-stride) tokens of left context; every token is
+    covered; a whitespace-only doc yields ONE empty verdict chunk."""
+    from textextract_spark.operators.textdata import chunk_sequences
+
+    toks150 = [f"t{i}" for i in range(150)]
+    rows = [(0, " ".join(toks150)),
+            (1, "solo"),
+            (2, "   \n\t  "),          # whitespace-only
+            (3, " ".join(f"x{i}" for i in range(48)))]  # n == stride
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_sequences(docs, max_tokens=64, stride=48).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in c0] == [0, 48, 96, 144]
+    assert [r.chunk_tokens for r in c0] == [64, 64, 54, 6]
+    # overlap: chunk k starts 16 tokens before chunk k-1 ends
+    w0, w1 = c0[0].chunk_text.split(" "), c0[1].chunk_text.split(" ")
+    assert w0[-16:] == w1[:16]
+    # full coverage, exact content
+    covered = []
+    for r in c0:
+        covered.extend(r.chunk_text.split(" ")[: 150 - r.start_tok])
+    assert set(covered) == set(toks150)
+    assert w0 == toks150[:64]
+
+    assert [(r.chunk_id, r.chunk_tokens, r.chunk_text)
+            for r in by_doc[1]] == [(0, 1, "solo")]
+    assert [(r.chunk_id, r.chunk_tokens, r.chunk_text)
+            for r in by_doc[2]] == [(0, 0, "")]
+    # n == stride: second window would start at n -> not emitted
+    assert [r.start_tok for r in sorted(by_doc[3],
+                                        key=lambda r: r.chunk_id)] == [0]
+
+
+def test_bigram_pmi_hand_computed(spark, tmp_path):
+    """PMI values against a pure-Python recount on a planted corpus:
+    'new york' is a tight collocation (high PMI), 'the the' a loose
+    one; min_count filters the singletons."""
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.textdata import bigram_pmi
+
+    texts = ["new york " * 4 + "the cat sat on the mat",
+             "the dog and the cat saw new york",
+             "one two three four five six seven"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": texts,
+                    "lang": ["en"] * 3})
+    d = tmp_path / "pmidocs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {(r.w1, r.w2): r
+           for r in bigram_pmi(spark, str(d), min_count=2,
+                               top_k=50).collect()}
+
+    # pure-Python recount with identical tokenization
+    import re as _re
+    uni: dict = {}
+    bi: dict = {}
+    for t in texts:
+        ws = _re.findall("[a-z]+", t.lower())
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    t1 = sum(uni.values())
+    t2 = sum(bi.values())
+    expect = {k: round(_math.log((c / t2) / ((uni[k[0]] / t1)
+                                             * (uni[k[1]] / t1))), 4)
+              for k, c in bi.items() if c >= 2}
+    assert set(got) == set(expect)
+    for k, pmi in expect.items():
+        assert abs(got[k].pmi - pmi) < 1e-9, (k, got[k].pmi, pmi)
+        assert got[k].n_pair == bi[k]
+    assert got[("new", "york")].n_w1 == uni["new"]
+
+
+def test_outlinks_and_link_graph(spark):
+    """href extraction: absolute http(s) links only (relative nav and
+    non-http schemes excluded), hosts lowercased, ports stripped;
+    the edge aggregation counts links and distinct source pages."""
+    from textextract_spark.operators.urls import (
+        extract_outlinks, host_link_graph)
+
+    def page(url, body):
+        return (url, bytearray(body.encode("utf-8")))
+
+    rows = [
+        page("https://A.example/p/1",
+             '<a href="/rel">r</a><a href="https://B.Example:443/x">b</a>'
+             '<a href="mailto:x@y.z">m</a>'
+             '<a href="http://c.example/y">c</a>'),
+        page("https://a.example/p/2",
+             '<a href="https://b.example/z">b2</a>'),
+        page("https://d.example/q", "<p>no links</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    links = extract_outlinks(pages).collect()
+    assert sorted((r.src_host, r.dst_host) for r in links) == [
+        ("a.example", "b.example"), ("a.example", "b.example"),
+        ("a.example", "c.example")]
+    edges = {(r.src_host, r.dst_host): r
+             for r in host_link_graph(pages).collect()}
+    assert edges[("a.example", "b.example")].n_links == 2
+    assert edges[("a.example", "b.example")].n_src_pages == 2
+    assert edges[("a.example", "c.example")].n_links == 1
+    assert len(edges) == 2  # linkless page contributes no edge
+
+
+def test_pagerank_hosts_reference(spark):
+    """3-iteration PageRank against a pure-Python reference on a small
+    cyclic graph (a->b->c->a plus a dangling sink d)."""
+    from textextract_spark.operators.urls import pagerank_hosts
+
+    raw = [("a", "b", 2), ("a", "d", 1), ("b", "c", 1), ("c", "a", 1)]
+    edges = spark.createDataFrame(
+        [(s, t, n, 1) for s, t, n in raw],
+        "src_host string, dst_host string, n_links long, n_src_pages long")
+    got = {r.host: r.rank for r in pagerank_hosts(edges).collect()}
+
+    out = {}
+    for s, _, n in raw:
+        out[s] = out.get(s, 0) + n
+    nodes = {s for s, _, _ in raw} | {t for _, t, _ in raw}
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, n in raw:
+            contrib[t] += rank[s] * n / out[s]
+        rank = {v: 0.15 + 0.85 * contrib[v] for v in nodes}
+    assert set(got) == nodes
+    for v in nodes:
+        assert abs(got[v] - round(rank[v], 4)) < 1e-9, (v, got[v], rank[v])
+    # dangling sink d keeps only what flows in; no rank is invented
+    assert got["d"] < got["b"]

@@ -1647,3 +1647,161 @@ def _char_lm_ppl_oracle() -> str:
 
 
 ORACLES["char_lm_ppl"] = _char_lm_ppl_oracle()
+
+
+def _chunk_docs_oracle() -> str:
+    """GENERATED from textdata's chunking constants (twin of
+    textdata.chunk_docs): identical whitespace tokenization, start
+    sequence, slice, and space re-join."""
+    from .textdata import CHUNK_MAX_TOKENS, CHUNK_STRIDE
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        sized AS (SELECT doc_id, toks, len(toks) AS n FROM base)
+        SELECT doc_id,
+               CAST(s.start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+               CAST(s.start AS INT) AS start_tok,
+               CAST(len(toks[s.start + 1 : s.start + {CHUNK_MAX_TOKENS}])
+                    AS INT) AS chunk_tokens,
+               array_to_string(
+                   toks[s.start + 1 : s.start + {CHUNK_MAX_TOKENS}], ' ')
+                   AS chunk_text
+        FROM sized, LATERAL unnest(generate_series(
+                 0, greatest(n - 1, 0), {CHUNK_STRIDE})) AS s(start)
+        ORDER BY doc_id, chunk_id
+    """
+
+
+ORACLES["chunk_docs"] = _chunk_docs_oracle()
+
+
+def _bigram_pmi_oracle() -> str:
+    """GENERATED from textdata's PMI constants (twin of
+    textdata.bigram_pmi): identical word pattern, exact counts, and
+    rounded-ln PMI so ordering is portable."""
+    from .textdata import PMI_MIN_COUNT, PMI_TOP_K
+
+    return f"""
+        WITH dw AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents),
+        uni AS (
+            SELECT w, count(*) AS cw
+            FROM (SELECT unnest(ws) AS w FROM dw) GROUP BY w),
+        t1 AS (SELECT sum(cw) AS t1 FROM uni),
+        pairs AS (
+            SELECT ws[CAST(i AS INT)] AS w1,
+                   ws[CAST(i AS INT) + 1] AS w2
+            FROM dw, LATERAL unnest(range(1, len(ws))) AS u(i)
+            WHERE len(ws) >= 2),
+        bi AS (SELECT w1, w2, count(*) AS n_pair
+               FROM pairs GROUP BY w1, w2),
+        t2 AS (SELECT sum(n_pair) AS t2 FROM bi)
+        SELECT b.w1, b.w2, b.n_pair, u1.cw AS n_w1, u2.cw AS n_w2,
+               round(ln((CAST(b.n_pair AS DOUBLE) / t2.t2)
+                        / ((CAST(u1.cw AS DOUBLE) / t1.t1)
+                           * (CAST(u2.cw AS DOUBLE) / t1.t1))), 4) AS pmi
+        FROM bi b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN t1 CROSS JOIN t2
+        WHERE b.n_pair >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, w1, w2
+        LIMIT {PMI_TOP_K}
+    """
+
+
+ORACLES["bigram_pmi"] = _bigram_pmi_oracle()
+
+
+# The planted-link pages construction shared by the link_graph and
+# host_pagerank twins (twin of urls._linked_pages): page doc_id lives on
+# s{doc_id%11}.example and links to h{doc_id%23}, h{(doc_id*7+1)%23} and
+# s{(doc_id+1)%11}; a relative /about link exercises the absolute-only
+# filter. The twin extracts links with the same href pattern rather than
+# assuming the construction, so an extraction bug still goes red.
+_LINKED_PAGES_CTE = """
+        pages AS (
+            SELECT 's' || CAST(doc_id % 11 AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) AS path_tail,
+                   's' || CAST(doc_id % 11 AS VARCHAR) || '.example'
+                       AS src_host,
+                   '<html><body><nav><a href="/about">about</a></nav><p>'
+                   || text
+                   || '</p><a href="https://h'
+                   || CAST(doc_id % 23 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id * 3 AS VARCHAR)
+                   || '">r1</a> <a href="https://h'
+                   || CAST((doc_id * 7 + 1) % 23 AS VARCHAR)
+                   || '.example/q/' || CAST(doc_id AS VARCHAR)
+                   || '?x=1">r2</a> <a href="https://s'
+                   || CAST((doc_id + 1) % 11 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+                   || '">next</a></body></html>' AS html_str
+            FROM documents),
+        links AS (
+            SELECT 'https://' || path_tail AS url, src_host,
+                   unnest(regexp_extract_all(
+                       html_str, 'href="(https?://[^"]+)"', 1)) AS dst_url
+            FROM pages),
+        edges AS (
+            SELECT src_host,
+                   lower(regexp_extract(dst_url,
+                       '^https?://([^/:?#]+)', 1)) AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_src_pages
+            FROM links GROUP BY 1, 2)
+"""
+
+ORACLES["link_graph"] = f"""
+        WITH {_LINKED_PAGES_CTE}
+        SELECT src_host, dst_host, n_links, n_src_pages
+        FROM edges ORDER BY src_host, dst_host
+    """
+
+
+def _host_pagerank_oracle() -> str:
+    """GENERATED from urls' PageRank constants (twin of
+    urls.host_pagerank): the same 3 iterations unrolled as CTEs over
+    the same edge fractions; init rank 1.0, dangling nodes keep the
+    (1-d) base."""
+    from .urls import PAGERANK_DAMPING, PAGERANK_ITERS
+
+    d = PAGERANK_DAMPING
+    base = 1.0 - d
+    iters = []
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+        r{k} AS (
+            SELECT n.host,
+                   {base} + {d} * COALESCE(c.c, 0.0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT f.dst_host AS host, sum(r.rank * f.frac) AS c
+                FROM frac f JOIN {prev} r ON f.src_host = r.host
+                GROUP BY f.dst_host) c ON n.host = c.host)""")
+        prev = f"r{k}"
+    return f"""
+        WITH {_LINKED_PAGES_CTE},
+        outd AS (
+            SELECT src_host, sum(n_links) AS o FROM edges
+            GROUP BY src_host),
+        frac AS (
+            SELECT e.src_host, e.dst_host,
+                   CAST(e.n_links AS DOUBLE) / outd.o AS frac
+            FROM edges e JOIN outd ON e.src_host = outd.src_host),
+        nodes AS (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM edges
+                UNION ALL SELECT dst_host FROM edges)),
+        r0 AS (SELECT host, 1.0 AS rank FROM nodes),{','.join(iters)}
+        SELECT host, round(rank, 4) AS rank FROM {prev} ORDER BY host
+    """
+
+
+ORACLES["host_pagerank"] = _host_pagerank_oracle()

@@ -282,6 +282,61 @@ def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# Collocation mining (phrase extraction for vocabulary/tokenizer prep):
+# corpus-wide bigram PMI with a minimum pair count, the word2phrase /
+# NLTK-collocations shape.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str,
+               min_count: int = PMI_MIN_COUNT,
+               top_k: int = PMI_TOP_K) -> DataFrame:
+    """Top-k corpus collocations by pointwise mutual information:
+    PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) over adjacent lowercase word
+    pairs, keeping pairs seen >= min_count times.
+
+    Scale shape (10^12 docs): two map-side-combinable word-key
+    aggregations (unigrams, bigrams — a 10^9-copy stopword pair
+    arrives at its reducer as partials), two key-equality joins of the
+    bigram table to the unigram table (AQE handles the stopword skew),
+    scalar totals as 1-row broadcasts, and a TakeOrderedAndProject
+    top-k — never a global sort, never a window. Word payloads are
+    short strings; nothing document-sized rides any shuffle.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi) ordered by pmi desc.
+    PMI is computed on exact integer counts and rounded to 4 places in
+    BOTH engines, so ordering and values are portable.
+    """
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    dw = _docs(spark, sf_dir).select(words.alias("__w"))
+    uni = (dw.select(F.explode("__w").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cw")))
+    tot1 = uni.agg(F.sum("cw").alias("__t1"))
+    pairs = (dw.filter(F.size("__w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(__w) - 1),"
+                 " i -> struct(element_at(__w, i) as w1,"
+                 "             element_at(__w, i + 1) as w2))"))
+                 .alias("__b"))
+             .select("__b.w1", "__b.w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot2 = bi.agg(F.sum("n_pair").alias("__t2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("n_w2"))
+    return (bi.filter(F.col("n_pair") >= min_count)
+            .join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(tot1)).crossJoin(F.broadcast(tot2))
+            .select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                    F.round(F.log(
+                        (F.col("n_pair") / F.col("__t2"))
+                        / ((F.col("n_w1") / F.col("__t1"))
+                           * (F.col("n_w2") / F.col("__t1")))), 4)
+                     .alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(top_k))
+
+
 def _nonempty_lines(t):
     """Trimmed non-empty lines of a text column (the unit of the
     Gopher-style duplicate-line filters; both engines trim spaces only,
@@ -788,6 +843,58 @@ def split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("__len").alias("n_chars"))
             .orderBy("split"))
+
+
+# Training-sequence chunking: the step between curation and the trainer —
+# every doc's token stream is cut into overlapping windows of at most
+# CHUNK_MAX_TOKENS whitespace tokens at CHUNK_STRIDE intervals (the
+# HuggingFace return_overflowing_tokens shape). stride < max gives each
+# chunk (max - stride) tokens of left context.
+CHUNK_MAX_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_sequences(docs: DataFrame, max_tokens: int = CHUNK_MAX_TOKENS,
+                    stride: int = CHUNK_STRIDE,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cut each document's whitespace-token stream into overlapping
+    training windows: chunk c covers tokens [c*stride, c*stride +
+    max_tokens); starts run 0, stride, 2*stride, ... while start < n
+    (so every chunk holds >= 1 token and trailing context is never
+    silently lost). A whitespace-only doc yields ONE empty chunk —
+    a pipeline stage returns a verdict for every input row (the
+    duplicate_line_removal lesson, ADVICE r4).
+
+    Scale shape (10^12 docs): stateless narrow map — split, sequence,
+    explode, slice; zero shuffle, no window, whole-stage codegen
+    throughout. Parallelism is input-partition-bound; output rows
+    ~ n_tokens/stride per doc, bounded per-row by the doc itself.
+
+    Returns (doc_id, chunk_id, start_tok, chunk_tokens, chunk_text).
+    """
+    # split + drop-empties (not trim+split: Spark/DuckDB trim() strips
+    # spaces only, so a "\n\t" doc would still emit phantom '' tokens)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != "")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    sliced = F.slice(F.col("__toks"), F.col("__s") + 1, max_tokens)
+    return (docs
+            .select(F.col(id_col), toks.alias("__toks"),
+                    F.explode(starts).alias("__s"))
+            .select(F.col(id_col),
+                    (F.col("__s") / stride).cast("int").alias("chunk_id"),
+                    F.col("__s").alias("start_tok"),
+                    F.size(sliced).alias("chunk_tokens"),
+                    F.concat_ws(" ", sliced).alias("chunk_text"))
+            .orderBy(id_col, "chunk_id"))
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for chunk_sequences over the documents corpus."""
+    return chunk_sequences(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 # Fixed-width duplicated-span detection (the Lee et al. 2022 "Dedup-
