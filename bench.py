@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "pii_scrub",
     "char_lm_ppl",
     "decontam",
+    "chunk_docs",
+    "bigram_pmi",
+    "link_graph",
+    "host_pagerank",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",
