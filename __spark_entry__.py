@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textextract_spark.operators import (
-    multimodal, relational, releases, similarity, sketch, textdata, urls)
+    multimodal, ranking, relational, releases, similarity, sketch,
+    textdata, urls)
 from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
@@ -489,6 +490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": textdata.bigram_pmi,                  # oracled:
         #   corpus collocations — top-k adjacent-word pairs by PMI,
         #   exact-count twin in SQL
+        "bm25_topk": ranking.bm25_topk,                     # oracled:
+        #   Okapi BM25 top-k over an on-the-fly inverted index,
+        #   identical score-tree twin in SQL
+        "tfidf_keywords": ranking.tfidf_keywords,           # oracled:
+        #   per-doc top-3 TF-IDF keywords (window-free bounded
+        #   collect+slice per doc), row_number twin in SQL
         "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
         #   fixed-width duplicated-span stats (Lee et al. shape) with
         #   planted whole-doc copies + boilerplate tails, full twin

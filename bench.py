@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "decontam",
     "chunk_docs",
     "bigram_pmi",
+    "bm25_topk",
+    "tfidf_keywords",
     "link_graph",
     "host_pagerank",
     "minhash_neardup",

@@ -1405,3 +1405,88 @@ def test_pagerank_hosts_reference(spark):
         assert abs(got[v] - round(rank[v], 4)) < 1e-9, (v, got[v], rank[v])
     # dangling sink d keeps only what flows in; no rank is invented
     assert got["d"] < got["b"]
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 scores against a pure-Python recount on a planted corpus:
+    idf (Lucene form), length normalization, zero-token doc counted in
+    N/avgdl but never matching, top-k cut by (score desc, doc_id)."""
+    import math as _math
+    import re as _re
+
+    from textextract_spark.operators.ranking import bm25_search
+
+    texts = ["spark spark stream merge",
+             "merge of the day",
+             "vector vector vector spark stream stream",
+             "nothing relevant here at all today",
+             "   "]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    q = ("spark", "merge", "vector", "stream")
+    got = {r.doc_id: r for r in bm25_search(docs, q, top_k=3).collect()}
+
+    tok = [_re.findall("[a-z]+", t.lower()) for t in texts]
+    n = len(texts)
+    avgdl = sum(len(w) for w in tok) / n
+    df = {t: sum(1 for w in tok if t in w) for t in q}
+    k1, b = 1.2, 0.75
+    expect = {}
+    for d, ws in enumerate(tok):
+        s, hits = 0.0, 0
+        for t in q:
+            tf = ws.count(t)
+            if not tf or not df[t]:
+                continue
+            hits += 1
+            idf = _math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += (idf * tf * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * len(ws) / avgdl)))
+        if hits:
+            expect[d] = (round(s, 4), hits)
+    top3 = sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+    assert set(got) == {d for d, _ in top3}
+    for d, (s, hits) in top3:
+        assert abs(got[d].score - s) < 1e-9, (d, got[d].score, s)
+        assert got[d].n_terms == hits
+    assert 3 not in got and 4 not in got  # no-match and empty docs
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """Per-doc top-3 TF-IDF against a pure-Python recount: rounded-4
+    selection, term-asc tie break, ubiquitous term scores 0, zero-token
+    doc emits no rows."""
+    import math as _math
+    import re as _re
+
+    from textextract_spark.operators.ranking import tfidf_doc_keywords
+
+    texts = ["apple apple banana common",
+             "banana cherry cherry common",
+             "apple cherry durian common",
+             "\t \n"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    out = tfidf_doc_keywords(docs).collect()
+
+    tok = [_re.findall("[a-z]+", t.lower()) for t in texts]
+    n = len(texts)
+    vocab = {w for ws in tok for w in ws}
+    df = {t: sum(1 for ws in tok if t in ws) for t in vocab}
+    expect = {}
+    for d, ws in enumerate(tok):
+        scored = sorted(
+            ((round(ws.count(t) * _math.log(n / df[t]), 4), t)
+             for t in set(ws)),
+            key=lambda st: (-st[0], st[1]))[:3]
+        for rk, (s, t) in enumerate(scored, 1):
+            expect[(d, rk)] = (t, s)
+    got = {(r.doc_id, r.rk): (r.term, r.tfidf) for r in out}
+    assert set(got) == set(expect)
+    for k, (t, s) in expect.items():
+        assert got[k][0] == t, (k, got[k], t)
+        assert abs(got[k][1] - s) < 1e-9
+    # 'common' appears in every non-empty doc of the 4-doc corpus:
+    # idf = ln(4/3) > 0, but it must lose to any doc-specific term
+    assert all(t != "common" or rk == 3
+               for (_, rk), (t, _) in expect.items())

@@ -298,3 +298,37 @@ def test_char_lm_ppl_model_broadcasts(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2, \
         f"model tables must broadcast:\n{p}"
     assert "Window" not in p
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25: term stats and corpus stats ride broadcast joins; the
+    query-term filter sits BELOW the (doc_id, w) exchange so the
+    shuffle carries only matching tokens; top-k is
+    TakeOrderedAndProject, never a global Sort."""
+    from textextract_spark.operators import ranking
+    p = _plan(spark, ranking.bm25_topk(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stats crossJoin
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    fmt = _plan(spark, ranking.bm25_topk(spark, sf_dir))
+    # the isin filter sits DIRECTLY on the explode output (same stage,
+    # below any exchange): some tree line "Filter (k)" has
+    # "Generate (k-1)" as its immediate child line, and the filter
+    # condition is the query-term IN list
+    assert "IN (spark,merge,vector,stream)" in fmt
+    lines = fmt.splitlines()
+    assert any("Filter" in a and "Generate" in b
+               for a, b in zip(lines, lines[1:])), \
+        "query-term filter should sit directly on the exploded tokens"
+
+
+def test_tfidf_keywords_no_window(spark, sf_dir):
+    """Per-doc top-k selection is the bounded collect+slice agg,
+    never a window over doc_id."""
+    from textextract_spark.operators import ranking
+    p = _plan(spark, ranking.tfidf_keywords(spark, sf_dir))
+    assert "Window" not in p
+    assert "sort_array" in p and "slice" in p
+    assert "BroadcastHashJoin" in p

@@ -1805,3 +1805,76 @@ def _host_pagerank_oracle() -> str:
 
 
 ORACLES["host_pagerank"] = _host_pagerank_oracle()
+
+
+def _bm25_topk_oracle() -> str:
+    """GENERATED from ranking's BM25 constants (twin of
+    ranking.bm25_topk): identical tokenization, Lucene-form idf, and
+    score expression tree; round-4 before ordering so the top-k cut is
+    portable."""
+    from .ranking import BM25_B, BM25_K1, BM25_QUERY, BM25_TOP_K
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents),
+        sized AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sized),
+        tf AS (
+            SELECT doc_id, dl, w, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(ws) AS w FROM sized)
+            WHERE w IN ({terms})
+            GROUP BY doc_id, dl, w),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        contrib AS (
+            SELECT doc_id,
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * tf * ({k1} + 1.0)
+                   / (tf + {k1} * ((1.0 - {b}) + {b} * dl / avgdl)) AS s
+            FROM tf JOIN dfreq USING (w) CROSS JOIN stats)
+        SELECT doc_id, round(sum(s), 4) AS score,
+               count(*) AS n_terms
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+ORACLES["bm25_topk"] = _bm25_topk_oracle()
+
+
+def _tfidf_keywords_oracle() -> str:
+    """GENERATED from ranking's TFIDF constant (twin of
+    ranking.tfidf_keywords): identical tokenization and tf*ln(N/df)
+    rounded to 4 BEFORE the per-doc top-k; ties break on term asc
+    (Spark selects via sorted struct (-tfidf, term), the twin via
+    row_number — same order)."""
+    from .ranking import TFIDF_PER_DOC
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf
+               FROM toks GROUP BY doc_id, w),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        nn AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, w,
+                   round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (w) CROSS JOIN nn),
+        ranked AS (
+            SELECT doc_id, w, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, w) AS rk
+            FROM scored)
+        SELECT doc_id, CAST(rk AS INT) AS rk, w AS term, tfidf
+        FROM ranked WHERE rk <= {TFIDF_PER_DOC}
+        ORDER BY doc_id, rk
+    """
+
+
+ORACLES["tfidf_keywords"] = _tfidf_keywords_oracle()
