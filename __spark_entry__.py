@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textextract_spark.operators import (
-    multimodal, ranking, relational, releases, similarity, sketch,
-    textdata, urls)
+    learned, multimodal, ranking, relational, releases, similarity,
+    sketch, textdata, urls)
 from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
@@ -496,6 +496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": ranking.tfidf_keywords,           # oracled:
         #   per-doc top-3 TF-IDF keywords (window-free bounded
         #   collect+slice per doc), row_number twin in SQL
+        "dsir_sample": learned.dsir_sample,                 # oracled:
+        #   DSIR importance resampling toward the en slice — hashed-
+        #   unigram p/q log ratios + deterministic hash-threshold keep
+        "lr_train_weights": learned.lr_train_weights,       # oracled:
+        #   logistic-regression TRAINING as Spark aggregations (3
+        #   fixed-point GD rounds), unrolled-CTE twin in SQL
+        "lr_train_eval": learned.lr_train_eval,             # oracled:
+        #   confusion matrix + accuracy of the learned model on its
+        #   training corpus (integer counts, sturdy twin)
         "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
         #   fixed-width duplicated-span stats (Lee et al. shape) with
         #   planted whole-doc copies + boilerplate tails, full twin

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "bm25_topk",
     "tfidf_keywords",
+    "dsir_sample",
     "link_graph",
     "host_pagerank",
     "minhash_neardup",

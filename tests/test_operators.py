@@ -1490,3 +1490,126 @@ def test_tfidf_keywords_hand_computed(spark):
     # idf = ln(4/3) > 0, but it must lose to any doc-specific term
     assert all(t != "common" or rk == 3
                for (_, rk), (t, _) in expect.items())
+
+
+def test_word_bucket_portable_hash(spark):
+    """The Horner word-feature hash is identical in Spark and DuckDB —
+    the foundation of every learned-curation twin."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.learned import HASH_MOD, _bucket
+
+    words = ["spark", "query", "a", "customer", "window", "dup",
+             "zzz", "q"]
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {r.w: r.b for r in sdf.select(
+        "w", _bucket("w", 64).alias("b")).collect()}
+    con = duckdb.connect()
+    got_duck = dict(con.execute(f"""
+        SELECT w, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(w) + 1),
+                   i -> CAST(unicode(substr(w, CAST(i AS INT), 1))
+                        AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % {HASH_MOD}) % 64 AS INT)
+        FROM (SELECT unnest(?) AS w)""", [words]).fetchall())
+    assert got_spark == got_duck
+    # pure-Python reference of the same fold
+    for w in words:
+        a = 0
+        for ch in w:
+            a = (a * 31 + ord(ch)) % HASH_MOD
+        assert got_spark[w] == a % 64
+
+
+def test_dsir_upweights_target_slice(spark):
+    """On a corpus where the target slice uses distinct vocabulary,
+    target-looking docs get positive avg_log_ratio, off-target docs
+    negative, and a zero-token doc gets a neutral 0.0 verdict (every
+    input row is scored)."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.learned import dsir_doc_weights
+
+    rows = ([(i, "alpha beta gamma delta epsilon", "tgt")
+             for i in range(20)]
+            + [(100 + i, "omega sigma tau phi chi", "raw")
+               for i in range(20)]
+            + [(999, "   ", "raw")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " lang string")
+    out = {r.doc_id: r for r in dsir_doc_weights(
+        docs, F.col("lang") == "tgt").collect()}
+    assert len(out) == 41
+    assert out[0].avg_log_ratio > 0.3
+    assert out[100].avg_log_ratio < -0.3
+    assert out[999].avg_log_ratio == 0.0 and out[999].n_tokens == 0
+    # weights are identical within each slice (same token multiset)
+    assert out[5].avg_log_ratio == out[0].avg_log_ratio
+    assert out[105].avg_log_ratio == out[100].avg_log_ratio
+
+
+def test_lr_train_matches_fixed_point_reference(spark):
+    """lr_train reproduces a pure-Python implementation of the same
+    integer fixed-point schedule EXACTLY (int equality on every
+    weight), and learns a planted marker rule on a separable corpus:
+    the marker's bucket carries the most positive weight and training
+    accuracy is >= 0.95 with both classes predicted."""
+    import math as _math
+    import re as _re
+
+    from textextract_spark.operators.learned import (
+        HASH_MOD, LR_ITERS, LR_POS_WORDS, LR_RATE, LR_SCALE, _scores6,
+        lr_train)
+
+    B = 64
+    marker = LR_POS_WORDS[0]
+    rows = []
+    for i in range(60):
+        body = f"alpha beta w{i % 7} gamma"
+        if i % 5 == 0:
+            body += f" {marker}"
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w6, labels, feats_i, n = lr_train(docs, buckets=B)
+
+    def bucket(w):
+        a = 0
+        for ch in w:
+            a = (a * 31 + ord(ch)) % HASH_MOD
+        return a % B
+
+    def away(x):
+        return (_math.floor(x + 0.5) if x >= 0
+                else _math.ceil(x - 0.5))
+
+    feats = []
+    ys = []
+    for _i, text in rows:
+        ws = set(_re.findall("[a-z]+", text.lower()))
+        feats.append(sorted({bucket(w) for w in ws}))
+        ys.append(1 if marker in ws else 0)
+    ref = {bk: 0 for bk in range(-1, B)}
+    for _ in range(LR_ITERS):
+        gsum = {bk: 0 for bk in range(-1, B)}
+        for d in range(len(rows)):
+            s6 = ref[-1] + sum(ref[bk] for bk in feats[d])
+            p6 = away(LR_SCALE / (1 + _math.exp(-s6 / LR_SCALE)))
+            gn = p6 - ys[d] * LR_SCALE
+            gsum[-1] += gn
+            for bk in feats[d]:
+                gsum[bk] += gn
+        for bk in ref:
+            ref[bk] -= LR_RATE * away(gsum[bk] / len(rows))
+    assert w6 == ref  # exact integer equality, every weight
+
+    mb = bucket(marker)
+    assert w6[mb] == max(w6.values())
+    preds = {r["doc_id"]: r["__score6"] >= 0
+             for r in _scores6(w6, labels, feats_i)
+             .collect()}
+    acc = sum(preds[i] == bool(y)
+              for (i, _), y in zip(rows, ys)) / len(rows)
+    assert acc >= 0.95
+    assert any(preds.values()) and not all(preds.values())

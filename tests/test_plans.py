@@ -332,3 +332,26 @@ def test_tfidf_keywords_no_window(spark, sf_dir):
     assert "Window" not in p
     assert "sort_array" in p and "slice" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark, sf_dir):
+    """DSIR: the 64-row bucket log-ratio table rides a broadcast join
+    to the token stream; no window anywhere; per-lang report is one
+    hash aggregation."""
+    from textextract_spark.operators import learned
+    p = _plan(spark, learned.dsir_sample(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_lr_scoring_model_rides_closure_not_join(spark, sf_dir):
+    """The LR model is a literal map in the plan (MLlib-style driver-
+    held state re-broadcast per iteration) — scoring needs NO join
+    against a weights table and no window."""
+    from textextract_spark.operators import learned
+    docs = learned._docs(spark, sf_dir)
+    labels, feats_i = learned._lr_features(docs, 8)
+    w6 = {bk: 1000 * bk for bk in range(-1, 8)}
+    p = _plan(spark, learned._scores6(w6, labels, feats_i))
+    assert "map_from_arrays" in p or "map(" in p
+    assert "Window" not in p

@@ -1,0 +1,300 @@
+"""Learned / statistical curation operators over the `documents` table:
+DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling") and a distributed
+logistic-regression classifier TRAINED with Spark aggregations — the
+fastText-style quality-classifier shape (labels from a handcrafted rule,
+features hashed, the learned model deployable where the rule is not).
+Reference semantics anchor: the per-document quality verdict the
+extraction contract exposes (/root/reference/backend/routes/
+api_routes.py:78).
+
+Everything is deterministic and fully DuckDB-oracled: features are a
+portable Horner word hash (exact int64 arithmetic in both engines, the
+winnowing-twin trick), sampling uses the repo's md5 hash-threshold rule
+(no rand()), and the gradient-descent loop runs a FIXED number of
+full-batch iterations in exact INTEGER MICRO-UNITS (weights, intercept
+and probabilities as BIGINT millionths): every sum in the loop is exact
+int64 arithmetic, so float summation-order divergence — which a plain
+round-6 double schedule measurably hits at the 1e-6 boundary — cannot
+occur at all. The only floating step per iteration is the sigmoid
+(IEEE-identical division feeding one libm exp), immediately re-quantized
+to micro-units with away-from-zero rounding in both engines.
+
+Scale shape (10^12 docs): token->bucket hashing is a stateless map; the
+distributions / gradients are map-side-combinable bucket aggregations
+(bucket cardinality is a constant, so the reduce side is trivially
+small); model state (B weights + intercept) rides broadcast joins; the
+per-iteration driver loop carries NO data (the Hash-Min CC / PageRank
+rule). Label and feature tables are localCheckpoint-materialized once —
+at production scale they would be committed tables — so the unrolled
+iteration plan never recomputes the token pass per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z]+"
+HASH_MOD = 1000003  # prime; keeps the Horner fold exact in int64
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP_BASE = 0.5  # keep prob = min(1, base * exp(avg log ratio))
+
+LR_BUCKETS = 64
+LR_RATE = 8          # integer learning rate: updates stay exact int64
+LR_ITERS = 12
+LR_POS_WORDS = ("dup",)  # the corpus's planted boilerplate marker
+LR_SCALE = 1_000_000  # fixed-point micro-units for the GD loop
+
+_HEX = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
+def _bucket(tok_col: str, buckets: int):
+    """Portable word-feature hash: Horner fold of codepoints mod a
+    prime, then mod the bucket count — exact int64 arithmetic, same
+    values in DuckDB (validated in tests)."""
+    return F.expr(
+        f"CAST(aggregate(sequence(1, length({tok_col})),"
+        f" CAST(0 AS BIGINT),"
+        f" (a, i) -> (a * 31 + ascii(substring({tok_col}, i, 1)))"
+        f" % {HASH_MOD}) % {buckets} AS INT)")
+
+
+def _md5_bucket(id_col: str = "doc_id"):
+    """The repo's deterministic 0..255 sampling bucket (mixture_sample
+    shape): first two hex digits of md5(doc_id)."""
+
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
+        ) - 1
+
+    return hexval(1) * 16 + hexval(2)
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+def dsir_doc_weights(docs: DataFrame, target_pred,
+                     buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-document importance weight for resampling the raw corpus
+    toward a target domain: hashed-unigram bucket distributions p
+    (over target docs) and q (over all docs), add-one smoothed; a
+    doc's avg_log_ratio is the mean over its tokens of
+    ln(p(bucket)/q(bucket)) — positive means "looks more like the
+    target than the raw corpus". Zero-token docs get 0.0 (neutral),
+    not dropped.
+
+    Per-bucket log ratios are rounded to 6 places (portability sync
+    point), as is the per-doc mean.
+    """
+    base = docs.select("doc_id", target_pred.alias("__is_target"),
+                       _words(F.col("text")).alias("__w"))
+    toks = (base.select("doc_id", "__is_target",
+                        F.explode("__w").alias("__t"))
+            .select("doc_id", "__is_target",
+                    _bucket("__t", buckets).alias("__b")))
+    # ONE token-key aggregation yields both distributions (q = all
+    # docs, p = target slice as a conditional sum) — at 10^12 docs
+    # this is the only wide pass over the token stream besides the
+    # scoring pass itself
+    dist = (toks.groupBy("__b")
+            .agg(F.count("*").alias("__qc"),
+                 F.sum(F.col("__is_target").cast("long"))
+                  .alias("__pc")))
+    tot = dist.agg(F.sum("__qc").alias("__qt"),
+                   F.sum("__pc").alias("__pt"))
+    spark = docs.sparkSession
+    ratios = (spark.range(buckets)
+              .select(F.col("id").cast("int").alias("__b"))
+              .join(F.broadcast(dist), "__b", "left")
+              .crossJoin(F.broadcast(tot))
+              .select("__b", F.round(F.log(
+                  ((F.coalesce("__pc", F.lit(0)) + 1.0)
+                   / (F.col("__pt") + buckets))
+                  / ((F.coalesce("__qc", F.lit(0)) + 1.0)
+                     / (F.col("__qt") + buckets))), 6).alias("__lr")))
+    per_doc = (toks.join(F.broadcast(ratios), "__b")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("__n_tok"),
+                    F.sum("__lr").alias("__sum_lr")))
+    return (docs.select("doc_id", "lang")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "lang",
+                    F.coalesce(F.col("__n_tok"), F.lit(0))
+                     .alias("n_tokens"),
+                    F.coalesce(
+                        F.round(F.col("__sum_lr") / F.col("__n_tok"), 6),
+                        F.lit(0.0)).alias("avg_log_ratio")))
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: DSIR resampling report toward the English slice —
+    per lang, how many docs the deterministic hash-threshold rule
+    keeps when keep prob = min(1, 0.5 * exp(avg_log_ratio)).
+    English docs score avg_log_ratio > 0 and survive at ~up-weighted
+    rates; off-target docs are down-weighted, exactly the DSIR
+    behavior, with zero rand() so reruns keep identical docs."""
+    docs = _docs(spark, sf_dir)
+    w = dsir_doc_weights(docs, F.col("lang") == F.lit(DSIR_TARGET_LANG))
+    keep = (_md5_bucket().cast("double")
+            < 256.0 * F.least(F.lit(1.0),
+                              F.exp(F.col("avg_log_ratio"))
+                              * DSIR_KEEP_BASE))
+    return (w.select("lang", "avg_log_ratio", keep.alias("__keep"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.round(F.avg("avg_log_ratio"), 4)
+                  .alias("mean_log_ratio"))
+            .orderBy("lang"))
+
+
+# -- distributed logistic-regression training --------------------------------
+
+def _lr_features(docs: DataFrame, buckets: int):
+    """(labels, feats): labels = (doc_id, y) with y = contains any
+    LR_POS_WORDS token (the handcrafted rule being distilled — the
+    corpus's planted boilerplate marker); feats = distinct
+    (doc_id, bucket) presence rows. Both localCheckpoint-materialized —
+    the training loop reuses them every iteration (at production
+    scale: committed tables)."""
+    base = docs.select(
+        "doc_id",
+        (F.size(F.array_intersect(
+            _words(F.col("text")),
+            F.array(*[F.lit(w) for w in LR_POS_WORDS]))) > 0)
+        .cast("int").alias("y"),
+        _words(F.col("text")).alias("__w"))
+    labels = base.select("doc_id", "y").localCheckpoint(eager=True)
+    feats = (base.select("doc_id", F.explode("__w").alias("__t"))
+             .select("doc_id", _bucket("__t", buckets).alias("bucket"))
+             .distinct())
+    # bucket -1 is the intercept: an always-on feature for every doc,
+    # so ONE gradient aggregation covers the whole model
+    feats_i = (feats.unionAll(
+        labels.select("doc_id", F.lit(-1).cast("int").alias("bucket")))
+        .localCheckpoint(eager=True))
+    return labels, feats_i
+
+
+def _wmap_lit(w6: dict):
+    """The current model as a literal int->long map column."""
+    pairs = []
+    for bk, wt in sorted(w6.items()):
+        pairs.append(F.lit(bk))
+        pairs.append(F.lit(wt).cast("long"))
+    return F.create_map(*pairs)
+
+
+def _scores6(w6: dict, labels: DataFrame,
+             feats_i: DataFrame) -> DataFrame:
+    """Exact-integer per-doc score in micro-units under the driver-held
+    model: sum of the doc's bucket weights (the always-on -1 bucket
+    carries the intercept)."""
+    wmap = _wmap_lit(w6)
+    return (labels
+            .join(feats_i, "doc_id")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.element_at(wmap, F.col("bucket")))
+                  .alias("__score6")))
+
+
+def lr_train(docs: DataFrame, buckets: int = LR_BUCKETS,
+             lr: int = LR_RATE, n_iter: int = LR_ITERS):
+    """Full-batch gradient descent for logistic regression on hashed
+    binary features — the MLlib LogisticRegression execution shape
+    (per iteration: ONE treeAggregate-style gradient job -> tiny
+    driver-side model update -> re-broadcast), in exact integer
+    micro-units (w6 = weight * 1e6 as int64):
+
+        score6_d = sum_{b in feat(d) + intercept} w6_b     (exact int)
+        p6_d     = int64(round(1e6 * sigmoid(score6_d/1e6)))
+        g6_b     = int64(round(sum_{d: b in feat(d)}
+                               (p6_d - 1e6*y_d) / N))      (exact sum)
+        w6_b    -= lr * g6_b                               (lr integer)
+
+    Every sum is exact int64 (order-independent, so the DuckDB twin
+    reproduces the schedule bit-for-bit); the single float step per
+    iteration is the sigmoid, immediately re-quantized with the
+    away-from-zero rounding both engines share. The driver holds only
+    the (buckets+1)-entry model — model state, not data (exactly what
+    MLlib's driver holds); gradients arrive as ONE collect of at most
+    buckets+1 longs per iteration.
+
+    Returns (w6 dict incl. intercept at key -1, labels, feats_i, n).
+    """
+    labels, feats_i = _lr_features(docs, buckets)
+    n = labels.count()
+    w6 = {bk: 0 for bk in range(-1, buckets)}
+    for _ in range(n_iter):
+        p6 = (_scores6(w6, labels, feats_i)
+              .select("doc_id", "y",
+                      F.round(LR_SCALE
+                              / (1.0 + F.exp(-(F.col("__score6")
+                                               .cast("double")
+                                               / LR_SCALE))), 0)
+                       .cast("long").alias("__p6")))
+        grads = (feats_i.join(p6, "doc_id")
+                 .groupBy("bucket")
+                 .agg(F.round(F.sum(F.col("__p6")
+                                    - F.col("y") * LR_SCALE)
+                               .cast("double") / F.lit(n), 0)
+                       .cast("long").alias("g6"))
+                 .collect())
+        for r in grads:
+            w6[r["bucket"]] -= lr * r["g6"]
+    return w6, labels, feats_i, n
+
+
+def lr_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: the learned model — (bucket, weight, n_docs) for
+    every feature bucket plus the intercept as bucket -1. The buckets
+    holding the rule's marker words come out positive; the twin
+    re-runs the identical fixed-point schedule in SQL."""
+    w6, _labels, feats_i, _n = lr_train(_docs(spark, sf_dir))
+    per_bucket = (feats_i.filter(F.col("bucket") >= 0)
+                  .groupBy("bucket").agg(F.count("*").alias("__nd")))
+    model = spark.createDataFrame(
+        sorted(w6.items()), "bucket int, w6 long")
+    return (model.join(per_bucket, "bucket", "left")
+            .select("bucket",
+                    (F.col("w6") / F.lit(LR_SCALE)).alias("weight"),
+                    F.coalesce("__nd", F.lit(0).cast("long"))
+                     .alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def lr_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: confusion matrix + accuracy of the learned model on
+    its training corpus (pred = score6 >= 0, an EXACT integer
+    comparison — no float anywhere in the verdict). Counts are
+    integers, so this is a sturdy cross-engine oracle of the whole
+    training loop."""
+    w6, labels, feats_i, _n = lr_train(_docs(spark, sf_dir))
+    s = _scores6(w6, labels, feats_i)
+    pred = (F.col("__score6") >= 0).cast("int")
+    return (s.select("y", pred.alias("__pred"))
+            .groupBy()
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("y").alias("n_pos"),
+                 F.sum(((F.col("__pred") == 1) & (F.col("y") == 1))
+                       .cast("long")).alias("tp"),
+                 F.sum(((F.col("__pred") == 1) & (F.col("y") == 0))
+                       .cast("long")).alias("fp"),
+                 F.sum(((F.col("__pred") == 0) & (F.col("y") == 1))
+                       .cast("long")).alias("fn"),
+                 F.sum(((F.col("__pred") == 0) & (F.col("y") == 0))
+                       .cast("long")).alias("tn"))
+            .select("n_docs", "n_pos", "tp", "fp", "fn", "tn",
+                    F.round((F.col("tp") + F.col("tn"))
+                            / F.col("n_docs"), 4).alias("accuracy")))

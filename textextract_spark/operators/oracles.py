@@ -1878,3 +1878,183 @@ def _tfidf_keywords_oracle() -> str:
 
 
 ORACLES["tfidf_keywords"] = _tfidf_keywords_oracle()
+
+
+# Portable Horner word-feature hash (twin of learned._bucket): exact
+# int64 fold of codepoints mod the prime, mod the bucket count —
+# list_prepend seeds DuckDB's init-less list_reduce.
+def _sql_bucket(tok: str, buckets: int) -> str:
+    from .learned import HASH_MOD
+
+    return (f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(range(1, length({tok}) + 1),"
+            f" i -> CAST(unicode(substr({tok}, CAST(i AS INT), 1))"
+            f" AS BIGINT))),"
+            f" (a, c) -> (a * 31 + c) % {HASH_MOD})"
+            f" % {buckets} AS INT)")
+
+
+def _dsir_sample_oracle() -> str:
+    """GENERATED from learned's DSIR constants (twin of
+    learned.dsir_sample): identical bucket hash, add-one-smoothed
+    p/q log ratios rounded at the same sync points, same md5
+    hash-threshold keep rule."""
+    from .learned import DSIR_BUCKETS, DSIR_KEEP_BASE, DSIR_TARGET_LANG
+
+    B = DSIR_BUCKETS
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, lang = '{DSIR_TARGET_LANG}' AS is_t,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents),
+        toks AS (
+            SELECT doc_id, is_t, {_sql_bucket('t', B)} AS b
+            FROM (SELECT doc_id, is_t, unnest(ws) AS t FROM base)),
+        q AS (SELECT b, count(*) AS qc FROM toks GROUP BY b),
+        p AS (SELECT b, count(*) AS pc FROM toks WHERE is_t GROUP BY b),
+        qt AS (SELECT sum(qc) AS qt FROM q),
+        pt AS (SELECT sum(pc) AS pt FROM p),
+        ratios AS (
+            SELECT r.b,
+                   round(ln(((COALESCE(pc, 0) + 1.0) / (pt + {B}))
+                            / ((COALESCE(qc, 0) + 1.0) / (qt + {B}))),
+                         6) AS lr
+            FROM (SELECT CAST(unnest(range(0, {B})) AS INT) AS b) r
+            LEFT JOIN q ON r.b = q.b LEFT JOIN p ON r.b = p.b
+            CROSS JOIN qt CROSS JOIN pt),
+        perdoc AS (
+            SELECT doc_id, count(*) AS n_tok, sum(lr) AS sum_lr
+            FROM toks JOIN ratios ON toks.b = ratios.b
+            GROUP BY doc_id),
+        wts AS (
+            SELECT d.doc_id, d.lang,
+                   COALESCE(round(sum_lr / n_tok, 6), 0.0) AS alr,
+                   (instr('0123456789abcdef',
+                          substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                   + (instr('0123456789abcdef',
+                            substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1))
+                      - 1) AS bucket
+            FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN bucket < 256.0 * least(1.0,
+                                 exp(alr) * {DSIR_KEEP_BASE})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(avg(alr), 4) AS mean_log_ratio
+        FROM wts GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLES["dsir_sample"] = _dsir_sample_oracle()
+
+
+def _lr_cte_chain() -> str:
+    """The shared unrolled fixed-point gradient-descent CTE chain
+    (twin of learned.lr_train): LR_ITERS full-batch iterations in
+    exact integer micro-units over the intercept-extended feature
+    table (bucket -1 always on) — every sum is int64 and therefore
+    order-independent; the sigmoid is the single float step per
+    iteration, re-quantized with the away-from-zero rounding Spark's
+    round() shares; the integer learning rate makes the weight update
+    itself exact. PageRank-style unrolling, same schedule as Spark."""
+    from .learned import (
+        LR_BUCKETS, LR_ITERS, LR_POS_WORDS, LR_RATE, LR_SCALE)
+
+    B, lr, S = LR_BUCKETS, LR_RATE, LR_SCALE
+    pos = ", ".join(f"'{w}'" for w in LR_POS_WORDS)
+    parts = [f"""
+        base AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents),
+        labels AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN len(list_intersect(ws, [{pos}])) > 0
+                        THEN 1 ELSE 0 END AS y
+            FROM base),
+        feats_i AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {_sql_bucket('t', B)} AS bucket
+            FROM (SELECT doc_id, unnest(ws) AS t FROM base)
+            UNION ALL
+            SELECT doc_id, -1 AS bucket FROM labels),
+        nn AS (SELECT count(*) AS n FROM labels),
+        w_0 AS (SELECT CAST(unnest(range(-1, {B})) AS INT) AS bucket,
+                       CAST(0 AS BIGINT) AS w6)"""]
+    for k in range(1, LR_ITERS + 1):
+        j = k - 1
+        parts.append(f"""
+        s_{k} AS MATERIALIZED (
+            SELECT l.doc_id, l.y, sum(w.w6) AS score6
+            FROM labels l JOIN feats_i f ON l.doc_id = f.doc_id
+            JOIN w_{j} w ON f.bucket = w.bucket
+            GROUP BY l.doc_id, l.y),
+        p_{k} AS MATERIALIZED (
+            SELECT doc_id, y,
+                   CAST(round({S} / (1.0 + exp(
+                       -(CAST(score6 AS DOUBLE) / {S})))) AS BIGINT)
+                       AS p6
+            FROM s_{k}),
+        g_{k} AS MATERIALIZED (
+            SELECT f.bucket,
+                   CAST(round(CAST(sum(p.p6 - p.y * {S}) AS DOUBLE)
+                              / (SELECT n FROM nn)) AS BIGINT) AS g6
+            FROM feats_i f JOIN p_{k} p ON f.doc_id = p.doc_id
+            GROUP BY f.bucket),
+        w_{k} AS MATERIALIZED (
+            SELECT w.bucket,
+                   w.w6 - {lr} * COALESCE(g.g6, 0) AS w6
+            FROM w_{j} w LEFT JOIN g_{k} g ON w.bucket = g.bucket)""")
+    return ",".join(parts)
+
+
+def _lr_train_weights_oracle() -> str:
+    from .learned import LR_ITERS
+
+    K = LR_ITERS
+    from .learned import LR_SCALE
+
+    return f"""
+        WITH {_lr_cte_chain()},
+        pb AS (SELECT bucket, count(*) AS nd FROM feats_i
+               WHERE bucket >= 0 GROUP BY bucket)
+        SELECT w.bucket, w.w6 / {LR_SCALE}.0 AS weight,
+               CAST(COALESCE(pb.nd, 0) AS BIGINT) AS n_docs
+        FROM w_{K} w LEFT JOIN pb ON w.bucket = pb.bucket
+        ORDER BY w.bucket
+    """
+
+
+ORACLES["lr_train_weights"] = _lr_train_weights_oracle()
+
+
+def _lr_train_eval_oracle() -> str:
+    from .learned import LR_ITERS
+
+    K = LR_ITERS
+    return f"""
+        WITH {_lr_cte_chain()},
+        sfin AS (
+            SELECT l.doc_id, l.y, sum(w.w6) AS score6
+            FROM labels l JOIN feats_i f ON l.doc_id = f.doc_id
+            JOIN w_{K} w ON f.bucket = w.bucket
+            GROUP BY l.doc_id, l.y),
+        verdicts AS (
+            SELECT y, CASE WHEN score6 >= 0 THEN 1 ELSE 0 END AS pred
+            FROM sfin)
+        SELECT count(*) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn,
+               round((sum(CASE WHEN pred = y THEN 1 ELSE 0 END))
+                     / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        FROM verdicts
+    """
+
+
+ORACLES["lr_train_eval"] = _lr_train_eval_oracle()
