@@ -525,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   pages, full edge-list twin in SQL
         "host_pagerank": urls.host_pagerank,                # oracled:
         #   3-iteration PageRank over the host graph, unrolled-CTE twin
+        "robots_verdicts": urls.robots_verdicts,            # oracled:
+        #   robots.txt politeness — star-group prefix rules parsed
+        #   with pure array exprs, longest-match/Allow-ties verdict
+        #   per frontier url via one broadcast join, full twin
         "host_cap": urls.host_cap,                          # oracled:
         #   per-domain doc cap — exact two-level distributed top-N
         #   (no window over the hot host); twin uses DuckDB row_number

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "tfidf_keywords",
     "dsir_sample",
+    "robots_verdicts",
     "link_graph",
     "host_pagerank",
     "minhash_neardup",

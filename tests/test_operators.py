@@ -1613,3 +1613,48 @@ def test_lr_train_matches_fixed_point_reference(spark):
               for (i, _), y in zip(rows, ys)) / len(rows)
     assert acc >= 0.95
     assert any(preds.values()) and not all(preds.values())
+
+
+def test_robots_parse_and_verdicts(spark):
+    """robots.txt semantics on planted cases: star-group scoping (other
+    agents' rules ignored), longest-prefix match, Allow wins length
+    ties, empty Disallow value dropped (allow-all idiom), hosts with no
+    star group or no robots at all allow everything, directory vs file
+    prefixes, root path fallback."""
+    from textextract_spark.operators.urls import (
+        parse_robots_star, robots_allowed)
+
+    robots = spark.createDataFrame([
+        ("a.example",
+         "User-agent: badbot\nDisallow: /\n\n"
+         "user-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+         "Disallow: /tmp/\n\nUser-agent: other\nDisallow: /elsewhere\n"),
+        ("b.example", "User-agent: *\nDisallow:\n"),
+        ("c.example", "User-agent: badbot\nDisallow: /\n"),
+    ], "host string, robots_txt string")
+    rules = {r.host: r for r in parse_robots_star(robots).collect()}
+    assert rules["a.example"].disallow_prefixes == ["/private", "/tmp/"]
+    assert rules["a.example"].allow_prefixes == ["/private/ok"]
+    assert rules["b.example"].disallow_prefixes == []
+    assert rules["c.example"].disallow_prefixes == []
+    assert rules["c.example"].allow_prefixes == []
+
+    urls = spark.createDataFrame([
+        (0, "https://a.example/p/1"),          # no rule matches
+        (1, "https://a.example/private/x"),    # disallowed (8)
+        (2, "https://a.example/private/ok/y"), # allow 11 beats dis 8
+        (3, "https://a.example/tmp/z"),        # dir prefix blocks
+        (4, "https://a.example/tmpfile"),      # /tmp/ does NOT match
+        (5, "https://a.example"),              # bare root -> '/'
+        (6, "https://b.example/private/x"),    # empty Disallow -> allow
+        (7, "https://c.example/anything"),     # no star group
+        (8, "https://d.example/x"),            # no robots row at all
+    ], "doc_id long, url string")
+    out = {r.doc_id: r for r in robots_allowed(
+        urls, parse_robots_star(robots)).collect()}
+    assert [out[i].allowed for i in range(9)] == [
+        True, False, True, False, True, True, True, True, True]
+    assert out[1].best_disallow == 8 and out[1].best_allow == -1
+    assert out[2].best_allow == 11 and out[2].best_disallow == 8
+    assert out[5].path == "/"
+    assert out[8].best_allow == -1 and out[8].best_disallow == -1

@@ -355,3 +355,17 @@ def test_lr_scoring_model_rides_closure_not_join(spark, sf_dir):
     p = _plan(spark, learned._scores6(w6, labels, feats_i))
     assert "map_from_arrays" in p or "map(" in p
     assert "Window" not in p
+
+
+def test_robots_verdict_broadcasts_rules_no_frontier_shuffle(spark, sf_dir):
+    """The per-host rules table rides a broadcast join; the frontier
+    itself never shuffles (only the tiny robots side builds a
+    BroadcastExchange) and nothing windows or sorts globally except
+    the final presentation orderBy."""
+    from textextract_spark.operators import urls as u
+    p = _plan(spark, u.robots_verdicts(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    # no hash shuffle anywhere: the only exchanges are the broadcast
+    # of the 11-row rules table and the final orderBy's range partition
+    assert "hashpartitioning" not in p

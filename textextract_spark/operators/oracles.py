@@ -2058,3 +2058,94 @@ def _lr_train_eval_oracle() -> str:
 
 
 ORACLES["lr_train_eval"] = _lr_train_eval_oracle()
+
+
+# robots.txt politeness twin (urls.robots_verdicts): same synthesized
+# frontier + per-host robots corpus, the same star-group line parse
+# (list ops mirroring Spark's array exprs), the same longest-prefix /
+# Allow-wins-ties verdict. Offsets: 'user-agent:' = 11 chars -> substr
+# 12; 'disallow:' = 9 -> substr 10; 'allow:' = 6 -> substr 7.
+ORACLES["robots_verdicts"] = """
+        WITH urls AS (
+            SELECT doc_id,
+                   's' || CAST(doc_id % 11 AS VARCHAR) || '.example'
+                       AS host,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/private/ok/y'
+                                 || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN '/tmp/z' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END AS rawpath
+            FROM documents),
+        robots AS (
+            SELECT 's' || CAST(k AS VARCHAR) || '.example' AS host,
+                   CASE CAST(k % 3 AS INT)
+                     WHEN 0 THEN 'User-agent: badbot' || chr(10)
+                       || 'Disallow: /' || chr(10) || chr(10)
+                       || 'User-agent: *' || chr(10)
+                       || 'Disallow: /private' || chr(10)
+                       || 'Allow: /private/ok' || chr(10)
+                       || 'Disallow: /tmp/' || chr(10)
+                     WHEN 1 THEN 'User-agent: *' || chr(10)
+                       || 'Disallow:' || chr(10)
+                     ELSE 'User-agent: badbot' || chr(10)
+                       || 'Disallow: /' || chr(10) END AS body
+            FROM (SELECT unnest(range(0, 11)) AS k)),
+        p0 AS (
+            SELECT host, list_transform(string_split(body, chr(10)),
+                                        x -> trim(x)) AS ls
+            FROM robots),
+        p1 AS (
+            SELECT host, ls,
+                   list_filter(range(1, len(ls) + 1),
+                       i -> starts_with(lower(ls[CAST(i AS INT)]),
+                                        'user-agent:')) AS ua
+            FROM p0),
+        p2 AS (
+            SELECT host, ls, ua,
+                   list_filter(ua,
+                       i -> trim(substr(ls[CAST(i AS INT)], 12))
+                            = '*')[1] AS s
+            FROM p1),
+        p3 AS (
+            SELECT host, ls, s,
+                   COALESCE(list_min(list_filter(ua, i -> i > s)),
+                            len(ls) + 1) AS e
+            FROM p2),
+        grp AS (
+            SELECT host,
+                   CASE WHEN s IS NULL THEN CAST([] AS VARCHAR[])
+                        ELSE ls[CAST(s AS INT) + 1 : CAST(e AS INT) - 1]
+                        END AS g
+            FROM p3),
+        rules AS (
+            SELECT host,
+                   list_transform(list_filter(g,
+                       x -> starts_with(lower(x), 'allow:')),
+                       x -> trim(substr(x, 7))) AS al,
+                   list_transform(list_filter(g,
+                       x -> starts_with(lower(x), 'disallow:')
+                            AND trim(substr(x, 10)) <> ''),
+                       x -> trim(substr(x, 10))) AS dis
+            FROM grp),
+        v AS (
+            SELECT u.doc_id, u.host,
+                   CASE WHEN u.rawpath = '' THEN '/' ELSE u.rawpath END
+                       AS path,
+                   COALESCE(r.al, CAST([] AS VARCHAR[])) AS al,
+                   COALESCE(r.dis, CAST([] AS VARCHAR[])) AS dis
+            FROM urls u LEFT JOIN rules r ON u.host = r.host),
+        scored AS (
+            SELECT doc_id, host, path,
+                   CAST(COALESCE(list_max(list_transform(
+                       list_filter(al, p -> starts_with(path, p)),
+                       p -> length(p))), -1) AS INT) AS best_allow,
+                   CAST(COALESCE(list_max(list_transform(
+                       list_filter(dis, p -> starts_with(path, p)),
+                       p -> length(p))), -1) AS INT) AS best_disallow
+            FROM v)
+        SELECT doc_id, host, path, best_allow, best_disallow,
+               best_allow >= best_disallow AS allowed
+        FROM scored ORDER BY doc_id
+    """

@@ -397,3 +397,133 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("warc_ts").alias("first_ts"),
                  F.max("warc_ts").alias("last_ts"))
             .orderBy("host"))
+
+
+# -- robots.txt politeness ---------------------------------------------------
+# A crawler must honor robots.txt before fetching; at crawl scale the
+# rules table (one row per host) is tiny next to the frontier, so the
+# verdict is a broadcast join + pure array expressions — zero frontier
+# shuffle. Semantics: the original 1994 prefix-match protocol plus the
+# REP tie rule (longest matching rule wins; Allow wins length ties),
+# scoped to the 'User-agent: *' group. Wildcard/$ extensions are out of
+# scope (documented; the parse isolates the swap surface).
+
+def parse_robots_star(robots: DataFrame, host_col: str = "host",
+                      body_col: str = "robots_txt") -> DataFrame:
+    """Per-host Allow/Disallow path-prefix lists from the
+    ``User-agent: *`` group (lines after the star agent line, up to the
+    next ``User-agent:`` line). Directive names match case-insensitively;
+    values keep case (paths are case-sensitive). Empty ``Disallow:``
+    values (the allow-all idiom) are dropped. Hosts with no star group
+    yield empty lists (no rules -> everything allowed).
+
+    Stateless narrow map over the robots table — pure array
+    expressions, per-row state bounded by the file itself.
+    """
+    d = (robots
+         .withColumn("__ls", F.expr(
+             f"transform(split({body_col}, '\\n'), x -> trim(x))"))
+         .withColumn("__ua", F.expr(
+             "filter(sequence(1, size(__ls)),"
+             " i -> startswith(lower(element_at(__ls, i)),"
+             " 'user-agent:'))"))
+         .withColumn("__s", F.expr(
+             "try_element_at(filter(__ua, i -> trim(substring("
+             "element_at(__ls, i), 12)) = '*'), 1)"))
+         .withColumn("__e", F.expr(
+             "coalesce(array_min(filter(__ua, i -> i > __s)),"
+             " size(__ls) + 1)"))
+         .withColumn("__grp", F.expr(
+             "CASE WHEN __s IS NULL THEN array()"
+             " ELSE slice(__ls, __s + 1, __e - __s - 1) END")))
+    return d.select(
+        F.col(host_col).alias("host"),
+        F.expr("transform(filter(__grp,"
+               " x -> startswith(lower(x), 'allow:')),"
+               " x -> trim(substring(x, 7)))").alias("allow_prefixes"),
+        F.expr("transform(filter(__grp,"
+               " x -> startswith(lower(x), 'disallow:')"
+               " AND trim(substring(x, 10)) != ''),"
+               " x -> trim(substring(x, 10)))").alias("disallow_prefixes"))
+
+
+def robots_allowed(urls_df: DataFrame, rules: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """Longest-prefix-match robots verdict per URL: among the host's
+    rules whose prefix starts the URL's path, the longest wins; Allow
+    wins a length tie; no matching rule (or no robots entry for the
+    host) allows the fetch. Adds (host, path, best_allow,
+    best_disallow, allowed); best_* are matched-prefix lengths, -1
+    when nothing matches.
+
+    Scale shape: the rules table is per-host (tiny) -> broadcast left
+    join; the match itself is pure array expressions. The frontier
+    never shuffles."""
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-z]+://([^/:?#]+)", 1))
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col),
+                                  r"^[a-z]+://[^/]*(/[^?#]*)", 1),
+                 F.lit("")),
+        F.lit("/"))
+    best = ("coalesce(array_max(transform(filter(%s, p ->"
+            " startswith(path, p)), p -> length(p))), -1)")
+    return (urls_df
+            .withColumn("host", host).withColumn("path", path)
+            .join(F.broadcast(rules), "host", "left")
+            .withColumn("best_allow", F.expr(
+                best % "coalesce(allow_prefixes, array())"))
+            .withColumn("best_disallow", F.expr(
+                best % "coalesce(disallow_prefixes, array())"))
+            .withColumn("allowed",
+                        F.col("best_allow") >= F.col("best_disallow"))
+            .drop("allow_prefixes", "disallow_prefixes"))
+
+
+def _synth_robots(spark: SparkSession, sf_dir: str):
+    """(urls, robots): a deterministic frontier + per-host robots.txt
+    corpus (same construction in the DuckDB twin). Host s{k}.example:
+    k%3==0 -> badbot block-all group THEN a star group with
+    Disallow /private, Allow /private/ok, Disallow /tmp/ (exercises
+    group scoping, the tie rule, and directory prefixes); k%3==1 ->
+    star group with an EMPTY Disallow value (the allow-all idiom);
+    k%3==2 -> badbot group only (no star rules). Paths cycle through
+    /p/N, /private/xN, /private/ok/yN, /tmp/zN, and the bare root."""
+    d = F.col("doc_id")
+    k = (d % 11).cast("int")
+    host = F.concat(F.lit("s"), k.cast("string"), F.lit(".example"))
+    sel = (d % 5).cast("int")
+    path = (F.when(sel == 0, F.concat(F.lit("/p/"), d.cast("string")))
+            .when(sel == 1, F.concat(F.lit("/private/x"),
+                                     d.cast("string")))
+            .when(sel == 2, F.concat(F.lit("/private/ok/y"),
+                                     d.cast("string")))
+            .when(sel == 3, F.concat(F.lit("/tmp/z"), d.cast("string")))
+            .otherwise(F.lit("")))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls_df = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    hk = F.col("id").cast("int")
+    body = (
+        F.when(hk % 3 == 0, F.lit(
+            "User-agent: badbot\nDisallow: /\n\nUser-agent: *\n"
+            "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp/\n"))
+        .when(hk % 3 == 1, F.lit(
+            "User-agent: *\nDisallow:\n"))
+        .otherwise(F.lit("User-agent: badbot\nDisallow: /\n")))
+    robots = spark.range(11).select(
+        F.concat(F.lit("s"), hk.cast("string"), F.lit(".example"))
+         .alias("host"),
+        body.alias("robots_txt"))
+    return urls_df, robots
+
+
+def robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: robots.txt allow/deny verdict for every frontier
+    URL over the synthesized per-host robots corpus."""
+    urls_df, robots = _synth_robots(spark, sf_dir)
+    return (robots_allowed(urls_df, parse_robots_star(robots))
+            .select("doc_id", "host", "path", "best_allow",
+                    "best_disallow", "allowed")
+            .orderBy("doc_id"))
