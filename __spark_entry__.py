@@ -525,6 +525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   pages, full edge-list twin in SQL
         "host_pagerank": urls.host_pagerank,                # oracled:
         #   3-iteration PageRank over the host graph, unrolled-CTE twin
+        "anchor_terms": urls.anchor_terms,                  # oracled:
+        #   per-target-host inbound anchor-text top-k profile (the
+        #   off-page relevance signal), row_number twin in SQL
+        "crawl_diff": urls.crawl_diff,                      # oracled:
+        #   crawl-cycle snapshot delta (added/removed/changed) via one
+        #   payload-free full-outer digest join, full twin
         "robots_verdicts": urls.robots_verdicts,            # oracled:
         #   robots.txt politeness — star-group prefix rules parsed
         #   with pure array exprs, longest-match/Allow-ties verdict

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "dsir_sample",
     "robots_verdicts",
+    "anchor_terms",
+    "crawl_diff",
     "link_graph",
     "host_pagerank",
     "minhash_neardup",

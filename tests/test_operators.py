@@ -1658,3 +1658,58 @@ def test_robots_parse_and_verdicts(spark):
     assert out[2].best_allow == 11 and out[2].best_disallow == 8
     assert out[5].path == "/"
     assert out[8].best_allow == -1 and out[8].best_disallow == -1
+
+
+def test_inbound_anchor_terms(spark):
+    """Anchor-text aggregation: words come from the LINKING page's
+    anchor text, attributed to the TARGET host; relative links are
+    excluded; top-k per host breaks ties on term asc."""
+    from textextract_spark.operators.urls import inbound_anchor_terms
+
+    def page(url, body):
+        return (url, bytearray(body.encode("utf-8")))
+
+    rows = [
+        page("https://a.example/1",
+             '<a href="https://t.example/x">best spark guide</a>'
+             '<a href="/rel">local nav</a>'
+             '<a href="https://t.example/y">spark tips</a>'),
+        page("https://b.example/2",
+             '<a href="https://t.example/z">spark guide</a>'
+             '<a href="https://u.example/q">zebra zebra alpha</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = {(r.dst_host, r.rk): (r.term, r.n)
+           for r in inbound_anchor_terms(pages).collect()}
+    # t.example: spark x3, guide x2, best/tips x1 (tie -> best first)
+    assert out[("t.example", 1)] == ("spark", 3)
+    assert out[("t.example", 2)] == ("guide", 2)
+    assert out[("t.example", 3)] == ("best", 1)
+    assert out[("u.example", 1)] == ("zebra", 2)
+    assert out[("u.example", 2)] == ("alpha", 1)
+    assert ("u.example", 3) not in out
+    assert not any(h == "a.example" or h == "rel"
+                   for h, _ in out)  # relative link never attributed
+
+
+def test_snapshot_diff_statuses(spark):
+    """Snapshot diff: all four statuses from a hand-built pair of
+    cycles; digests carried through; urls unique."""
+    from textextract_spark.operators.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u://a", "d1"), ("u://b", "d2"), ("u://c", "d3")],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u://a", "d1"), ("u://b", "dX"), ("u://d", "d4")],
+        "url string, digest string")
+    out = {r.url: r for r in snapshot_diff(old, new).collect()}
+    assert out["u://a"].status == "unchanged"
+    assert out["u://b"].status == "changed"
+    assert out["u://b"].old_digest == "d2"
+    assert out["u://b"].new_digest == "dX"
+    assert out["u://c"].status == "removed"
+    assert out["u://c"].new_digest == ""
+    assert out["u://d"].status == "added"
+    assert out["u://d"].old_digest == ""
+    assert len(out) == 4

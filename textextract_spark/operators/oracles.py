@@ -2149,3 +2149,93 @@ ORACLES["robots_verdicts"] = """
                best_allow >= best_disallow AS allowed
         FROM scored ORDER BY doc_id
     """
+
+
+def _anchor_terms_oracle() -> str:
+    """GENERATED from urls' anchor constants (twin of urls.anchor_terms):
+    the same planted-link page construction as the link_graph twin, the
+    same two-group href/anchor extraction (group 1 = target, group 2 =
+    anchor text), word tokenization, (dst_host, term) counts, and a
+    row_number top-k standing in for Spark's bounded collect+slice."""
+    from .urls import ANCHOR_TOP_K
+
+    return f"""
+        WITH pages AS (
+            SELECT '<html><body><nav><a href="/about">about</a></nav><p>'
+                   || text
+                   || '</p><a href="https://h'
+                   || CAST(doc_id % 23 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id * 3 AS VARCHAR)
+                   || '">r1</a> <a href="https://h'
+                   || CAST((doc_id * 7 + 1) % 23 AS VARCHAR)
+                   || '.example/q/' || CAST(doc_id AS VARCHAR)
+                   || '?x=1">r2</a> <a href="https://s'
+                   || CAST((doc_id + 1) % 11 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+                   || '">next</a></body></html>' AS html_str
+            FROM documents),
+        hx AS (
+            SELECT regexp_extract_all(html_str,
+                       'href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 1)
+                       AS hs,
+                   regexp_extract_all(html_str,
+                       'href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 2)
+                       AS txts
+            FROM pages),
+        anchors AS (
+            SELECT hs[CAST(i AS INT)] AS dst,
+                   txts[CAST(i AS INT)] AS txt
+            FROM hx, LATERAL unnest(range(1, len(hs) + 1)) AS u(i)),
+        terms AS (
+            SELECT lower(regexp_extract(dst,
+                       '^https?://([^/:?#]+)', 1)) AS dst_host,
+                   unnest(regexp_extract_all(lower(txt), '[a-z]+'))
+                       AS term
+            FROM anchors),
+        counts AS (
+            SELECT dst_host, term, count(*) AS n
+            FROM terms GROUP BY dst_host, term),
+        ranked AS (
+            SELECT dst_host, term, n,
+                   row_number() OVER (PARTITION BY dst_host
+                                      ORDER BY n DESC, term) AS rk
+            FROM counts)
+        SELECT dst_host, CAST(rk AS INT) AS rk, term, n
+        FROM ranked WHERE rk <= {ANCHOR_TOP_K}
+        ORDER BY dst_host, rk
+    """
+
+
+ORACLES["anchor_terms"] = _anchor_terms_oracle()
+
+
+# crawl snapshot diff twin (urls.crawl_diff): the same two synthesized
+# cycles (B removes doc_id%17==3, rewrites %17==5, discovers a fresh url
+# per %17==7) and the same full-outer digest comparison.
+ORACLES["crawl_diff"] = """
+        WITH old AS (
+            SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(text) AS od
+            FROM documents),
+        new AS (
+            SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 17 = 5 THEN md5(text || 'v2')
+                        ELSE md5(text) END AS nd
+            FROM documents WHERE doc_id % 17 <> 3
+            UNION ALL
+            SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+                   || '.example/new/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5('new:' || text) AS nd
+            FROM documents WHERE doc_id % 17 = 7)
+        SELECT COALESCE(old.url, new.url) AS url,
+               CASE WHEN od IS NULL THEN 'added'
+                    WHEN nd IS NULL THEN 'removed'
+                    WHEN od = nd THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(od, '') AS old_digest,
+               COALESCE(nd, '') AS new_digest
+        FROM old FULL OUTER JOIN new ON old.url = new.url
+        ORDER BY url
+    """

@@ -527,3 +527,116 @@ def robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "path", "best_allow",
                     "best_disallow", "allowed")
             .orderBy("doc_id"))
+
+
+# -- anchor text + snapshot diff ---------------------------------------------
+
+ANCHOR_RE = 'href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
+ANCHOR_TOP_K = 3
+
+
+def inbound_anchor_terms(pages: DataFrame, html_col: str = "html",
+                         url_col: str = "url",
+                         top_k: int = ANCHOR_TOP_K) -> DataFrame:
+    """Per-target-host anchor-text profile: the top_k most frequent
+    words used in the text of links POINTING AT the host — the classic
+    off-page relevance signal a web-scale ranker aggregates (anchor
+    text describes the target better than the target describes
+    itself). Ties break on term asc.
+
+    Scale shape (10^12 pages): stateless decode + two aligned
+    regexp_extract_all passes (href group, anchor group) zipped
+    per row, one (dst_host, term) map-side-combinable hash agg, then
+    the bounded per-host collect+slice top-k (per-key state = the
+    host's own anchor vocabulary, capped upstream by the agg) — never
+    a window over the hot host.
+    """
+    body = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(body, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(body, F.lit(ANCHOR_RE), 2)
+    pairs = F.arrays_zip(hrefs.alias("dst"), texts.alias("txt"))
+    tokd = (pages
+            .select(F.explode(pairs).alias("__a"))
+            .select(F.lower(F.regexp_extract(
+                        F.col("__a.dst"), r"^https?://([^/:?#]+)", 1))
+                     .alias("dst_host"),
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col("__a.txt")), F.lit("[a-z]+"), 0))
+                     .alias("term")))
+    counts = (tokd.groupBy("dst_host", "term")
+              .agg(F.count("*").alias("n")))
+    return (counts
+            .groupBy("dst_host")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+                     (-F.col("n")).alias("negn"), F.col("term"),
+                     F.col("n")))), 1, top_k).alias("__top"))
+            .select("dst_host",
+                    F.posexplode("__top").alias("__p", "__kw"))
+            .select("dst_host",
+                    (F.col("__p") + 1).cast("int").alias("rk"),
+                    F.col("__kw.term").alias("term"),
+                    F.col("__kw.n").alias("n"))
+            .orderBy("dst_host", "rk"))
+
+
+def anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: inbound anchor-text profile over the planted-link
+    pages (same corpus as link_graph / host_pagerank)."""
+    return inbound_anchor_terms(_linked_pages(spark, sf_dir))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  url_col: str = "url",
+                  digest_col: str = "digest") -> DataFrame:
+    """Crawl-cycle delta: per url, 'added' (new capture only),
+    'removed' (old only), 'changed' (both, digest differs) or
+    'unchanged' — the recrawl-scheduling / freshness report a crawl
+    pipeline emits between cycles. A missing capture's digest is
+    reported as '' (keeps the report join/sort-friendly downstream).
+
+    Scale shape: ONE full outer hash join on the url key carrying
+    (url, 32-char digest) only — payloads never ride the shuffle;
+    the status is a pure expression over the join result. At 10^12
+    urls both sides are Iceberg tables bucketed on url, making this a
+    storage-partitioned join with no shuffle at all.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("__od"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("__nd"))
+    status = (F.when(F.col("__od").isNull(), F.lit("added"))
+              .when(F.col("__nd").isNull(), F.lit("removed"))
+              .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, "url", "full_outer")
+            .select("url", status.alias("status"),
+                    F.coalesce("__od", F.lit("")).alias("old_digest"),
+                    F.coalesce("__nd", F.lit("")).alias("new_digest"))
+            .orderBy("url"))
+
+
+def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: snapshot diff between two synthesized crawl cycles
+    over the documents table — cycle B drops doc_id%17==3 (removed),
+    rewrites the payload of doc_id%17==5 (changed), and discovers a
+    fresh url per doc_id%17==7 (added); everything else is unchanged.
+    Same construction in the DuckDB twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s"), (d % 11).cast("string"),
+                   F.lit(".example/p/"), d.cast("string"))
+    old = docs.select(url.alias("url"), F.md5("text").alias("digest"))
+    base_new = (docs.filter(d % 17 != 3)
+                .select(url.alias("url"),
+                        F.when(d % 17 == 5,
+                               F.md5(F.concat(F.col("text"),
+                                              F.lit("v2"))))
+                         .otherwise(F.md5("text")).alias("digest")))
+    discovered = (docs.filter(d % 17 == 7)
+                  .select(F.concat(F.lit("https://s"),
+                                   (d % 11).cast("string"),
+                                   F.lit(".example/new/"),
+                                   d.cast("string")).alias("url"),
+                          F.md5(F.concat(F.lit("new:"), F.col("text")))
+                           .alias("digest")))
+    return snapshot_diff(old, base_new.unionAll(discovered))
