@@ -8,11 +8,12 @@ queries()    — SURVEY.md §2 operator inventory + training-data ops, each a
 (spark, sf_dir) -> DataFrame callable.
 
 oracle_sql() — DuckDB ANSI-SQL twins for every SQL-expressible query
-(textextract_spark.operators.oracles). The two remaining rows-only ops
-(minhash_neardup / simhash_neardup) emit engine-specific xxhash64 values
-with no portable cross-engine twin, but each has BOTH a brute-force pytest
-oracle AND a derived-metric driver row with a full DuckDB oracle
-(minhash_recall / simhash_exact_pairs) covering its recall behavior.
+(textextract_spark.operators.oracles). The three rows-only ops
+(minhash_neardup / simhash_neardup / token_bpe_merge) emit
+engine-specific xxhash64-derived values with no portable cross-engine
+twin, but each has BOTH a brute-force pytest oracle AND a derived-metric
+driver row with a full DuckDB oracle (minhash_recall /
+simhash_exact_pairs / bpe_bounds) covering its behavior.
 """
 
 from __future__ import annotations
