@@ -32,6 +32,8 @@ iteration plan never recomputes the token pass per round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -256,12 +258,37 @@ def lr_train(docs: DataFrame, buckets: int = LR_BUCKETS,
     return w6, labels, feats_i, n
 
 
+# Trained-model memo, the label_centroids pattern: both driver rows
+# (weights + eval) need the SAME model, and the driver runs every query
+# in one session — retraining twice doubles the only expensive stage.
+# The key carries a CONTENT fingerprint (mtime_ns+size of the parquet,
+# the ADVICE-r5 centroid-cache lesson): a regenerated documents.parquet
+# at the same path must miss. Values hold (w6, labels, feats_i, n) with
+# the two feature tables localCheckpoint-materialized; FIFO-bounded.
+_MODEL_CACHE: dict[tuple, tuple] = {}
+_MODEL_CACHE_MAX = 8
+
+
+def _trained_model(spark: SparkSession, sf_dir: str):
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (spark.sparkContext.applicationId, sf_dir,
+           st.st_mtime_ns, st.st_size)
+    got = _MODEL_CACHE.get(key)
+    if got is None:
+        got = lr_train(_docs(spark, sf_dir))
+        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        _MODEL_CACHE[key] = got
+    return got
+
+
 def lr_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row: the learned model — (bucket, weight, n_docs) for
     every feature bucket plus the intercept as bucket -1. The buckets
     holding the rule's marker words come out positive; the twin
     re-runs the identical fixed-point schedule in SQL."""
-    w6, _labels, feats_i, _n = lr_train(_docs(spark, sf_dir))
+    w6, _labels, feats_i, _n = _trained_model(spark, sf_dir)
     per_bucket = (feats_i.filter(F.col("bucket") >= 0)
                   .groupBy("bucket").agg(F.count("*").alias("__nd")))
     model = spark.createDataFrame(
@@ -280,7 +307,7 @@ def lr_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison — no float anywhere in the verdict). Counts are
     integers, so this is a sturdy cross-engine oracle of the whole
     training loop."""
-    w6, labels, feats_i, _n = lr_train(_docs(spark, sf_dir))
+    w6, labels, feats_i, _n = _trained_model(spark, sf_dir)
     s = _scores6(w6, labels, feats_i)
     pred = (F.col("__score6") >= 0).cast("int")
     return (s.select("y", pred.alias("__pred"))
