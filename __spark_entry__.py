@@ -422,7 +422,35 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+# Rows a sampling driver must reach first: a correctness snapshot that
+# caps at ~50 rows takes them in registration order, and r4 proved the
+# cost of leaving new rows at the tail (its 4 newest missed the
+# snapshot). Order: the flagship extraction/curation journeys and the
+# rows without a prior driver-recorded green (r4 post-snapshot + every
+# r5-new row), then the long-green r1-r3 inventory.
+_DRIVER_PRIORITY = [
+    "extract_docs", "extract_mixed_docs", "extract_warc_docs",
+    "warc_roundtrip", "curate_docs", "curate_neardup",
+    "audio_features", "resize_media",
+    "bpe_train_stats", "char_lm_ppl", "decontam", "temp_mixture",
+    "host_cap", "url_blocklist", "span_dedup_stats", "split_report",
+    "chunk_docs", "bigram_pmi", "bm25_topk", "tfidf_keywords",
+    "dsir_sample", "lr_train_weights", "lr_train_eval",
+    "link_graph", "host_pagerank", "anchor_terms", "crawl_diff",
+    "robots_verdicts",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_by_section()
+    missing = [k for k in _DRIVER_PRIORITY if k not in q]
+    assert not missing, f"stale _DRIVER_PRIORITY entries: {missing}"
+    return ({k: q[k] for k in _DRIVER_PRIORITY}
+            | {k: v for k, v in q.items() if k not in _DRIVER_PRIORITY})
+
+
+def _queries_by_section() -> dict[
+        str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational inventory (SURVEY.md §2.2-2.7)
         "filter_eq_project": relational.filter_eq_project,
