@@ -1713,3 +1713,67 @@ def test_snapshot_diff_statuses(spark):
     assert out["u://d"].status == "added"
     assert out["u://d"].old_digest == ""
     assert len(out) == 4
+
+
+def test_robots_parse_fuzz_vs_reference(spark):
+    """Seeded fuzz: 150 randomized robots.txt bodies (multiple agent
+    groups in random order, case-noise on directive names, blank lines,
+    comments, junk, empty values) parsed in ONE Spark job must match a
+    pure-Python reference implementing the same star-group-scoping
+    spec line for line."""
+    import random
+
+    from textextract_spark.operators.urls import parse_robots_star
+
+    rng = random.Random(7)
+    agents = ["*", "badbot", "goodbot", "Mozilla"]
+    paths = ["/", "/a", "/private", "/tmp/", "/deep/path/x", ""]
+
+    def mk_line():
+        r = rng.random()
+        if r < 0.25:
+            ua = rng.choice(["User-agent:", "user-agent:", "USER-AGENT:"])
+            return f"{ua} {rng.choice(agents)}"
+        if r < 0.5:
+            d = rng.choice(["Disallow:", "disallow:", "DisAllow:"])
+            return f"{d} {rng.choice(paths)}"
+        if r < 0.65:
+            a = rng.choice(["Allow:", "allow:"])
+            return f"{a} {rng.choice(paths)}"
+        if r < 0.75:
+            return ""
+        if r < 0.85:
+            return "# a comment line"
+        return rng.choice(["Sitemap: https://x.example/s.xml",
+                           "Crawl-delay: 10", "garbage line"])
+
+    bodies = ["\n".join(mk_line() for _ in range(rng.randint(0, 25)))
+              for _ in range(150)]
+
+    def ref(body):
+        ls = [x.strip() for x in body.split("\n")]
+        ua = [i for i, x in enumerate(ls)
+              if x.lower().startswith("user-agent:")]
+        star = [i for i in ua if ls[i][11:].strip() == "*"]
+        if not star:
+            return [], []
+        s = star[0]
+        nxt = [i for i in ua if i > s]
+        e = nxt[0] if nxt else len(ls)
+        grp = ls[s + 1:e]
+        al = [x[6:].strip() for x in grp
+              if x.lower().startswith("allow:")]
+        dis = [x[9:].strip() for x in grp
+               if x.lower().startswith("disallow:")
+               and x[9:].strip() != ""]
+        return al, dis
+
+    robots = spark.createDataFrame(
+        [(str(i), b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string")
+    got = {r.host: (r.allow_prefixes, r.disallow_prefixes)
+           for r in parse_robots_star(robots).collect()}
+    assert len(got) == 150
+    for i, b in enumerate(bodies):
+        al, dis = ref(b)
+        assert got[str(i)] == (al, dis), (i, b, got[str(i)], (al, dis))
