@@ -658,3 +658,39 @@ def test_curation_neardup_decisions(spark):
                    "u://d": "keep",
                    "u://e": "drop:quality",
                    "u://f": "drop:extract"}
+
+
+def test_pyfiles_bundle_deterministic_and_importable(tmp_path):
+    """The --py-files bundle (north_rule deploy mode) must (a) rebuild
+    byte-identically from the same tree, and (b) serve the package via
+    zipimport alone — a fresh interpreter with ONLY the zip on its path
+    imports the package and runs the extractor on a real page."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from tools.make_pyfiles import build
+
+    z1 = build(str(tmp_path / "a.zip"))
+    z2 = build(str(tmp_path / "b.zip"))
+    d1 = hashlib.sha256(open(z1, "rb").read()).hexdigest()
+    d2 = hashlib.sha256(open(z2, "rb").read()).hexdigest()
+    assert d1 == d2
+
+    probe = (
+        "import sys; sys.path = [sys.argv[1]] + "
+        "[p for p in sys.path if 'repo' not in p]\n"
+        "from textextract_spark.core.extract import extract_document\n"
+        "body = 'the bundle extracts this paragraph end to end ' * 4\n"
+        "r = extract_document(('<html><body><p>' + body "
+        "+ '</p></body></html>').encode(), fmt='html')\n"
+        "assert r.status == 'ok' and r.text == body.strip(), r\n"
+        "import textextract_spark\n"
+        "assert sys.argv[1] in textextract_spark.__file__\n"
+        "print('ZIPIMPORT-OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, z1], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "ZIPIMPORT-OK" in out.stdout
