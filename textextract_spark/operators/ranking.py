@@ -60,6 +60,8 @@ def bm25_search(docs: DataFrame, query: tuple[str, ...],
     (doc_id, score, n_terms) by score desc, doc_id asc; score is
     rounded to 4 places BEFORE ordering so the cut is portable.
     """
+    if not query:
+        raise ValueError("bm25_search needs at least one query term")
     base = docs.select(F.col(id_col).alias("doc_id"),
                        _words(F.col(text_col)).alias("__w"))
     base = base.select("doc_id", F.size("__w").alias("__dl"), "__w")
