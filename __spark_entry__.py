@@ -436,6 +436,7 @@ _DRIVER_PRIORITY = [
     "host_cap", "url_blocklist", "span_dedup_stats", "split_report",
     "chunk_docs", "bigram_pmi", "bm25_topk", "tfidf_keywords",
     "dsir_sample", "lr_train_weights", "lr_train_eval",
+    "kmeans_clusters",
     "link_graph", "host_pagerank", "anchor_terms", "crawl_diff",
     "robots_verdicts",
 ]
@@ -534,6 +535,9 @@ def _queries_by_section() -> dict[
         "lr_train_eval": learned.lr_train_eval,             # oracled:
         #   confusion matrix + accuracy of the learned model on its
         #   training corpus (integer counts, sturdy twin)
+        "kmeans_clusters": learned.kmeans_clusters,         # oracled:
+        #   bit-exact integer Lloyd k-means over the embeddings table
+        #   (topic clustering); every output value an exact int64
         "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
         #   fixed-width duplicated-span stats (Lee et al. shape) with
         #   planted whole-doc copies + boilerplate tails, full twin

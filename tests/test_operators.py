@@ -1777,3 +1777,69 @@ def test_robots_parse_fuzz_vs_reference(spark):
     for i, b in enumerate(bodies):
         al, dis = ref(b)
         assert got[str(i)] == (al, dis), (i, b, got[str(i)], (al, dis))
+
+
+def test_kmeans_integer_reference(spark, tmp_path):
+    """kmeans_fit reproduces a pure-Python implementation of the same
+    integer Lloyd schedule EXACTLY (int equality on every centroid
+    component), separates three planted groups, and an unmatched
+    init centroid (K > natural clusters) keeps its previous position
+    instead of degenerating."""
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textextract_spark.operators.learned import (
+        KMEANS_SCALE, _assign, kmeans_fit)
+
+    groups = [[0.9, 0.1, 0.0, 0.0], [0.0, 0.9, 0.1, 0.0],
+              [0.0, 0.0, 0.1, 0.9]]
+    vecs = []
+    for i in range(30):
+        g = groups[i % 3]
+        vecs.append([c + 0.01 * ((i * 7 + d) % 5 - 2)
+                     for d, c in enumerate(g)])
+    # vec 30: an outlier that seeds centroid 3 and keeps it non-empty
+    vecs.append([5.0, 5.0, 5.0, 5.0])
+    tbl = pa.table({
+        "vec_id": pa.array(range(31), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(31)], pa.int32())})
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    K, ITERS = 4, 3
+    cents, qv = kmeans_fit(spark, str(d), k=K, n_iter=ITERS)
+
+    def away(x):
+        return (_math.floor(x + 0.5) if x >= 0
+                else _math.ceil(x - 0.5))
+
+    import numpy as np
+    f32 = [list(np.array(v, dtype=np.float32)) for v in vecs]
+    q = [[away(float(x) * KMEANS_SCALE) for x in v] for v in f32]
+    ref = {kk: list(q[kk]) for kk in range(K)}
+    for _ in range(ITERS):
+        assign = {}
+        for vid, vq in enumerate(q):
+            dists = [(sum((a - b) ** 2 for a, b in zip(vq, ref[kk])),
+                      kk) for kk in range(K)]
+            assign[vid] = min(dists)[1]
+        for kk in range(K):
+            members = [q[v] for v, a in assign.items() if a == kk]
+            if members:
+                ref[kk] = [away(sum(col) / len(members))
+                           for col in zip(*members)]
+    assert cents == ref  # exact integer equality, every component
+
+    got = {r["vec_id"]: r["__k"]
+           for r in _assign(qv, cents).select("vec_id", "__k").collect()}
+    # the three planted groups land in three distinct clusters
+    c_of_group = [got[0], got[1], got[2]]
+    assert len(set(c_of_group)) == 3
+    for i in range(30):
+        assert got[i] == c_of_group[i % 3], i
+    # the outlier sits alone in the fourth cluster
+    assert got[30] not in c_of_group

@@ -325,3 +325,112 @@ def lr_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_docs", "n_pos", "tp", "fp", "fn", "tn",
                     F.round((F.col("tp") + F.col("tn"))
                             / F.col("n_docs"), 4).alias("accuracy")))
+
+
+# -- bit-exact distributed k-means (topic clustering) ------------------------
+# Clustering for data balancing / SemDeDup-style semantic bucketing,
+# run as the third iterated-algorithm shape in this repo (PageRank =
+# join-shaped state, LR = driver-held model, k-means = driver-held
+# centroids with per-round sum/count aggregation — Lloyd's algorithm
+# exactly as MLlib's KMeans executes it). EVERYTHING is exact int64:
+# vectors are quantized once to micro-units, distances are integer
+# squared-L2 (max |q| ~ 2.5e6, 64 dims -> < 1e15, no overflow), and
+# centroid updates are integer sums with one away-from-zero rounding
+# per component — the schedule is bit-identical in the DuckDB twin,
+# with NO floating-point anywhere in assignment or inertia.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+
+
+def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embedding components in exact micro-units. The
+    float32 -> double promotion is exact and identical in both engines,
+    so the quantization is portable."""
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", F.expr(
+                f"transform(embedding, x -> CAST(round("
+                f"CAST(x AS DOUBLE) * {KMEANS_SCALE}, 0) AS BIGINT))")
+                .alias("q")))
+
+
+def _dist_expr(cent: list[int]) -> str:
+    """Exact integer squared-L2 distance of column q to a literal
+    centroid."""
+    lits = ", ".join(f"CAST({v} AS BIGINT)" for v in cent)
+    return (f"aggregate(zip_with(q, array({lits}),"
+            f" (a, b) -> (a - b) * (a - b)),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+
+def _assign(qv: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Adds __k = argmin over centroids of the exact integer distance
+    (ties -> smallest centroid id) and __d = that distance."""
+    dists = F.array(*[F.expr(_dist_expr(cents[k]))
+                      for k in sorted(cents)])
+    return (qv.withColumn("__dists", dists)
+            .withColumn("__d", F.array_min("__dists"))
+            .withColumn("__k", (F.array_position(
+                F.col("__dists"), F.col("__d")) - 1).cast("int"))
+            .drop("__dists"))
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
+               n_iter: int = KMEANS_ITERS):
+    """Lloyd's k-means in exact integer arithmetic: deterministic init
+    (the first k vectors by vec_id), then per round ONE aggregation job
+    — posexplode to (cluster, dim, value), map-side-combinable sums,
+    and a collect of k*dims quantized components (model state, the
+    MLlib shape) — with empty clusters keeping their previous centroid.
+    Returns (centroids dict, qv DataFrame)."""
+    qv = _quantized_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    init = {int(r["vec_id"]): list(r["q"])
+            for r in qv.filter(F.col("vec_id") < k).collect()}
+    cents = {kk: init[kk] for kk in range(k)}
+    for _ in range(n_iter):
+        upd = (_assign(qv, cents)
+               .select("__k", F.posexplode("q").alias("__dim", "__v"))
+               .groupBy("__k", "__dim")
+               .agg(F.round(F.sum("__v").cast("double")
+                            / F.count("*"), 0)
+                     .cast("long").alias("__c"))
+               .collect())
+        new = {}
+        for r in upd:
+            new.setdefault(r["__k"], [0] * len(cents[0]))[r["__dim"]] \
+                = r["__c"]
+        cents = {kk: new.get(kk, cents[kk]) for kk in range(k)}
+    return cents, qv
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: per-cluster report after KMEANS_ITERS exact-integer
+    Lloyd rounds — member count, representative (min vec_id), total
+    inertia (exact int64 sum of squared distances), and a centroid
+    checksum (sum of quantized components). Every value is an integer,
+    so the DuckDB twin matches bit for bit."""
+    cents, qv = kmeans_fit(spark, sf_dir)
+    a = _assign(qv, cents)
+    stats = (a.groupBy("__k")
+             .agg(F.count("*").alias("n_vecs"),
+                  F.min("vec_id").alias("rep_vec_id"),
+                  F.sum("__d").alias("inertia")))
+    spark_cents = spark.createDataFrame(
+        [(kk, sum(v)) for kk, v in sorted(cents.items())],
+        "cluster int, centroid_checksum long")
+    return (spark_cents
+            .join(stats.withColumnRenamed("__k", "cluster"),
+                  "cluster", "left")
+            .select("cluster",
+                    F.coalesce("n_vecs", F.lit(0).cast("long"))
+                     .alias("n_vecs"),
+                    F.coalesce("rep_vec_id", F.lit(-1).cast("long"))
+                     .alias("rep_vec_id"),
+                    F.coalesce("inertia", F.lit(0).cast("long"))
+                     .alias("inertia"),
+                    "centroid_checksum")
+            .orderBy("cluster"))
+
+
+KMEANS_DIMS = 64  # embeddings.parquet vector width (TESTDATA.md)

@@ -2239,3 +2239,80 @@ ORACLES["crawl_diff"] = """
         FROM old FULL OUTER JOIN new ON old.url = new.url
         ORDER BY url
     """
+
+
+def _kmeans_clusters_oracle() -> str:
+    """GENERATED from learned's k-means constants (twin of
+    learned.kmeans_clusters): the same micro-unit quantization, the
+    same deterministic init (first K vectors), KMEANS_ITERS unrolled
+    Lloyd rounds with exact integer distances and one away-from-zero
+    rounding per centroid component, empty clusters keeping their
+    previous centroid. Every output value is an integer."""
+    from .learned import KMEANS_DIMS, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    K, S, D = KMEANS_K, KMEANS_SCALE, KMEANS_DIMS
+    dist = (f"list_sum(list_transform(range(1, {D + 1}),"
+            f" i -> (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)])"
+            f" * (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)])))")
+    parts = [f"""
+        qv AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(
+                       CAST(x AS DOUBLE) * {S}) AS BIGINT)) AS q
+            FROM embeddings),
+        c_0 AS MATERIALIZED (
+            SELECT CAST(vec_id AS INT) AS k, q FROM qv
+            WHERE vec_id < {K})"""]
+    for it in range(1, KMEANS_ITERS + 1):
+        j = it - 1
+        parts.append(f"""
+        d_{it} AS (
+            SELECT v.vec_id, c.k, {dist} AS dist
+            FROM qv v CROSS JOIN c_{j} c),
+        a_{it} AS MATERIALIZED (
+            SELECT vec_id, k FROM (
+                SELECT vec_id, k,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, k) AS rn
+                FROM d_{it}) WHERE rn = 1),
+        s_{it} AS (
+            SELECT a.k, CAST(u.i AS INT) AS dim,
+                   CAST(round(CAST(sum(v.q[CAST(u.i AS INT)])
+                                   AS DOUBLE) / count(*)) AS BIGINT)
+                       AS c
+            FROM a_{it} a JOIN qv v ON a.vec_id = v.vec_id,
+                 LATERAL unnest(range(1, {D + 1})) AS u(i)
+            GROUP BY a.k, u.i),
+        n_{it} AS (
+            SELECT k, list(c ORDER BY dim) AS q
+            FROM s_{it} GROUP BY k),
+        c_{it} AS MATERIALIZED (
+            SELECT c.k, COALESCE(n.q, c.q) AS q
+            FROM c_{j} c LEFT JOIN n_{it} n ON c.k = n.k)""")
+    KF = KMEANS_ITERS
+    return f"""
+        WITH {','.join(parts)},
+        d_f AS (
+            SELECT v.vec_id, c.k, {dist} AS dist
+            FROM qv v CROSS JOIN c_{KF} c),
+        a_f AS (
+            SELECT vec_id, k, dist FROM (
+                SELECT vec_id, k, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, k) AS rn
+                FROM d_f) WHERE rn = 1),
+        st AS (
+            SELECT k, count(*) AS n_vecs, min(vec_id) AS rep,
+                   sum(dist) AS inertia
+            FROM a_f GROUP BY k)
+        SELECT c.k AS cluster,
+               CAST(COALESCE(st.n_vecs, 0) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(st.rep, -1) AS BIGINT) AS rep_vec_id,
+               CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia,
+               CAST(list_sum(c.q) AS BIGINT) AS centroid_checksum
+        FROM c_{KF} c LEFT JOIN st ON c.k = st.k
+        ORDER BY cluster
+    """
+
+
+ORACLES["kmeans_clusters"] = _kmeans_clusters_oracle()
