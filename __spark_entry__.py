@@ -436,7 +436,7 @@ _DRIVER_PRIORITY = [
     "host_cap", "url_blocklist", "span_dedup_stats", "split_report",
     "chunk_docs", "bigram_pmi", "bm25_topk", "tfidf_keywords",
     "dsir_sample", "lr_train_weights", "lr_train_eval",
-    "kmeans_clusters",
+    "kmeans_clusters", "cluster_balanced_sample",
     "link_graph", "host_pagerank", "anchor_terms", "crawl_diff",
     "robots_verdicts",
 ]
@@ -538,6 +538,10 @@ def _queries_by_section() -> dict[
         "kmeans_clusters": learned.kmeans_clusters,         # oracled:
         #   bit-exact integer Lloyd k-means over the embeddings table
         #   (topic clustering); every output value an exact int64
+        "cluster_balanced_sample": learned.cluster_balanced_sample,
+        # oracled: DataComp-style cluster-balanced downsampling —
+        #   deterministic md5-threshold rates toward a per-cluster
+        #   target, composed on the shared k-means fit
         "span_dedup_stats": textdata.span_dedup_stats,      # oracled:
         #   fixed-width duplicated-span stats (Lee et al. shape) with
         #   planted whole-doc copies + boilerplate tails, full twin

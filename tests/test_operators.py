@@ -1843,3 +1843,22 @@ def test_kmeans_integer_reference(spark, tmp_path):
         assert got[i] == c_of_group[i % 3], i
     # the outlier sits alone in the fourth cluster
     assert got[30] not in c_of_group
+
+
+def test_cluster_balanced_sample_rates(spark):
+    """The balancing rule itself: rate256 = min(256, floor(256*T/n)) —
+    a cluster at-or-under target keeps everything (rate 256), a 4x
+    oversized cluster gets ~a quarter, and n_kept <= n_vecs with the
+    kept set determined solely by md5(vec_id)."""
+    from textextract_spark.operators.learned import (
+        BALANCE_TARGET, cluster_balanced_sample)
+
+    out = {r.cluster: r for r in cluster_balanced_sample(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert out  # at least one cluster
+    for r in out.values():
+        expect_rate = min(256, (256 * BALANCE_TARGET) // r.n_vecs)
+        assert r.rate256 == expect_rate, r
+        assert 0 <= r.n_kept <= r.n_vecs
+        if r.n_vecs <= BALANCE_TARGET:
+            assert r.rate256 == 256 and r.n_kept == r.n_vecs

@@ -410,7 +410,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia (exact int64 sum of squared distances), and a centroid
     checksum (sum of quantized components). Every value is an integer,
     so the DuckDB twin matches bit for bit."""
-    cents, qv = kmeans_fit(spark, sf_dir)
+    cents, qv = _fitted_kmeans(spark, sf_dir)
     a = _assign(qv, cents)
     stats = (a.groupBy("__k")
              .agg(F.count("*").alias("n_vecs"),
@@ -434,3 +434,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_DIMS = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+# Fitted-centroid memo (the _MODEL_CACHE pattern): kmeans_clusters and
+# cluster_balanced_sample share one fit per (application, table state).
+_KMEANS_CACHE: dict[tuple, tuple] = {}
+_KMEANS_CACHE_MAX = 8
+
+
+def _fitted_kmeans(spark: SparkSession, sf_dir: str):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (spark.sparkContext.applicationId, sf_dir,
+           st.st_mtime_ns, st.st_size)
+    got = _KMEANS_CACHE.get(key)
+    if got is None:
+        got = kmeans_fit(spark, sf_dir)
+        if len(_KMEANS_CACHE) >= _KMEANS_CACHE_MAX:
+            _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))
+        _KMEANS_CACHE[key] = got
+    return got
+
+
+BALANCE_TARGET = 40  # per-cluster kept-vector target
+
+
+def cluster_balanced_sample(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Driver row: cluster-balanced downsampling — the DataComp /
+    SemDeDup-style step that stops a few dominant semantic clusters
+    from flooding the training mix. Each k-means cluster is sampled
+    toward BALANCE_TARGET members with the repo's deterministic
+    md5-threshold rule: rate256_k = min(256, floor(256 * target /
+    n_k)) and a vector survives iff its md5 bucket < rate256 — big
+    clusters get cut hard, clusters at-or-under target keep everything,
+    and reruns keep identical vectors (no rand()).
+
+    Scale shape: assignment is the stateless literal-centroid map, the
+    per-cluster sizes are one map-side-combinable agg broadcast back as
+    a 256-ths rate, and the keep filter is stateless — nothing beyond
+    the k-sized rate table ever sits on the driver. Every output value
+    is an exact integer (twin matches bit for bit).
+    """
+    cents, qv = _fitted_kmeans(spark, sf_dir)
+    a = _assign(qv, cents).select("vec_id", "__k")
+    sizes = a.groupBy("__k").agg(F.count("*").alias("__n"))
+    rate = F.least(
+        F.lit(256),
+        F.floor(256.0 * BALANCE_TARGET / F.col("__n"))).cast("int")
+    keep = _md5_bucket("vec_id") < F.col("__rate")
+    return (a.join(F.broadcast(sizes.select(
+                "__k", F.col("__n"), rate.alias("__rate"))), "__k")
+            .select(F.col("__k").alias("cluster"), "__n", "__rate",
+                    keep.cast("long").alias("__keep"))
+            .groupBy("cluster")
+            .agg(F.first("__n").alias("n_vecs"),
+                 F.first("__rate").alias("rate256"),
+                 F.sum("__keep").alias("n_kept"))
+            .orderBy("cluster"))

@@ -2241,13 +2241,14 @@ ORACLES["crawl_diff"] = """
     """
 
 
-def _kmeans_clusters_oracle() -> str:
-    """GENERATED from learned's k-means constants (twin of
-    learned.kmeans_clusters): the same micro-unit quantization, the
-    same deterministic init (first K vectors), KMEANS_ITERS unrolled
-    Lloyd rounds with exact integer distances and one away-from-zero
-    rounding per centroid component, empty clusters keeping their
-    previous centroid. Every output value is an integer."""
+def _kmeans_cte_chain() -> tuple[str, int]:
+    """Shared unrolled Lloyd chain (twin of learned.kmeans_fit +
+    final assignment): micro-unit quantization, deterministic init
+    (first K vectors), KMEANS_ITERS rounds with exact integer
+    distances and one away-from-zero rounding per centroid component,
+    empty clusters keeping their previous centroid; ends with the
+    final assignment a_f(vec_id, k, dist). Returns (chain_sql,
+    final_iter)."""
     from .learned import KMEANS_DIMS, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
 
     K, S, D = KMEANS_K, KMEANS_SCALE, KMEANS_DIMS
@@ -2290,17 +2291,24 @@ def _kmeans_clusters_oracle() -> str:
             SELECT c.k, COALESCE(n.q, c.q) AS q
             FROM c_{j} c LEFT JOIN n_{it} n ON c.k = n.k)""")
     KF = KMEANS_ITERS
-    return f"""
-        WITH {','.join(parts)},
+    chain = f"""{','.join(parts)},
         d_f AS (
             SELECT v.vec_id, c.k, {dist} AS dist
             FROM qv v CROSS JOIN c_{KF} c),
-        a_f AS (
+        a_f AS MATERIALIZED (
             SELECT vec_id, k, dist FROM (
                 SELECT vec_id, k, dist,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, k) AS rn
-                FROM d_f) WHERE rn = 1),
+                FROM d_f) WHERE rn = 1)"""
+    return chain, KF
+
+
+def _kmeans_clusters_oracle() -> str:
+    """Twin of learned.kmeans_clusters (see _kmeans_cte_chain)."""
+    chain, KF = _kmeans_cte_chain()
+    return f"""
+        WITH {chain},
         st AS (
             SELECT k, count(*) AS n_vecs, min(vec_id) AS rep,
                    sum(dist) AS inertia
@@ -2316,3 +2324,36 @@ def _kmeans_clusters_oracle() -> str:
 
 
 ORACLES["kmeans_clusters"] = _kmeans_clusters_oracle()
+
+
+def _balanced_sample_oracle() -> str:
+    """GENERATED twin of learned.cluster_balanced_sample: the shared
+    Lloyd chain's final assignment + the repo's md5 hash-threshold
+    sampling at rate256 = min(256, floor(256*target/n)). All-integer
+    output."""
+    from .learned import BALANCE_TARGET
+
+    chain, _ = _kmeans_cte_chain()
+    b = ("(instr('0123456789abcdef',"
+         " substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+         " + (instr('0123456789abcdef',"
+         " substr(md5(CAST(a.vec_id AS VARCHAR)), 2, 1)) - 1)")
+    return f"""
+        WITH {chain},
+        sizes AS (
+            SELECT k, count(*) AS n,
+                   CAST(least(256, floor(256.0 * {BALANCE_TARGET} / n))
+                        AS INT) AS rate256
+            FROM a_f GROUP BY k)
+        SELECT a.k AS cluster,
+               CAST(r.n AS BIGINT) AS n_vecs,
+               r.rate256,
+               CAST(sum(CASE WHEN {b} < r.rate256 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM a_f a JOIN sizes r ON a.k = r.k
+        GROUP BY a.k, r.n, r.rate256
+        ORDER BY cluster
+    """
+
+
+ORACLES["cluster_balanced_sample"] = _balanced_sample_oracle()
