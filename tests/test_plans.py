@@ -369,3 +369,16 @@ def test_robots_verdict_broadcasts_rules_no_frontier_shuffle(spark, sf_dir):
     # no hash shuffle anywhere: the only exchanges are the broadcast
     # of the 11-row rules table and the final orderBy's range partition
     assert "hashpartitioning" not in p
+
+
+def test_kmeans_assignment_rides_closure_no_centroid_join(spark, sf_dir):
+    """k-means assignment scores against LITERAL centroid arrays (the
+    driver-held model re-broadcast per round) — no join against a
+    centroid table, no window; the per-round gradient aggregation is
+    the only exchange."""
+    from textextract_spark.operators import learned
+    cents, qv = learned._fitted_kmeans(spark, sf_dir)
+    a = learned._assign(qv, cents)
+    p = _plan(spark, a, "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "Exchange" not in p  # stateless narrow map over the vectors
