@@ -437,7 +437,8 @@ _DRIVER_PRIORITY = [
     "chunk_docs", "bigram_pmi", "bm25_topk", "tfidf_keywords",
     "dsir_sample", "lr_train_weights", "lr_train_eval",
     "kmeans_clusters", "cluster_balanced_sample",
-    "link_graph", "host_pagerank", "anchor_terms", "crawl_diff",
+    "link_graph", "host_pagerank", "host_degree_stats",
+    "anchor_terms", "crawl_diff",
     "robots_verdicts",
 ]
 
@@ -562,6 +563,9 @@ def _queries_by_section() -> dict[
         #   pages, full edge-list twin in SQL
         "host_pagerank": urls.host_pagerank,                # oracled:
         #   3-iteration PageRank over the host graph, unrolled-CTE twin
+        "host_degree_stats": urls.host_degree_stats,        # oracled:
+        #   per-host in/out degree + link totals (frontier signal),
+        #   full-outer twin in SQL
         "anchor_terms": urls.anchor_terms,                  # oracled:
         #   per-target-host inbound anchor-text top-k profile (the
         #   off-page relevance signal), row_number twin in SQL

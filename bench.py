@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "crawl_diff",
     "link_graph",
     "host_pagerank",
+    "host_degree_stats",
     "minhash_neardup",
     "simhash_neardup",
     "ngram_jaccard_pairs",

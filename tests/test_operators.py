@@ -1862,3 +1862,21 @@ def test_cluster_balanced_sample_rates(spark):
         assert 0 <= r.n_kept <= r.n_vecs
         if r.n_vecs <= BALANCE_TARGET:
             assert r.rate256 == 256 and r.n_kept == r.n_vecs
+
+
+def test_host_degrees_hand_graph(spark):
+    """Degree summary on a hand graph: pure sources, pure sinks, and a
+    both-sides host all appear with exact counts."""
+    from textextract_spark.operators.urls import host_degrees
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3, 1), ("a", "c", 1, 1), ("b", "c", 2, 1)],
+        "src_host string, dst_host string, n_links long,"
+        " n_src_pages long")
+    got = {r.host: r for r in host_degrees(edges).collect()}
+    assert (got["a"].out_degree, got["a"].in_degree,
+            got["a"].n_out_links, got["a"].n_in_links) == (2, 0, 4, 0)
+    assert (got["b"].out_degree, got["b"].in_degree,
+            got["b"].n_out_links, got["b"].n_in_links) == (1, 1, 2, 3)
+    assert (got["c"].out_degree, got["c"].in_degree) == (0, 2)
+    assert got["c"].n_in_links == 3

@@ -2357,3 +2357,23 @@ def _balanced_sample_oracle() -> str:
 
 
 ORACLES["cluster_balanced_sample"] = _balanced_sample_oracle()
+
+
+ORACLES["host_degree_stats"] = f"""
+        WITH {_LINKED_PAGES_CTE},
+        outd AS (
+            SELECT src_host AS host, count(*) AS out_degree,
+                   sum(n_links) AS n_out_links
+            FROM edges GROUP BY src_host),
+        ind AS (
+            SELECT dst_host AS host, count(*) AS in_degree,
+                   sum(n_links) AS n_in_links
+            FROM edges GROUP BY dst_host)
+        SELECT COALESCE(o.host, i.host) AS host,
+               CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+               CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+               CAST(COALESCE(n_out_links, 0) AS BIGINT) AS n_out_links,
+               CAST(COALESCE(n_in_links, 0) AS BIGINT) AS n_in_links
+        FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+        ORDER BY host
+    """

@@ -640,3 +640,31 @@ def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.md5(F.concat(F.lit("new:"), F.col("text")))
                            .alias("digest")))
     return snapshot_diff(old, base_new.unionAll(discovered))
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree summary of the host graph — the frontier-
+    prioritization signal next to PageRank: distinct out/in neighbor
+    counts and total out/in link counts, one row per host appearing on
+    either side. Two map-side-combinable aggs + one payload-free full
+    outer join on the host key; degree values are exact integers."""
+    out_d = (edges.groupBy(F.col("src_host").alias("host"))
+             .agg(F.count("*").alias("out_degree"),
+                  F.sum("n_links").alias("n_out_links")))
+    in_d = (edges.groupBy(F.col("dst_host").alias("host"))
+            .agg(F.count("*").alias("in_degree"),
+                 F.sum("n_links").alias("n_in_links")))
+    zero = F.lit(0).cast("long")
+    return (out_d.join(in_d, "host", "full_outer")
+            .select("host",
+                    F.coalesce("out_degree", zero).alias("out_degree"),
+                    F.coalesce("in_degree", zero).alias("in_degree"),
+                    F.coalesce("n_out_links", zero).alias("n_out_links"),
+                    F.coalesce("n_in_links", zero).alias("n_in_links"))
+            .orderBy("host"))
+
+
+def host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: degree summary over the planted-link host graph
+    (same corpus as link_graph / host_pagerank)."""
+    return host_degrees(host_link_graph(_linked_pages(spark, sf_dir)))
