@@ -12,13 +12,25 @@ collect cost, no output I/O cost).
 Steal self-description (r5): this box has documented multi-minute
 co-tenant CPU-steal bursts (0-40%); a bench captured inside one records
 the box, not the code (the r4 driver artifact did exactly that — see
-BENCH/NOTES_r04.md). Every emitted JSON now carries its own control:
-`control` holds the flagship extract_corpus samples taken before/after
-the suite plus the documented quiet-window reference, `steal_factor` =
-best control sample / reference, and `queries_normalized` divides each
-raw timing by that factor. Raw timings stay canonical; the normalized
-block makes a burst-polluted artifact self-describing instead of
-needing a hand re-derivation.
+BENCH/NOTES_r04.md). Every emitted JSON carries its own control:
+`steal_factor` = best flagship control sample / the quiet-window
+reference. Raw timings stay canonical.
+
+Line-size contract (r6, VERDICT r5 "what's wrong #2"): the driver tails
+stdout with a ~2.2 KB buffer, and the r5 line (control sample arrays +
+a full queries_normalized block) outgrew it — BENCH_r05.json recorded
+`parsed: null`. The driver-facing line now stays under 2 KB: timings
+rounded to 2 dp, and the control samples + normalized block + run
+config live in the BENCH/control_r.json sidecar instead
+(`control_sidecar` in the line names the file). A guard asserts the
+emitted line is < 2000 bytes so a future key can't silently regrow it.
+
+steal_factor config guard (r5 ADVICE #3): the hard-coded 3.4 s control
+reference is only valid at the canonical config (sf0.1, 20000 docs,
+32 cores). At any other config without SPARK_GRAFT_CONTROL_REF the
+factor is meaningless, so it is emitted as null; and it is clamped to
+>= 1.0 — on a faster-than-reference machine normalization must not
+inflate timings above raw.
 """
 
 from __future__ import annotations
@@ -199,11 +211,22 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
 
     # quiet-window steady-state reference for the flagship control at the
     # canonical config (sf0.1, 20k docs, 32 cores): measured 3.16-3.47 s
-    # across r3-r5 quiet sessions. Overridable when the config differs.
-    control_ref = float(os.environ.get("SPARK_GRAFT_CONTROL_REF", "3.4"))
-    steal_factor = round(extract_sec / control_ref, 3)
+    # across r3-r5 quiet sessions. Only valid AT that config; elsewhere
+    # it must come from SPARK_GRAFT_CONTROL_REF or steal_factor is null.
+    canonical = (sf_dir.rstrip("/").endswith("sf0.1")
+                 and n_docs == 20000 and cores == "32")
+    ref_env = os.environ.get("SPARK_GRAFT_CONTROL_REF")
+    if ref_env is not None:
+        control_ref: float | None = float(ref_env)
+    elif canonical:
+        control_ref = 3.4
+    else:
+        control_ref = None
+    steal_factor = (max(1.0, round(extract_sec / control_ref, 3))
+                    if control_ref else None)
     total = round(sum(timings.values()), 3)
-    return {
+    timings = {k: round(v, 2) for k, v in timings.items()}
+    result = {
         "metric": "headline_queries_plus_extraction_total",
         "value": total,
         "unit": "sec",
@@ -212,26 +235,47 @@ def run_bench(sf_dir: str, cores: str, n_docs: int,
         "extract_docs": n_urls,
         "extract_docs_per_sec": round(n_urls / extract_sec, 1),
         "cores": cores,
+        "steal_factor": steal_factor,
+        "control_sidecar": "BENCH/control_r.json",
+    }
+    # full control detail + the normalized block go to the sidecar so the
+    # driver-facing line stays parseable (see module docstring)
+    sidecar = {
         "control": {
             "query": "extract_corpus",
             "samples_sec": [round(s, 3) for s in control_samples],
             "reference_sec": control_ref,
+            "config": {"sf": sf_dir, "n_docs": n_docs, "cores": cores,
+                       "canonical": canonical},
         },
         "steal_factor": steal_factor,
         # raw / steal_factor: what the same code measures in a quiet
         # window, assuming the burst scales all queries alike (NOTES_r04
         # validated that assumption within ~10% across the suite)
-        "queries_normalized": {
-            k: round(v / max(steal_factor, 1e-9), 3)
-            for k, v in timings.items()},
+        "queries_normalized": (
+            {k: round(v / steal_factor, 3) for k, v in timings.items()}
+            if steal_factor else None),
     }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), result["control_sidecar"])
+    try:
+        os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; the canonical line must still print
+    return result
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-    print(json.dumps(run_bench(sf_dir, cores, n_docs)))
+    line = json.dumps(run_bench(sf_dir, cores, n_docs))
+    # hard guard on the driver's stdout tail buffer (~2.2 KB): a line
+    # this size parses; anything bigger risks another parsed:null round
+    assert len(line) < 2000, f"bench line too long: {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":
