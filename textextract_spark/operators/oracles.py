@@ -1431,10 +1431,11 @@ ORACLES["pii_scrub"] = _pii_scrub_oracle()
 
 
 def _span_dedup_oracle() -> str:
-    """GENERATED from textdata's SPAN_K/SPAN_STRIDE/LINE_PACK (twin of
+    """GENERATED from textdata's SPAN_K/SPAN_STRIDE (twin of
     span_dedup_stats): same planted copies/boilerplate tails, same
-    stride windows, same packed winner key."""
-    from .textdata import LINE_PACK, SPAN_K as K, SPAN_STRIDE as S
+    stride windows, same two-field lexicographic (doc_id, off) winner
+    (DuckDB ROW min == Spark struct min)."""
+    from .textdata import SPAN_K as K, SPAN_STRIDE as S
 
     boiler = (" this website uses cookies to improve your experience"
               " and by continuing you accept our terms and conditions"
@@ -1459,11 +1460,11 @@ def _span_dedup_oracle() -> str:
             WHERE length(text) >= {K}),
         st AS (
             SELECT h, count(*) AS c,
-                   min(doc_id * {LINE_PACK} + off) AS win
+                   min(ROW(doc_id, off)) AS win
             FROM w GROUP BY h),
         f AS (
             SELECT w.doc_id,
-                   (st.c > 1 AND w.doc_id * {LINE_PACK} + w.off <> st.win)
+                   (st.c > 1 AND ROW(w.doc_id, w.off) <> st.win)
                        AS dup
             FROM w JOIN st USING (h)),
         agg AS (
