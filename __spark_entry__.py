@@ -292,11 +292,15 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text"))
     eligible = (F.length(F.trim("text")) > 0) & ~sketch._is_spaceless(
         F.trim(F.lower(F.col("text"))))
+    # plant ids live in the NEGATIVE range (-100000 - doc_id): provably
+    # disjoint from any non-negative corpus id at every sf (r5 ADVICE #1
+    # — a fixed positive offset collides once a corpus passes ~100k
+    # docs). Pairs order a_id < b_id, so the plant is always the a side.
     plants = (docs.filter((F.col("doc_id") < 10) & eligible)
-              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+              .select((-F.col("doc_id") - 100000).alias("doc_id"), "text"))
     sh = sketch.with_simhash(docs.unionByName(plants))
     found = (sketch.simhash_pairs(sh, max_hamming=0)
-             .filter((F.col("a_id") < 100000) & (F.col("b_id") >= 100000)))
+             .filter((F.col("a_id") < 0) & (F.col("b_id") >= 0)))
     toks = docs.select(
         "doc_id",
         F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
@@ -313,9 +317,9 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     symdiff = F.size(sa) + F.size(sb) - 2 * overlap
     return (found
             .join(toks.alias("ta"),
-                  found.a_id == F.col("ta.doc_id"))
+                  found.b_id == F.col("ta.doc_id"))
             .join(toks.alias("tb"),
-                  found.b_id - 100000 == F.col("tb.doc_id"))
+                  -found.a_id - 100000 == F.col("tb.doc_id"))
             .filter((symdiff == 0) | (symdiff > GRAY_K))
             .select("a_id", "b_id", "hamming")
             .orderBy("a_id", "b_id"))
@@ -330,7 +334,8 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. The quality gate is textdata.quality_label (the column
     expression quality_score also runs); the twin reconstructs every
     decision AND the
-    byte-exact curated text in SQL. Planted copies (doc_id+100000) make
+    byte-exact curated text in SQL. Planted copies (negative-range ids
+    -100000 - doc_id, disjoint from any corpus id at every sf) make
     the dedup stage non-vacuous: each clean doc 0-9 appears twice and
     exactly one occurrence may be decision='keep'.
 
@@ -342,7 +347,7 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text", "lang"))
     plants = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+        (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
     both = docs.unionByName(plants)
     pages = both.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
@@ -387,8 +392,10 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-url cluster keeper) -> one decision per url, via
     pipeline.curation_decisions_neardup — the SAME function the product
     ``--curate`` path now commits. Two plant families make both dedup
-    stages non-vacuous: doc_id+100000 exact copies (docs 0-9, caught by
-    stage 1) and doc_id+200000 near copies (docs 0-19, one appended
+    stages non-vacuous (negative-range plant ids, disjoint from any
+    corpus id at every sf): -100000 - doc_id exact copies (docs 0-9,
+    caught by stage 1) and -200000 - doc_id near copies (docs 0-19, one
+    appended
     word — jaccard (w-2)/(w-1) >= ~0.86, far above threshold AND high
     enough that 16-band LSH recall is exact for the oracle; the cluster
     keeper is the lexicographic min url, which for single-digit doc
@@ -401,9 +408,9 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text", "lang"))
     exact_plants = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+        (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
     near_plants = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (-F.col("doc_id") - 200000).alias("doc_id"),
         F.concat("text", F.lit(" postscriptum")).alias("text"), "lang")
     both = docs.unionByName(exact_plants).unionByName(near_plants)
     pages = both.select(

@@ -1057,8 +1057,8 @@ def test_char_lm_ppl_buckets_nonvacuous(spark):
     from textextract_spark.operators.textdata import char_lm_ppl
 
     df = char_lm_ppl(spark, "/root/testdata/sf0.001")
-    grp = (F.when(F.col("doc_id") < 1000000, "orig")
-           .when(F.col("doc_id") < 2000000, "halfrev")
+    grp = (F.when(F.col("doc_id") >= 0, "orig")
+           .when(F.col("doc_id") > -2000000, "halfrev")
            .otherwise("rev"))
     rows = (df.groupBy(grp.alias("g"), "ppl_bucket")
             .count().collect())

@@ -815,12 +815,14 @@ ORACLES: dict[str, str] = {
     # -- the curation journey (extract -> quality -> dedup -> decision):
     # composes the extract_docs chrome twin (extracted text = trim(text)),
     # the quality_score label CASE (same thresholds), and a min-url
-    # winner group; planted doc_id+100000 copies make dedup non-vacuous --
+    # winner group; planted copies (negative-range ids, disjoint from
+    # any corpus id) make dedup non-vacuous -------------------------------
     "curate_docs": """
         WITH all_docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+            SELECT - doc_id - 100000, text FROM documents
+            WHERE doc_id < 10),
         e AS (
             SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
                    trim(text) AS t,
@@ -867,15 +869,17 @@ ORACLES: dict[str, str] = {
     # >= 0.6 pair graph closed by recursive CTE, min-url cluster keeper.
     # Word shingles ONLY: the upstream no_spaces quality gate guarantees
     # every scored doc is space-segmented (see the operator docstring).
-    # Exact plants (+100000, docs 0-9) exercise stage 1; near plants
-    # (+200000, docs 0-19, one appended word) exercise stage 2 --------
+    # Exact plants (-100000 - doc_id, docs 0-9) exercise stage 1; near
+    # plants (-200000 - doc_id, docs 0-19, one appended word) exercise
+    # stage 2; negative-range ids stay disjoint from any corpus id ----
     "curate_neardup": r"""
         WITH RECURSIVE all_docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+            SELECT - doc_id - 100000, text FROM documents
+            WHERE doc_id < 10
             UNION ALL
-            SELECT doc_id + 200000, text || ' postscriptum'
+            SELECT - doc_id - 200000, text || ' postscriptum'
             FROM documents WHERE doc_id < 20),
         e AS (
             SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
@@ -1030,9 +1034,11 @@ ORACLES: dict[str, str] = {
             FROM flags
             WHERE NOT (len > 0 AND ws * 1.0 / len < 0.05)),
         plants AS (
-            SELECT doc_id + 100000 AS b_id, key FROM wordpath
+            -- negative-range plant ids (disjoint from any corpus id);
+            -- pairs order a_id < b_id so the plant is the a side
+            SELECT - doc_id - 100000 AS a_id, key FROM wordpath
             WHERE doc_id < 10 AND len > 0)
-        SELECT w.doc_id AS a_id, p.b_id AS b_id,
+        SELECT p.a_id AS a_id, w.doc_id AS b_id,
                CAST(0 AS INT) AS hamming
         FROM wordpath w JOIN plants p ON w.key = p.key
         ORDER BY a_id, b_id
@@ -1149,7 +1155,7 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000,
+            SELECT - vec_id - 100000,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> x * 1.0009765625)
             FROM embeddings WHERE vec_id < 10)
@@ -1168,7 +1174,7 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000,
+            SELECT - vec_id - 100000,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> x * 1.0009765625)
             FROM embeddings WHERE vec_id < 10),
@@ -1444,9 +1450,10 @@ def _span_dedup_oracle() -> str:
         WITH all_docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 300000, text FROM documents WHERE doc_id < 10
+            SELECT - doc_id - 300000, text FROM documents
+            WHERE doc_id < 10
             UNION ALL
-            SELECT doc_id + 400000, text || '{boiler}'
+            SELECT - doc_id - 400000, text || '{boiler}'
             FROM documents WHERE doc_id % 17 = 4),
         w AS (
             SELECT doc_id,
@@ -1599,14 +1606,14 @@ def _char_lm_ppl_oracle() -> str:
         WITH scoring AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 1000000,
+            SELECT - doc_id - 1000000,
                    substr(text, 1, CAST(floor(length(text) / 2) AS INT))
                    || reverse(substr(text,
                           CAST(floor(length(text) / 2) AS INT) + 1,
                           length(text)))
             FROM documents
             UNION ALL
-            SELECT doc_id + 2000000, reverse(text) FROM documents),
+            SELECT - doc_id - 2000000, reverse(text) FROM documents),
         d AS (
             SELECT doc_id, ' ' || lower(text) || ' ' AS pad
             FROM scoring WHERE length(text) > 0),

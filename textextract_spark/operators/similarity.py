@@ -202,8 +202,10 @@ def ann_lsh_planted(spark: SparkSession, sf_dir: str, dim: int = 64,
     """
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    # negative-range plant ids: disjoint from any corpus vec_id at
+    # every sf (a fixed positive offset collides past ~100k vectors)
     plants = (emb.filter(F.col("vec_id") < n_planted)
-              .select((F.col("vec_id") + 100000).alias("vec_id"),
+              .select((-F.col("vec_id") - 100000).alias("vec_id"),
                       F.transform("embedding",
                                   lambda x: x * F.lit(1.0009765625))
                        .alias("embedding")))

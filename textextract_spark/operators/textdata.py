@@ -970,18 +970,19 @@ def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K,
 
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for duplicated_span_stats: planted whole-doc copies
-    (doc_id+300000 of docs 0-9) and a shared boilerplate suffix
-    appended to every doc in residue class doc_id%17==4 (same
-    construction in the DuckDB twin) make both the whole-doc and the
-    partial-span duplication paths non-vacuous."""
+    (negative-range ids -300000 - doc_id of docs 0-9, disjoint from any
+    corpus id at every sf) and a shared boilerplate suffix appended to
+    every doc in residue class doc_id%17==4 (same construction in the
+    DuckDB twin) make both the whole-doc and the partial-span
+    duplication paths non-vacuous."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+        (-F.col("doc_id") - 300000).alias("doc_id"), "text")
     boiler = (" this website uses cookies to improve your experience"
               " and by continuing you accept our terms and conditions"
               " in full")
     tails = docs.filter(F.col("doc_id") % 17 == 4).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
+        (-F.col("doc_id") - 400000).alias("doc_id"),
         F.concat("text", F.lit(boiler)).alias("text"))
     return duplicated_span_stats(
         docs.unionByName(copies).unionByName(tails))
@@ -1269,12 +1270,13 @@ def char_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a script change), so scored as-is all docs land in one tight
     cluster and the bucket decision would be vacuous. The scoring set
     is therefore the corpus UNION two deterministic planted variants
-    (same construction in the DuckDB twin):
-      * doc_id+1000000: the second half of the text reversed in place —
-        half the bigrams stay natural, so the cross-entropy lands
-        midway (measured ppl ~30-70: the 'middle' band);
-      * doc_id+2000000: reverse(text) — real chars, wrong-order bigrams
-        throughout (measured ppl ~160-750: the 'tail' band).
+    (same construction in the DuckDB twin; plant ids in the negative
+    range, disjoint from any corpus id at every sf):
+      * -1000000 - doc_id: the second half of the text reversed in
+        place — half the bigrams stay natural, so the cross-entropy
+        lands midway (measured ppl ~30-70: the 'middle' band);
+      * -2000000 - doc_id: reverse(text) — real chars, wrong-order
+        bigrams throughout (measured ppl ~160-750: the 'tail' band).
     The fixed thresholds sit in the empty gaps BETWEEN the three
     measured clusters (orig <=6.8 | 20 | >=27 half-rev <=71 | 110 |
     >=161 rev at sf0.01), so every bucket is exercised and the decision
@@ -1284,11 +1286,11 @@ def char_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("text")
     half = F.floor(n / 2).cast("int")
     halfrev = base.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1000000).alias("doc_id"),
         F.concat(F.substring(F.col("text"), F.lit(1), half),
                  F.reverse(F.substring(F.col("text"), half + 1, n)))
          .alias("text"))
-    rev = base.select((F.col("doc_id") + 2000000).alias("doc_id"),
+    rev = base.select((-F.col("doc_id") - 2000000).alias("doc_id"),
                       F.reverse("text").alias("text"))
     scoring = (base.select("doc_id", "text")
                .unionByName(halfrev).unionByName(rev))
