@@ -1664,6 +1664,16 @@ def test_robots_parse_and_verdicts(spark):
          "Disallow: /tmp/\n\nUser-agent: other\nDisallow: /elsewhere\n"),
         ("b.example", "User-agent: *\nDisallow:\n"),
         ("c.example", "User-agent: badbot\nDisallow: /\n"),
+        # stacked header (badbot + * share a group) AND a second star
+        # group later: both merge into the star rule set (RFC 9309)
+        ("e.example",
+         "User-agent: badbot\nUser-agent: *\nDisallow: /private\n\n"
+         "User-agent: other\nDisallow: /x\n\n"
+         "User-agent: *\nDisallow: /tmp/\n"),
+        # wildcard + $ anchor rules
+        ("f.example",
+         "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\n"
+         "Allow: /tmp/ok*\n"),
     ], "host string, robots_txt string")
     rules = {r.host: r for r in parse_robots_star(robots).collect()}
     assert rules["a.example"].disallow_prefixes == ["/private", "/tmp/"]
@@ -1671,6 +1681,8 @@ def test_robots_parse_and_verdicts(spark):
     assert rules["b.example"].disallow_prefixes == []
     assert rules["c.example"].disallow_prefixes == []
     assert rules["c.example"].allow_prefixes == []
+    assert rules["e.example"].disallow_prefixes == ["/private", "/tmp/"]
+    assert rules["f.example"].disallow_prefixes == ["/*.pdf$", "/tmp/*"]
 
     urls = spark.createDataFrame([
         (0, "https://a.example/p/1"),          # no rule matches
@@ -1682,15 +1694,25 @@ def test_robots_parse_and_verdicts(spark):
         (6, "https://b.example/private/x"),    # empty Disallow -> allow
         (7, "https://c.example/anything"),     # no star group
         (8, "https://d.example/x"),            # no robots row at all
+        (9, "https://e.example/private/x"),    # stacked-header rule
+        (10, "https://e.example/tmp/z"),       # merged 2nd star group
+        (11, "https://f.example/doc.pdf"),     # $ anchor bites
+        (12, "https://f.example/doc.pdfx"),    # anchored -> no match
+        (13, "https://f.example/tmp/zz"),      # /tmp/* blocks
+        (14, "https://f.example/tmp/ok1"),     # allow 8 beats dis 6
     ], "doc_id long, url string")
     out = {r.doc_id: r for r in robots_allowed(
         urls, parse_robots_star(robots)).collect()}
-    assert [out[i].allowed for i in range(9)] == [
-        True, False, True, False, True, True, True, True, True]
+    assert [out[i].allowed for i in range(15)] == [
+        True, False, True, False, True, True, True, True, True,
+        False, False, False, True, False, True]
     assert out[1].best_disallow == 8 and out[1].best_allow == -1
     assert out[2].best_allow == 11 and out[2].best_disallow == 8
     assert out[5].path == "/"
     assert out[8].best_allow == -1 and out[8].best_disallow == -1
+    # pattern-length precedence counts the raw value incl. * and $
+    assert out[11].best_disallow == 7
+    assert out[14].best_allow == 8 and out[14].best_disallow == 6
 
 
 def test_inbound_anchor_terms(spark):
@@ -1750,17 +1772,21 @@ def test_snapshot_diff_statuses(spark):
 
 def test_robots_parse_fuzz_vs_reference(spark):
     """Seeded fuzz: 150 randomized robots.txt bodies (multiple agent
-    groups in random order, case-noise on directive names, blank lines,
-    comments, junk, empty values) parsed in ONE Spark job must match a
-    pure-Python reference implementing the same star-group-scoping
-    spec line for line."""
+    groups in random order, STACKED User-agent runs, case-noise on
+    directive names, blank lines, comments, junk, empty values,
+    wildcard/$ rule values) parsed in ONE Spark job must match a
+    pure-Python reference implementing the RFC 9309 group model line
+    for line: a header is a maximal consecutive User-agent run, a rule
+    is star-governed iff its governing run names '*', and all star
+    groups merge in line order."""
     import random
 
     from textextract_spark.operators.urls import parse_robots_star
 
     rng = random.Random(7)
     agents = ["*", "badbot", "goodbot", "Mozilla"]
-    paths = ["/", "/a", "/private", "/tmp/", "/deep/path/x", ""]
+    paths = ["/", "/a", "/private", "/tmp/", "/deep/path/x", "",
+             "/*.pdf$", "/x*y", "/end$"]
 
     def mk_line():
         r = rng.random()
@@ -1785,20 +1811,29 @@ def test_robots_parse_fuzz_vs_reference(spark):
 
     def ref(body):
         ls = [x.strip() for x in body.split("\n")]
-        ua = [i for i, x in enumerate(ls)
-              if x.lower().startswith("user-agent:")]
-        star = [i for i in ua if ls[i][11:].strip() == "*"]
-        if not star:
-            return [], []
-        s = star[0]
-        nxt = [i for i in ua if i > s]
-        e = nxt[0] if nxt else len(ls)
-        grp = ls[s + 1:e]
-        al = [x[6:].strip() for x in grp
-              if x.lower().startswith("allow:")]
-        dis = [x[9:].strip() for x in grp
-               if x.lower().startswith("disallow:")
-               and x[9:].strip() != ""]
+        ua = set(i for i, x in enumerate(ls)
+                 if x.lower().startswith("user-agent:"))
+        al, dis = [], []
+        for i, x in enumerate(ls):
+            low = x.lower()
+            is_al = low.startswith("allow:")
+            is_dis = low.startswith("disallow:")
+            if not (is_al or is_dis):
+                continue
+            prev = [u for u in ua if u < i]
+            if not prev:
+                continue
+            p = max(prev)          # last header line before the rule
+            r = p
+            while r - 1 in ua:     # walk to the run's first line
+                r -= 1
+            if not any(ls[u][11:].strip() == "*"
+                       for u in range(r, p + 1)):
+                continue
+            if is_al:
+                al.append(x[6:].strip())
+            elif x[9:].strip() != "":
+                dis.append(x[9:].strip())
         return al, dis
 
     robots = spark.createDataFrame(

@@ -96,8 +96,14 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
     target than the raw corpus". Zero-token docs get 0.0 (neutral),
     not dropped.
 
-    Per-bucket log ratios are rounded to 6 places (portability sync
-    point), as is the per-doc mean.
+    Per-bucket log ratios are quantized to int64 MICRO-UNITS
+    (round(lr * 1e6) as bigint — the lr_train pattern), so the per-doc
+    sum is exact integer addition and therefore order-independent:
+    summing round-6 doubles instead would re-expose the float
+    summation-order schedule this module's LR docstring measures as
+    flaky at the 1e-6 rounding boundary (r5 ADVICE #2). The per-doc
+    mean is the single float step, rounded to 6 places from identical
+    integer inputs on both engines.
     """
     base = docs.select("doc_id", target_pred.alias("__is_target"),
                        _words(F.col("text")).alias("__w"))
@@ -124,18 +130,20 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
                   ((F.coalesce("__pc", F.lit(0)) + 1.0)
                    / (F.col("__pt") + buckets))
                   / ((F.coalesce("__qc", F.lit(0)) + 1.0)
-                     / (F.col("__qt") + buckets))), 6).alias("__lr")))
+                     / (F.col("__qt") + buckets))
+                  ) * 1_000_000, 0).cast("long").alias("__lru")))
     per_doc = (toks.join(F.broadcast(ratios), "__b")
                .groupBy("doc_id")
                .agg(F.count("*").alias("__n_tok"),
-                    F.sum("__lr").alias("__sum_lr")))
+                    F.sum("__lru").alias("__sum_u")))
     return (docs.select("doc_id", "lang")
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "lang",
                     F.coalesce(F.col("__n_tok"), F.lit(0))
                      .alias("n_tokens"),
                     F.coalesce(
-                        F.round(F.col("__sum_lr") / F.col("__n_tok"), 6),
+                        F.round(F.col("__sum_u")
+                                / (F.col("__n_tok") * 1_000_000.0), 6),
                         F.lit(0.0)).alias("avg_log_ratio")))
 
 

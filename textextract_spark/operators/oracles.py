@@ -1923,20 +1923,23 @@ def _dsir_sample_oracle() -> str:
         qt AS (SELECT sum(qc) AS qt FROM q),
         pt AS (SELECT sum(pc) AS pt FROM p),
         ratios AS (
+            -- int64 micro-unit quantization: the per-doc sum is exact
+            -- integer addition, order-independent on both engines
             SELECT r.b,
-                   round(ln(((COALESCE(pc, 0) + 1.0) / (pt + {B}))
-                            / ((COALESCE(qc, 0) + 1.0) / (qt + {B}))),
-                         6) AS lr
+                   CAST(round(ln(((COALESCE(pc, 0) + 1.0) / (pt + {B}))
+                              / ((COALESCE(qc, 0) + 1.0) / (qt + {B})))
+                              * 1000000, 0) AS BIGINT) AS lru
             FROM (SELECT CAST(unnest(range(0, {B})) AS INT) AS b) r
             LEFT JOIN q ON r.b = q.b LEFT JOIN p ON r.b = p.b
             CROSS JOIN qt CROSS JOIN pt),
         perdoc AS (
-            SELECT doc_id, count(*) AS n_tok, sum(lr) AS sum_lr
+            SELECT doc_id, count(*) AS n_tok, sum(lru) AS sum_u
             FROM toks JOIN ratios ON toks.b = ratios.b
             GROUP BY doc_id),
         wts AS (
             SELECT d.doc_id, d.lang,
-                   COALESCE(round(sum_lr / n_tok, 6), 0.0) AS alr,
+                   COALESCE(round(sum_u / (n_tok * 1000000.0), 6), 0.0)
+                       AS alr,
                    (instr('0123456789abcdef',
                           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1))
                     - 1) * 16
@@ -2069,94 +2072,86 @@ ORACLES["lr_train_eval"] = _lr_train_eval_oracle()
 
 
 # robots.txt politeness twin (urls.robots_verdicts): same synthesized
-# frontier + per-host robots corpus, the same star-group line parse
-# (list ops mirroring Spark's array exprs), the same longest-prefix /
-# Allow-wins-ties verdict. Offsets: 'user-agent:' = 11 chars -> substr
-# 12; 'disallow:' = 9 -> substr 10; 'allow:' = 6 -> substr 7.
-ORACLES["robots_verdicts"] = """
-        WITH urls AS (
+# frontier; the star RULE SET per host class is re-derived in Python by
+# an independent parse-free enumeration of the five fixed bodies (the
+# class constructions are literals), with the rule->regex translation
+# re-implemented by _robots_rx below — so Spark's array-expr group
+# parse AND its in-plan regex translation are both checked against an
+# independent second implementation; the per-path longest-pattern /
+# Allow-wins-ties match runs in SQL over the frontier.
+
+
+def _robots_rx(v: str) -> str:
+    """Independent twin of urls._robots_rule_rx: anchored regex from a
+    robots rule value — escape regex metachars (backslash first),
+    '*' -> '.*', trailing '$' kept as the end anchor."""
+    anchor = v.endswith("$")
+    core = v[:-1] if anchor else v
+    for ch in "\\.^$+?()[]{}|":
+        core = core.replace(ch, "\\" + ch)
+    core = core.replace("*", ".*")
+    return "^" + core + ("$" if anchor else "")
+
+
+def _robots_verdicts_oracle() -> str:
+    # star rules per host class k%5, in file line order (classes 1 and
+    # 2 have none: allow-all idiom / no star group). Class 3 carries
+    # the SAME effective rules as class 0 but via a stacked header and
+    # a second merged star group -- identical verdicts prove the r6
+    # group-model parse.
+    star_rules = {
+        0: [("dis", "/private"), ("al", "/private/ok"),
+            ("dis", "/tmp/")],
+        3: [("dis", "/private"), ("al", "/private/ok"),
+            ("dis", "/tmp/")],
+        4: [("dis", "/*.pdf$"), ("dis", "/tmp/*"),
+            ("al", "/tmp/z1*")],
+    }
+    rows = ",\n            ".join(
+        f"({cls}, '{kind}', {len(v)}, '{_robots_rx(v)}')"
+        for cls, rules in star_rules.items()
+        for kind, v in rules)
+    return f"""
+        WITH rules AS (
+            SELECT * FROM (VALUES
+            {rows}) AS t(cls, kind, l, rx)),
+        urls AS (
             SELECT doc_id,
                    's' || CAST(doc_id % 11 AS VARCHAR) || '.example'
                        AS host,
+                   CAST((doc_id % 11) % 5 AS INT) AS cls,
                    CASE CAST(doc_id % 5 AS INT)
                      WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                                 || CASE WHEN doc_id % 2 = 0
+                                         THEN '.pdf' ELSE '' END
                      WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
                      WHEN 2 THEN '/private/ok/y'
                                  || CAST(doc_id AS VARCHAR)
                      WHEN 3 THEN '/tmp/z' || CAST(doc_id AS VARCHAR)
                      ELSE '' END AS rawpath
             FROM documents),
-        robots AS (
-            SELECT 's' || CAST(k AS VARCHAR) || '.example' AS host,
-                   CASE CAST(k % 3 AS INT)
-                     WHEN 0 THEN 'User-agent: badbot' || chr(10)
-                       || 'Disallow: /' || chr(10) || chr(10)
-                       || 'User-agent: *' || chr(10)
-                       || 'Disallow: /private' || chr(10)
-                       || 'Allow: /private/ok' || chr(10)
-                       || 'Disallow: /tmp/' || chr(10)
-                     WHEN 1 THEN 'User-agent: *' || chr(10)
-                       || 'Disallow:' || chr(10)
-                     ELSE 'User-agent: badbot' || chr(10)
-                       || 'Disallow: /' || chr(10) END AS body
-            FROM (SELECT unnest(range(0, 11)) AS k)),
-        p0 AS (
-            SELECT host, list_transform(string_split(body, chr(10)),
-                                        x -> trim(x)) AS ls
-            FROM robots),
-        p1 AS (
-            SELECT host, ls,
-                   list_filter(range(1, len(ls) + 1),
-                       i -> starts_with(lower(ls[CAST(i AS INT)]),
-                                        'user-agent:')) AS ua
-            FROM p0),
-        p2 AS (
-            SELECT host, ls, ua,
-                   list_filter(ua,
-                       i -> trim(substr(ls[CAST(i AS INT)], 12))
-                            = '*')[1] AS s
-            FROM p1),
-        p3 AS (
-            SELECT host, ls, s,
-                   COALESCE(list_min(list_filter(ua, i -> i > s)),
-                            len(ls) + 1) AS e
-            FROM p2),
-        grp AS (
-            SELECT host,
-                   CASE WHEN s IS NULL THEN CAST([] AS VARCHAR[])
-                        ELSE ls[CAST(s AS INT) + 1 : CAST(e AS INT) - 1]
-                        END AS g
-            FROM p3),
-        rules AS (
-            SELECT host,
-                   list_transform(list_filter(g,
-                       x -> starts_with(lower(x), 'allow:')),
-                       x -> trim(substr(x, 7))) AS al,
-                   list_transform(list_filter(g,
-                       x -> starts_with(lower(x), 'disallow:')
-                            AND trim(substr(x, 10)) <> ''),
-                       x -> trim(substr(x, 10))) AS dis
-            FROM grp),
-        v AS (
-            SELECT u.doc_id, u.host,
-                   CASE WHEN u.rawpath = '' THEN '/' ELSE u.rawpath END
-                       AS path,
-                   COALESCE(r.al, CAST([] AS VARCHAR[])) AS al,
-                   COALESCE(r.dis, CAST([] AS VARCHAR[])) AS dis
-            FROM urls u LEFT JOIN rules r ON u.host = r.host),
+        u2 AS (
+            SELECT doc_id, host, cls,
+                   CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+                       AS path
+            FROM urls),
         scored AS (
-            SELECT doc_id, host, path,
-                   CAST(COALESCE(list_max(list_transform(
-                       list_filter(al, p -> starts_with(path, p)),
-                       p -> length(p))), -1) AS INT) AS best_allow,
-                   CAST(COALESCE(list_max(list_transform(
-                       list_filter(dis, p -> starts_with(path, p)),
-                       p -> length(p))), -1) AS INT) AS best_disallow
-            FROM v)
+            SELECT u2.doc_id, u2.host, u2.path,
+                   CAST(COALESCE(MAX(CASE WHEN r.kind = 'al'
+                            AND regexp_matches(u2.path, r.rx)
+                            THEN r.l END), -1) AS INT) AS best_allow,
+                   CAST(COALESCE(MAX(CASE WHEN r.kind = 'dis'
+                            AND regexp_matches(u2.path, r.rx)
+                            THEN r.l END), -1) AS INT) AS best_disallow
+            FROM u2 LEFT JOIN rules r ON u2.cls = r.cls
+            GROUP BY u2.doc_id, u2.host, u2.path)
         SELECT doc_id, host, path, best_allow, best_disallow,
                best_allow >= best_disallow AS allowed
         FROM scored ORDER BY doc_id
     """
+
+
+ORACLES["robots_verdicts"] = _robots_verdicts_oracle()
 
 
 def _anchor_terms_oracle() -> str:

@@ -403,23 +403,44 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A crawler must honor robots.txt before fetching; at crawl scale the
 # rules table (one row per host) is tiny next to the frontier, so the
 # verdict is a broadcast join + pure array expressions — zero frontier
-# shuffle. Semantics: the original 1994 prefix-match protocol plus the
-# REP tie rule (longest matching rule wins; Allow wins length ties),
-# scoped to the 'User-agent: *' group. Wildcard/$ extensions are out of
-# scope (documented; the parse isolates the swap surface).
+# shuffle. Semantics (the RFC 9309 group model, r5 VERDICT ask #8 +
+# ADVICE #4): consecutive User-agent lines form ONE group header
+# (stacked agents share the rules that follow); every group whose
+# header names '*' contributes rules (same-agent groups MERGE, in line
+# order); rule values support the '*' wildcard and the trailing '$'
+# end anchor; precedence is by pattern octet length with Allow winning
+# length ties.
 
 def parse_robots_star(robots: DataFrame, host_col: str = "host",
                       body_col: str = "robots_txt") -> DataFrame:
-    """Per-host Allow/Disallow path-prefix lists from the
-    ``User-agent: *`` group (lines after the star agent line, up to the
-    next ``User-agent:`` line). Directive names match case-insensitively;
-    values keep case (paths are case-sensitive). Empty ``Disallow:``
+    """Per-host Allow/Disallow rule-value lists scoped to the
+    ``User-agent: *`` agent under the RFC 9309 group model: a group's
+    header is a maximal run of consecutive ``User-agent:`` lines, its
+    body runs to the next header, and a rule belongs to the star agent
+    iff ANY line of its governing header run names ``*`` — so the
+    stacked idiom ``User-agent: a\\nUser-agent: *\\nDisallow: /x``
+    applies to the star agent, and multiple star groups merge in line
+    order. Directive names match case-insensitively; values keep case
+    (paths are case-sensitive) and may carry ``*``/``$`` pattern chars
+    (translated at match time in robots_allowed). Empty ``Disallow:``
     values (the allow-all idiom) are dropped. Hosts with no star group
     yield empty lists (no rules -> everything allowed).
 
     Stateless narrow map over the robots table — pure array
-    expressions, per-row state bounded by the file itself.
+    expressions, per-row state bounded by the file itself. The
+    membership test is O(|ua-lines|^2) per rule line — robots bodies
+    are capped at a few hundred lines in every real crawler, so this
+    stays trivially row-local at any corpus scale.
     """
+    # a rule line i is star-governed iff the maximal consecutive
+    # User-agent run ending at p = max{ua < i} contains a '*' line:
+    # exists star-ua u <= p with every index in [u..p] a ua line
+    # (count of ua indices in [u..p] == p - u + 1)
+    in_star = (
+        "exists(__uas, u -> u <= array_max(filter(__ua, x -> x < i))"
+        " AND size(filter(__ua, x -> x >= u"
+        " AND x <= array_max(filter(__ua, y -> y < i))))"
+        " = array_max(filter(__ua, z -> z < i)) - u + 1)")
     d = (robots
          .withColumn("__ls", F.expr(
              f"transform(split({body_col}, '\\n'), x -> trim(x))"))
@@ -427,38 +448,66 @@ def parse_robots_star(robots: DataFrame, host_col: str = "host",
              "filter(sequence(1, size(__ls)),"
              " i -> startswith(lower(element_at(__ls, i)),"
              " 'user-agent:'))"))
-         .withColumn("__s", F.expr(
-             "try_element_at(filter(__ua, i -> trim(substring("
-             "element_at(__ls, i), 12)) = '*'), 1)"))
-         .withColumn("__e", F.expr(
-             "coalesce(array_min(filter(__ua, i -> i > __s)),"
-             " size(__ls) + 1)"))
-         .withColumn("__grp", F.expr(
-             "CASE WHEN __s IS NULL THEN array()"
-             " ELSE slice(__ls, __s + 1, __e - __s - 1) END")))
+         .withColumn("__uas", F.expr(
+             "filter(__ua, i -> trim(substring("
+             "element_at(__ls, i), 12)) = '*')")))
     return d.select(
         F.col(host_col).alias("host"),
-        F.expr("transform(filter(__grp,"
-               " x -> startswith(lower(x), 'allow:')),"
-               " x -> trim(substring(x, 7)))").alias("allow_prefixes"),
-        F.expr("transform(filter(__grp,"
-               " x -> startswith(lower(x), 'disallow:')"
-               " AND trim(substring(x, 10)) != ''),"
-               " x -> trim(substring(x, 10)))").alias("disallow_prefixes"))
+        F.expr(
+            "transform(filter(sequence(1, size(__ls)),"
+            " i -> startswith(lower(element_at(__ls, i)), 'allow:')"
+            f" AND {in_star}),"
+            " i -> trim(substring(element_at(__ls, i), 7)))")
+         .alias("allow_prefixes"),
+        F.expr(
+            "transform(filter(sequence(1, size(__ls)),"
+            " i -> startswith(lower(element_at(__ls, i)), 'disallow:')"
+            " AND trim(substring(element_at(__ls, i), 10)) != ''"
+            f" AND {in_star}),"
+            " i -> trim(substring(element_at(__ls, i), 10)))")
+         .alias("disallow_prefixes"))
+
+
+# Java-and-RE2-shared regex metachars a robots rule value must have
+# escaped before '*' -> '.*' translation; backslash first so later
+# inserted escapes survive. '*' and the trailing '$' anchor are the
+# only pattern chars RFC 9309 grants the rule language.
+_ROBOTS_RX_META = ["\\", ".", "^", "$", "+", "?", "(", ")",
+                   "[", "]", "{", "}", "|"]
+
+
+def _robots_rule_rx(v):
+    """Column expr: translate a robots rule value into an anchored
+    regex — '^' + escaped value with '*' -> '.*' and a trailing '$'
+    kept as the end anchor. Pure string replaces, evaluated once per
+    rule on the tiny broadcast side."""
+    anchor = F.endswith(v, F.lit("$"))
+    core = F.when(anchor,
+                  F.substring(v, F.lit(1), F.length(v) - 1)).otherwise(v)
+    for ch in _ROBOTS_RX_META:
+        core = F.replace(core, F.lit(ch), F.lit("\\" + ch))
+    core = F.replace(core, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), core,
+                    F.when(anchor, F.lit("$")).otherwise(F.lit("")))
 
 
 def robots_allowed(urls_df: DataFrame, rules: DataFrame,
                    url_col: str = "url") -> DataFrame:
-    """Longest-prefix-match robots verdict per URL: among the host's
-    rules whose prefix starts the URL's path, the longest wins; Allow
-    wins a length tie; no matching rule (or no robots entry for the
-    host) allows the fetch. Adds (host, path, best_allow,
-    best_disallow, allowed); best_* are matched-prefix lengths, -1
-    when nothing matches.
+    """Longest-pattern-match robots verdict per URL (RFC 9309): among
+    the host's rules matching the URL's path — rule values are prefix
+    patterns with '*' wildcards and an optional trailing '$' end
+    anchor — the longest PATTERN (octet length of the raw rule value,
+    Google's precedence measure) wins; Allow wins a length tie; no
+    matching rule (or no robots entry for the host) allows the fetch.
+    Adds (host, path, best_allow, best_disallow, allowed); best_* are
+    matched-pattern lengths, -1 when nothing matches. For plain prefix
+    rules the pattern length equals the matched-prefix length, so the
+    pre-wildcard behavior is unchanged.
 
-    Scale shape: the rules table is per-host (tiny) -> broadcast left
-    join; the match itself is pure array expressions. The frontier
-    never shuffles."""
+    Scale shape: the rules table is per-host (tiny) -> rule-to-regex
+    translation happens on that side, once per rule, then a broadcast
+    left join; the match itself is pure array expressions over the
+    translated (length, regex) structs. The frontier never shuffles."""
     host = F.lower(F.regexp_extract(F.col(url_col),
                                     r"^[a-z]+://([^/:?#]+)", 1))
     path = F.coalesce(
@@ -466,34 +515,57 @@ def robots_allowed(urls_df: DataFrame, rules: DataFrame,
                                   r"^[a-z]+://[^/]*(/[^?#]*)", 1),
                  F.lit("")),
         F.lit("/"))
-    best = ("coalesce(array_max(transform(filter(%s, p ->"
-            " startswith(path, p)), p -> length(p))), -1)")
+
+    def rx_structs(col_name):
+        return F.transform(
+            F.col(col_name),
+            lambda v: F.struct(F.length(v).alias("l"),
+                               _robots_rule_rx(v).alias("rx")))
+
+    compiled = rules.select(
+        F.col("host"), rx_structs("allow_prefixes").alias("__arx"),
+        rx_structs("disallow_prefixes").alias("__drx"))
+    best = ("coalesce(array_max(transform(filter(%s, r ->"
+            " regexp_like(path, r.rx)), r -> r.l)), -1)")
     return (urls_df
             .withColumn("host", host).withColumn("path", path)
-            .join(F.broadcast(rules), "host", "left")
-            .withColumn("best_allow", F.expr(
-                best % "coalesce(allow_prefixes, array())"))
-            .withColumn("best_disallow", F.expr(
-                best % "coalesce(disallow_prefixes, array())"))
+            .join(F.broadcast(compiled), "host", "left")
+            .withColumn("best_allow", F.when(
+                F.col("__arx").isNull(), F.lit(-1)).otherwise(
+                F.expr(best % "__arx")))
+            .withColumn("best_disallow", F.when(
+                F.col("__drx").isNull(), F.lit(-1)).otherwise(
+                F.expr(best % "__drx")))
             .withColumn("allowed",
                         F.col("best_allow") >= F.col("best_disallow"))
-            .drop("allow_prefixes", "disallow_prefixes"))
+            .drop("__arx", "__drx"))
 
 
 def _synth_robots(spark: SparkSession, sf_dir: str):
     """(urls, robots): a deterministic frontier + per-host robots.txt
-    corpus (same construction in the DuckDB twin). Host s{k}.example:
-    k%3==0 -> badbot block-all group THEN a star group with
-    Disallow /private, Allow /private/ok, Disallow /tmp/ (exercises
-    group scoping, the tie rule, and directory prefixes); k%3==1 ->
-    star group with an EMPTY Disallow value (the allow-all idiom);
-    k%3==2 -> badbot group only (no star rules). Paths cycle through
-    /p/N, /private/xN, /private/ok/yN, /tmp/zN, and the bare root."""
+    corpus (same construction in the DuckDB twin). Host s{k}.example,
+    class k%5:
+      0 -> badbot block-all group THEN a star group with Disallow
+           /private, Allow /private/ok, Disallow /tmp/ (group scoping,
+           the tie rule, directory prefixes);
+      1 -> star group with an EMPTY Disallow value (allow-all idiom);
+      2 -> badbot group only (no star rules);
+      3 -> STACKED header (User-agent: badbot + User-agent: * share
+           one group) plus a SECOND star group later in the file —
+           both RFC 9309 behaviors the r5 parse missed;
+      4 -> WILDCARD rules: Disallow /*.pdf$ ($ anchor), Disallow
+           /tmp/* , Allow /tmp/z1* (pattern-length precedence: the
+           8-char allow beats the 6-char disallow on /tmp/z1...).
+    Paths cycle through /p/N (with an .pdf suffix on even docs, so the
+    $ anchor bites), /private/xN, /private/ok/yN, /tmp/zN, and the
+    bare root."""
     d = F.col("doc_id")
     k = (d % 11).cast("int")
     host = F.concat(F.lit("s"), k.cast("string"), F.lit(".example"))
     sel = (d % 5).cast("int")
-    path = (F.when(sel == 0, F.concat(F.lit("/p/"), d.cast("string")))
+    pdf = F.when(d % 2 == 0, F.lit(".pdf")).otherwise(F.lit(""))
+    path = (F.when(sel == 0, F.concat(F.lit("/p/"), d.cast("string"),
+                                      pdf))
             .when(sel == 1, F.concat(F.lit("/private/x"),
                                      d.cast("string")))
             .when(sel == 2, F.concat(F.lit("/private/ok/y"),
@@ -506,12 +578,19 @@ def _synth_robots(spark: SparkSession, sf_dir: str):
         F.concat(F.lit("https://"), host, path).alias("url"))
     hk = F.col("id").cast("int")
     body = (
-        F.when(hk % 3 == 0, F.lit(
+        F.when(hk % 5 == 0, F.lit(
             "User-agent: badbot\nDisallow: /\n\nUser-agent: *\n"
             "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp/\n"))
-        .when(hk % 3 == 1, F.lit(
+        .when(hk % 5 == 1, F.lit(
             "User-agent: *\nDisallow:\n"))
-        .otherwise(F.lit("User-agent: badbot\nDisallow: /\n")))
+        .when(hk % 5 == 2, F.lit("User-agent: badbot\nDisallow: /\n"))
+        .when(hk % 5 == 3, F.lit(
+            "User-agent: badbot\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\n\nUser-agent: goodbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /tmp/\n"))
+        .otherwise(F.lit(
+            "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\n"
+            "Allow: /tmp/z1*\n")))
     robots = spark.range(11).select(
         F.concat(F.lit("s"), hk.cast("string"), F.lit(".example"))
          .alias("host"),
