@@ -429,6 +429,48 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation journey under the hard gate (r5 VERDICT
+    ask #3): crawl pages -> extraction -> quality -> exact dedup ->
+    near-dup clusters -> benchmark decontamination -> perplexity
+    bucket -> split assignment, via pipeline.curation_decisions_full —
+    the SAME function the product ``--curate`` path now commits. Same
+    two plant families as curate_neardup (exact -100000-doc_id, near
+    -200000-doc_id); the benchmark eval set is the doc_id%97==5 slice
+    of the raw corpus (the decontam row's construction), so surviving
+    eval copies flag themselves — the in-crawl benchmark-leak case.
+    One verdict row per url: decision + ppl_bucket + split ('-' on
+    drops); the twin reconstructs the whole journey in SQL including
+    the recursive-CTE cluster closure, the gram-overlap contamination
+    join, the add-one char-bigram LM, and the md5 split buckets."""
+    from textextract_spark.pipeline import curation_decisions_full
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    exact_plants = docs.filter(F.col("doc_id") < 10).select(
+        (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
+    near_plants = docs.filter(F.col("doc_id") < 20).select(
+        (-F.col("doc_id") - 200000).alias("doc_id"),
+        F.concat("text", F.lit(" postscriptum")).alias("text"), "lang")
+    both = docs.unionByName(exact_plants).unionByName(near_plants)
+    pages = both.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
+                          F.lit(_CHROME_POST)), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+          .select("url", "status", "text"))
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("text")
+    return (curation_decisions_full(ex, eval_docs)
+            .select("url", "status", "quality", "decision",
+                    "ppl_bucket", "split",
+                    F.length("text").alias("text_len"))
+            .orderBy("url"))
+
+
 # Rows a sampling driver must reach first: a correctness snapshot that
 # caps at ~50 rows takes them in registration order, and r4 proved the
 # cost of leaving new rows at the tail (its 4 newest missed the
@@ -436,17 +478,22 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows without a prior driver-recorded green (r4 post-snapshot + every
 # r5-new row), then the long-green r1-r3 inventory.
 _DRIVER_PRIORITY = [
+    # r6-new rows and rows whose semantics/plants changed in r6 lead;
+    # long-green flagship + r5 inventory follows
+    "curate_full", "robots_verdicts", "span_dedup_stats",
+    "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
+    "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
+    "embedding_dedup",
     "extract_docs", "extract_mixed_docs", "extract_warc_docs",
     "warc_roundtrip", "curate_docs", "curate_neardup",
     "audio_features", "resize_media",
-    "bpe_train_stats", "char_lm_ppl", "decontam", "temp_mixture",
-    "host_cap", "url_blocklist", "span_dedup_stats", "split_report",
+    "bpe_train_stats", "decontam", "temp_mixture",
+    "host_cap", "url_blocklist", "split_report",
     "chunk_docs", "bigram_pmi", "bm25_topk", "tfidf_keywords",
-    "dsir_sample", "lr_train_weights", "lr_train_eval",
+    "lr_train_weights", "lr_train_eval",
     "kmeans_clusters", "cluster_balanced_sample",
     "link_graph", "host_pagerank", "host_degree_stats",
-    "anchor_terms", "crawl_diff",
-    "robots_verdicts",
+    "crawl_diff",
 ]
 
 
@@ -632,8 +679,11 @@ def _queries_by_section() -> dict[
         #   extract -> quality gate -> exact dedup -> keep/drop decision,
         #   every stage + byte-exact curated text reconstructed in SQL
         "curate_neardup": _curate_neardup,                  # oracled:
-        #   curation v2 (the product --curate path): + near-dup cluster
-        #   stage, twin closes the jaccard pair graph by recursive CTE
+        #   curation v2: + near-dup cluster stage, twin closes the
+        #   jaccard pair graph by recursive CTE
+        "curate_full": _curate_full,                        # oracled:
+        #   the COMPLETE journey (the product --curate path): + decontam
+        #   + perplexity bucket + split, all re-derived in one SQL twin
         "extract_mixed_docs": _extract_mixed_docs,          # oracled:
         #   pdf + plain-text dispatch branches (fmt not all-'html')
         "warc_roundtrip": _warc_roundtrip,                  # oracled:

