@@ -480,7 +480,8 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # r6-new rows and rows whose semantics/plants changed in r6 lead;
     # long-green flagship + r5 inventory follows
-    "curate_full", "robots_verdicts", "span_dedup_stats",
+    "curate_full", "embed_docs", "embed_kmeans_docs",
+    "embed_dedup_docs", "robots_verdicts", "span_dedup_stats",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
     "embedding_dedup",
@@ -584,6 +585,15 @@ def _queries_by_section() -> dict[
         "dsir_sample": learned.dsir_sample,                 # oracled:
         #   DSIR importance resampling toward the en slice — hashed-
         #   unigram p/q log ratios + deterministic hash-threshold keep
+        "embed_docs": learned.embed_docs,                   # oracled:
+        #   text -> exact-int signed-feature-hash embeddings (stateless
+        #   narrow map), element-for-element vector twin in SQL
+        "embed_kmeans_docs": learned.embed_kmeans_docs,     # oracled:
+        #   integer Lloyd k-means END-TO-END on document embeddings
+        #   (same trainer/report as kmeans_clusters, doc vector source)
+        "embed_dedup_docs": learned.embed_dedup_docs,       # oracled:
+        #   SemDeDup end-to-end on documents: within-cluster pairs
+        #   under an EXACT INTEGER cosine>=0.95 test + Hash-Min CC
         "lr_train_weights": learned.lr_train_weights,       # oracled:
         #   logistic-regression TRAINING as Spark aggregations (3
         #   fixed-point GD rounds), unrolled-CTE twin in SQL

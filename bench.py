@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "embed_docs",
     "ivf_topk",
     "ann_lsh_pairs",
     "embedding_dedup",

@@ -2139,6 +2139,49 @@ def _dsir_sample_oracle() -> str:
 ORACLES["dsir_sample"] = _dsir_sample_oracle()
 
 
+def _embed_docs_oracle() -> str:
+    """GENERATED from learned's EMBED_DIM/HASH_MOD (twin of
+    learned.embed_docs): identical Horner token hash, dimension and
+    sign assignment, signed-count accumulation — exact int64 on both
+    engines, so vectors match element for element."""
+    from .learned import EMBED_DIM as D, HASH_MOD as M
+
+    h = ("CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+         " list_transform(range(1, length(w) + 1),"
+         " i -> CAST(unicode(substr(w, CAST(i AS INT), 1))"
+         " AS BIGINT))),"
+         f" (a, c) -> (a * 31 + c) % {M}) AS BIGINT)")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents),
+        tok AS (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(ws) AS w FROM t)),
+        contrib AS (
+            SELECT doc_id, CAST(h % {D} AS INT) AS d,
+                   CASE WHEN (h // {D}) % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM tok),
+        sums AS (
+            SELECT doc_id, d, CAST(sum(s) AS BIGINT) AS v
+            FROM contrib GROUP BY doc_id, d),
+        grid AS (
+            SELECT doc_id, CAST(u.i AS INT) AS d
+            FROM documents, LATERAL unnest(range(0, {D})) AS u(i))
+        SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+               s2.d AS dim, CAST(COALESCE(s3.v, 0) AS BIGINT) AS v
+        FROM t
+        JOIN grid s2 ON t.doc_id = s2.doc_id
+        LEFT JOIN sums s3 ON s2.doc_id = s3.doc_id AND s2.d = s3.d
+        ORDER BY t.doc_id, s2.d
+    """
+
+
+ORACLES["embed_docs"] = _embed_docs_oracle()
+
+
+
 def _lr_cte_chain() -> str:
     """The shared unrolled fixed-point gradient-descent CTE chain
     (twin of learned.lr_train): LR_ITERS full-batch iterations in
@@ -2424,26 +2467,32 @@ ORACLES["crawl_diff"] = """
     """
 
 
-def _kmeans_cte_chain() -> tuple[str, int]:
-    """Shared unrolled Lloyd chain (twin of learned.kmeans_fit +
-    final assignment): micro-unit quantization, deterministic init
-    (first K vectors), KMEANS_ITERS rounds with exact integer
-    distances and one away-from-zero rounding per centroid component,
-    empty clusters keeping their previous centroid; ends with the
-    final assignment a_f(vec_id, k, dist). Returns (chain_sql,
-    final_iter)."""
+def _kmeans_cte_chain(qv_cte: str | None = None,
+                      dims: int | None = None) -> tuple[str, int]:
+    """Shared unrolled Lloyd chain (twin of learned.kmeans_fit_qv +
+    final assignment): deterministic init (first K vectors),
+    KMEANS_ITERS rounds with exact integer distances and one
+    away-from-zero rounding per centroid component, empty clusters
+    keeping their previous centroid; ends with the final assignment
+    a_f(vec_id, k, dist). ``qv_cte`` overrides the vector source —
+    CTE text (including any prefix CTEs) that ends by defining
+    qv(vec_id, q: BIGINT[]); the default is the micro-unit-quantized
+    embeddings table. Returns (chain_sql, final_iter)."""
     from .learned import KMEANS_DIMS, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
 
-    K, S, D = KMEANS_K, KMEANS_SCALE, KMEANS_DIMS
+    K, S = KMEANS_K, KMEANS_SCALE
+    D = KMEANS_DIMS if dims is None else dims
     dist = (f"list_sum(list_transform(range(1, {D + 1}),"
             f" i -> (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)])"
             f" * (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)])))")
-    parts = [f"""
+    if qv_cte is None:
+        qv_cte = f"""
         qv AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(round(
                        CAST(x AS DOUBLE) * {S}) AS BIGINT)) AS q
-            FROM embeddings),
+            FROM embeddings)"""
+    parts = [qv_cte + f""",
         c_0 AS MATERIALIZED (
             SELECT CAST(vec_id AS INT) AS k, q FROM qv
             WHERE vec_id < {K})"""]
@@ -2560,3 +2609,109 @@ ORACLES["host_degree_stats"] = f"""
         FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
         ORDER BY host
     """
+
+
+def _embed_qv_cte() -> str:
+    """Doc-embedding vector source for the Lloyd chain: the embed_docs
+    twin's CTEs ending in qv(vec_id = doc_id, q = the exact-int
+    vector)."""
+    from .learned import EMBED_DIM as D, HASH_MOD as M
+
+    h = ("CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+         " list_transform(range(1, length(w) + 1),"
+         " i -> CAST(unicode(substr(w, CAST(i AS INT), 1))"
+         " AS BIGINT))),"
+         f" (a, c) -> (a * 31 + c) % {M}) AS BIGINT)")
+    return f"""
+        e_tok AS (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(
+                      regexp_extract_all(lower(text), '[a-z]+')) AS w
+                  FROM documents)),
+        e_sums AS (
+            SELECT doc_id, CAST(h % {D} AS INT) AS d,
+                   CAST(sum(CASE WHEN (h // {D}) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS v
+            FROM e_tok GROUP BY doc_id, CAST(h % {D} AS INT)),
+        e_grid AS (
+            SELECT doc_id, CAST(u.i AS INT) AS d
+            FROM documents, LATERAL unnest(range(0, {D})) AS u(i)),
+        qv AS MATERIALIZED (
+            SELECT g.doc_id AS vec_id,
+                   list(CAST(COALESCE(s.v, 0) AS BIGINT)
+                        ORDER BY g.d) AS q
+            FROM e_grid g LEFT JOIN e_sums s
+                 ON g.doc_id = s.doc_id AND g.d = s.d
+            GROUP BY g.doc_id)"""
+
+
+def _embed_kmeans_docs_oracle() -> str:
+    """Twin of learned.embed_kmeans_docs: the shared Lloyd chain over
+    the doc-embedding qv source (same report as kmeans_clusters)."""
+    from .learned import EMBED_DIM
+
+    chain, KF = _kmeans_cte_chain(_embed_qv_cte(), dims=EMBED_DIM)
+    return f"""
+        WITH {chain},
+        st AS (
+            SELECT k, count(*) AS n_vecs, min(vec_id) AS rep,
+                   sum(dist) AS inertia
+            FROM a_f GROUP BY k)
+        SELECT c.k AS cluster,
+               CAST(COALESCE(st.n_vecs, 0) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(st.rep, -1) AS BIGINT) AS rep_vec_id,
+               CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia,
+               CAST(list_sum(c.q) AS BIGINT) AS centroid_checksum
+        FROM c_{KF} c LEFT JOIN st ON c.k = st.k
+        ORDER BY cluster
+    """
+
+
+ORACLES["embed_kmeans_docs"] = _embed_kmeans_docs_oracle()
+
+
+def _embed_dedup_docs_oracle() -> str:
+    """Twin of learned.embed_dedup_docs: Lloyd chain over doc
+    embeddings, within-cluster pairs under the EXACT INTEGER cosine
+    test (den*dot^2 >= num*|a|^2*|b|^2 with dot > 0 — no floats, no
+    epsilon), recursive-CTE component closure, keep = component min."""
+    from .learned import EMBED_DEDUP_DEN, EMBED_DEDUP_NUM, EMBED_DIM
+
+    chain, KF = _kmeans_cte_chain(_embed_qv_cte(), dims=EMBED_DIM)
+    dot = (f"list_sum(list_transform(range(1, {EMBED_DIM + 1}),"
+           f" i -> x.q[CAST(i AS INT)] * y.q[CAST(i AS INT)]))")
+    n2 = (f"list_sum(list_transform(range(1, {EMBED_DIM + 1}),"
+          f" i -> q[CAST(i AS INT)] * q[CAST(i AS INT)]))")
+    return f"""
+        WITH RECURSIVE {chain},
+        av AS MATERIALIZED (
+            SELECT a.vec_id, a.k, v.q, {n2} AS n2
+            FROM a_f a JOIN qv v USING (vec_id)),
+        nd_p AS (
+            SELECT x.vec_id AS a_id, y.vec_id AS b_id
+            FROM av x JOIN av y
+                 ON x.k = y.k AND x.vec_id < y.vec_id
+            WHERE {dot} > 0
+              AND {EMBED_DEDUP_DEN} * {dot} * {dot}
+                  >= {EMBED_DEDUP_NUM} * x.n2 * y.n2),
+        nd_sym AS (
+            SELECT a_id AS src, b_id AS dst FROM nd_p
+            UNION
+            SELECT b_id, a_id FROM nd_p),
+        nd_reach(src, dst) AS (
+            SELECT src, dst FROM nd_sym
+            UNION
+            SELECT r.src, s2.dst
+            FROM nd_reach r JOIN nd_sym s2 ON r.dst = s2.src),
+        nd_comp AS (
+            SELECT src AS vec_id, least(src, min(dst)) AS comp
+            FROM nd_reach GROUP BY src)
+        SELECT a.vec_id AS doc_id, CAST(a.k AS INT) AS cluster,
+               CAST(COALESCE(c.comp, a.vec_id) AS BIGINT) AS comp,
+               COALESCE(c.comp, a.vec_id) = a.vec_id AS keep
+        FROM a_f a LEFT JOIN nd_comp c ON a.vec_id = c.vec_id
+        ORDER BY doc_id
+    """
+
+
+ORACLES["embed_dedup_docs"] = _embed_dedup_docs_oracle()

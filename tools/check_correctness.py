@@ -23,6 +23,10 @@ def normalize(rows: list[dict]) -> list[tuple]:
             return v.isoformat()
         if isinstance(v, bytes):
             return v.hex()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm_val(x) for x in v)
+        if hasattr(v, "item"):  # numpy scalar
+            return norm_val(v.item())
         return v
 
     out = []
