@@ -386,7 +386,7 @@ def test_extract_mixed_docs_formats(spark, sf_dir):
 
 def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
     """Char-trigram lang-ID accuracy >= 0.98 on a seeded multilingual
-    corpus built from genuine function words across all 20 profiled
+    corpus built from genuine function words across all 40 profiled
     languages, including the confusable pairs the profile deliberately
     overlaps on (' de' in de/fr/es, 'nd ' in en/de, ' не' in ru/uk,
     Arabic-script ar/fa, Devanagari hi/mr): summed-hit argmax must
@@ -444,6 +444,44 @@ def test_lang_trigram_accuracy_with_confusables(spark, tmp_path):
                "praca dobrego które przy rzeczy").split(),
         "sv": ("och är för att det den som har inte med detta "
                "människor många tillsammans").split(),
+            "gl": ("unha cunha ningunha xente xuntanza máis non ao polo"
+               "pola galego tamén moitas veces despois onde").split(),
+        "ca": ("amb això què molt dels quan també anys aquesta seva"
+               "catalunya canya feina veïns així hi ha").split(),
+        "ro": ("și este pentru care din anului său fără după către"
+               "întrucât orașului până atunci același").split(),
+        "da": ("og det at ikke af på være havde hvad hvor jeg også"
+               "meget noget kunne skulle næsten").split(),
+        "no": ("og det at ikke av på være hadde hva hvor jeg også mye"
+               "noe kunne skulle nesten").split(),
+        "fi": ("ja on että ei ole mutta myös kun niin vuonna hänen"
+               "jotka voi kaikki sekä jälkeen").split(),
+        "cs": ("je se na že to byl jsou ale jako podle které město však"
+               "může být těchto život").split(),
+        "sk": ("je sa na že to bol sú ale ako podľa ktoré mesto však"
+               "môže byť týchto život").split(),
+        "hu": ("és az hogy nem egy van volt ezek magyar minden lehet"
+               "című között szerint például").split(),
+        "el": ("και του της των είναι από στο ότι αυτό όπως μετά πόλη"
+               "χρόνια").split(),
+        "he": ("של את על הוא זה לא אבל יש אני גם היה אחד עיר שנים").split(),
+        "th": ("ของ และ ที่ ใน เป็น ไม่ ได้ มี การ ความ จาก เมือง").split(),
+        "vi": ("của và là trong không được người có những một cũng như"
+               "thành phố năm").split(),
+        "id": ("yang dan di untuk dengan tidak adalah pada ini dari"
+               "orang mereka kota tahun sebuah").split(),
+        "ms": ("yang dan di untuk dengan tidak ialah pada ini daripada"
+               "orang mereka bandar tahun sebuah").split(),
+        "et": ("ja on ei oli ning kui ka see tema oma välja olema aasta"
+               "linna järgi").split(),
+        "lt": ("ir yra kad tai buvo į su kaip metais miesto žmonių taip"
+               "pat gali").split(),
+        "lv": ("un ir ka tas bija ar kā pilsētas gada cilvēku arī var"
+               "tikai").split(),
+        "sw": ("na ya wa kwa ni katika la hii watu wake kubwa sana mji"
+               "mwaka").split(),
+        "tl": ("ang ng sa mga ito ay hindi siya naman para kanyang"
+               "lungsod taon").split(),
     }
     rng = _random.Random(99)
     rows = []
@@ -818,6 +856,24 @@ def test_scrub_pii_edge_cases(spark):
         ("code DE12ABC stays", "code DE12ABC stays"),
         ("de89370400440532013000 stays",
          "de89370400440532013000 stays"),
+        # SSN: canonical dashed form redacts; undashed or 3-3-4 (a
+        # phone, caught by phone_us) do not leak as SSN
+        ("ssn 123-45-6789 filed", "ssn <SSN> filed"),
+        ("id 123456789 stays", "id 123456789 stays"),
+        ("ssn 1234-45-6789 stays", "ssn 1234-45-6789 stays"),
+        # UK NINO shape; lowercase and 8-char forms survive
+        ("ni QB123456C sent", "ni <NINO> sent"),
+        ("ni qb123456c stays", "ni qb123456c stays"),
+        ("ni QB12345C stays", "ni QB12345C stays"),
+        # US phones without +: parens, dots, dashes, spaces all redact
+        ("call (212) 555-0142 now", "call <PHONE> now"),
+        ("call 212.555.0142 now", "call <PHONE> now"),
+        ("call 212-555-0142 now", "call <PHONE> now"),
+        ("call 212 555 0142 now", "call <PHONE> now"),
+        # 3-2-4 dashed is an SSN, not a phone; bare 10 digits survive
+        ("call 2125550142 stays", "call 2125550142 stays"),
+        # ordered scrub: the SSN pattern wins before phone_us sees it
+        ("mix 123-45-6789 x", "mix <SSN> x"),
     ]
     df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
     got = [r.c for r in

@@ -1393,12 +1393,20 @@ def _pii_scrub_oracle() -> str:
                 terms.append(d)
         return "(" + " + ".join(terms) + ")"
 
-    planted = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
-               " || '@example.com or 10.0.'"
-               " || CAST(doc_id % 256 AS VARCHAR) || '.'"
-               " || CAST((doc_id * 7) % 256 AS VARCHAR)"
-               " || ' card ' || cc || ' iban ' || iban"
-               " || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')")
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || ' card ' || cc || ' iban ' || iban"
+        " || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')"
+        " || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+        " || ' ni QQ' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+        " || 'C tel (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') '"
+        " || lpad(CAST((doc_id * 11) % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')"
+        " || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')")
     counts = ",\n               ".join(
         f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
         for name, pat, _ in PII_PATTERNS)

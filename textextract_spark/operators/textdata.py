@@ -72,9 +72,20 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # US SSN, canonical dashed 3-2-4 form; scrubbed before the phone
+    # patterns so neither digit run survives to feed them (r6, r5 ask #7)
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
+    # UK National Insurance number shape (after iban: a real IBAN is
+    # >= 15 chars so neither pattern can match inside the other)
+    ("nino", r"\b[A-Z]{2}[0-9]{6}[A-Z]\b", "<NINO>"),
     ("cc", r"\b[0-9]{4}([ -]?[0-9]{4}){3}\b", "<CC>"),
     ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+    # NANP-style phones WITHOUT the + prefix: (AAA) MMM-LLLL and
+    # AAA.MMM.LLLL / AAA-MMM-LLLL / AAA MMM LLLL; runs after cc (whose
+    # 4-4-4-4 groups a 3-3-4 pattern cannot match) and after ssn
+    ("phone_us",
+     r"\(?\b[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "<PHONE>"),
 )
 _CC_PATTERN = dict((n, p) for n, p, _ in PII_PATTERNS)["cc"]
 
@@ -133,12 +144,25 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lpad(((d * 13) % 100).cast("string"), 2, "0"),
                     F.lit("BANK"),
                     F.lpad((d % 10000000000).cast("string"), 10, "0"))
+    ssn = F.concat(F.lpad((d % 1000).cast("string"), 3, "0"),
+                   F.lit("-"),
+                   F.lpad(((d * 3) % 100).cast("string"), 2, "0"),
+                   F.lit("-"),
+                   F.lpad(((d * 7) % 10000).cast("string"), 4, "0"))
+    usphone = F.concat(F.lit("("),
+                       (200 + d % 700).cast("string"), F.lit(") "),
+                       F.lpad(((d * 11) % 1000).cast("string"), 3, "0"),
+                       F.lit("-"),
+                       F.lpad(((d * 17) % 10000).cast("string"), 4, "0"))
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"), d.cast("string"),
         F.lit("@example.com or 10.0."), (d % 256).cast("string"),
         F.lit("."), ((d * 7) % 256).cast("string"),
         F.lit(" card "), cc, F.lit(" iban "), iban,
+        F.lit(" ssn "), ssn,
+        F.lit(" ni QQ"), F.lpad((d % 1000000).cast("string"), 6, "0"),
+        F.lit("C tel "), usphone,
         F.lit(" call +1555"), F.lpad(d.cast("string"), 7, "0"))
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("__t"))
     counts = [F.size(F.regexp_extract_all("__t", F.lit(pat), 0))
@@ -1334,9 +1358,11 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # intra-script separators: uk rows use і/ї-bearing trigrams absent from
 # ru; fa rows use Persian ی (U+06CC) and Persian-only function words vs
 # ar's ال-dominated profile; mr rows use ळ (Marathi-only letter) and आहे
-# vs hi's है. Depth is profile-demo vs fastText's 176 languages, but the
-# architecture (profile-in-closure Arrow map, generated SQL twin) is the
-# scale shape.
+# vs hi's है. r6 widens the table to 40 languages (el/he/th get their
+# own scripts; gl/ca/ro/da/no/fi/cs/sk/hu/vi/id/ms/et/lt/lv/sw/tl join
+# the Latin separators). Depth is still profile-demo vs fastText's 176
+# languages, but the architecture (profile-in-closure Arrow map,
+# generated SQL twin) is the scale shape.
 TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
     "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
            " of", "of ", " is", "is "),
@@ -1377,6 +1403,52 @@ TRIGRAM_PROFILE: dict[str, tuple[str, ...]] = {
            " pr", "się", " si", "ać "),
     "sv": (" oc", "och", "ch ", " är", "är ", "för", " fö", "att",
            " at", "det", "en ", "ng "),
+    # -- r6 additions (r5 ask #9): 20 more languages, incl. the
+    #    gl/es/pt, da/no/sv, cs/sk and id/ms confusable groups;
+    #    trigram picks maximize own-language function-word mass with
+    #    minimal cross-language collisions (id/ms share their common-
+    #    Malay mass and separate on adalah/ialah, dari/daripada;
+    #    da/no separate on af/av, hvad/hva, meget/mye)
+    "gl": ("nha", "unh", " ao", " cu", " xe", " xu", "amé", "anz", "ao ",
+           "ces"),
+    "ca": (" ai", "aix", " am", " aq", " fe", "alu", "aqu", "ata", "bé ",
+           "can"),
+    "ro": ("lui", "tru", "ulu", "și ", " ac", " că", " du", " fă", " pâ",
+           " să"),
+    "da": ("get", " af", " næ", "af ", "avd", "ege", "hav", "meg", "nog",
+           "næs", " hv", "vad", "kun"),
+    "no": ("add", "av ", "dde", "mye", "nes", "noe", "oe ", "ye ", " av",
+           "va ", " hv"),
+    "fi": (" hä", " jo", " mu", " vu", "aik", "ekä", "hän", "iin", "jot",
+           "jäl"),
+    "cs": (" bý", " js", " mě", " mů", " tě", "byl", "být", "dle", "eré",
+           "jak"),
+    "sk": (" ak", " bo", " mô", " sú", " tý", "bol", "byť", "dľa", "kto",
+           "mes"),
+    "hu": ("gy ", " az", " cí", " eg", " ez", " ho", " kö", " pé", " sz",
+           " és"),
+    "el": ("αι ", " απ", " αυ", " εί", " κα", " με", " πό", " στ", " τη",
+           " το"),
+    "he": (" אב", " אח", " אנ", " את", " גם", " הו", " הי", " זה", " יש",
+           " לא"),
+    "th": ("อง ", " กา", " ขอ", " คว", " จา", " ที", " มี", " เป", " เม",
+           " แล"),
+    "vi": (" nh", " có", " cũ", " củ", " kh", " là", " mộ", " nă", " ph",
+           " và"),
+    "id": (" ad", " ko", "dal", "kot", "ota", "ri ", "yan", " ya", "unt",
+           "ntu", "tuk", "gan", "dak", "tid"),
+    "ms": (" ba", " ia", "ban", "ial", "ipa", "nda", "rip", "yan", " ya",
+           "unt", "ntu", "tuk", "gan", "dak", "tid"),
+    "et": ("ema", " om", " te", " vä", "aas", "ast", "ee ", "gi ", "jär",
+           "kui"),
+    "lt": ("tai", "aip", "ip ", " yr", " į ", " žm", "ali", "buv", "eta",
+           "ies"),
+    "lv": (" kā", "arī", "bij", "cil", "gad", "ija", "ils", "ilv", "ku ",
+           "kā "),
+    "sw": ("wa ", "wak", " kw", " mj", " mw", "aka", "ake", "ana", "ati",
+           "bwa"),
+    "tl": (" ay", " lu", " mg", "ama", "aon", "ay ", "gso", "hin", "ito",
+           "iya"),
 }
 _PROFILE_LANGS = tuple(TRIGRAM_PROFILE)  # priority order for ties
 
