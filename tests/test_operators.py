@@ -559,15 +559,16 @@ def test_bpe_segment_planted_merges():
 
 def test_token_bpe_merge_matches_reference(spark, tmp_path):
     """The Arrow UDF path must agree exactly with the pure-Python
-    reference (pre-tokenize + bpe_segment) on real multi-script text,
-    and per-doc counts must respect the BPE bounds."""
+    reference (pre-tokenize + bpe_segment over the SAME corpus-learned
+    merges table the r6 row applies) on real multi-script text, and
+    per-doc counts must respect the BPE bounds."""
     import re
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from textextract_spark.operators.textdata import (
-        BPE_TOKEN_RE, bpe_segment, token_bpe_merge)
+        BPE_TOKEN_RE, bpe_segment, learned_bpe_merges, token_bpe_merge)
 
     texts = [
         "the parting and the ending of the partition",
@@ -583,12 +584,15 @@ def test_token_bpe_merge_matches_reference(spark, tmp_path):
     pq.write_table(tbl, str(d / "documents.parquet"))
 
     got = {r.doc_id: r for r in token_bpe_merge(spark, str(d)).collect()}
+    merges_t = tuple(learned_bpe_merges(spark, str(d)))
+    ranks = {p: i for i, p in enumerate(merges_t)}
     pat = re.compile(BPE_TOKEN_RE)
     for i, t in enumerate(texts):
         pre = pat.findall(t)
         r = got[i]
         assert r.n_pretokens == len(pre)
-        assert r.n_bpe_tokens == sum(len(bpe_segment(w)) for w in pre)
+        assert r.n_bpe_tokens == sum(
+            len(bpe_segment(w, merges_t, ranks)) for w in pre)
         assert r.n_pretoken_chars == sum(len(w) for w in pre)
         assert r.n_pretokens <= r.n_bpe_tokens <= r.n_pretoken_chars
 
@@ -700,6 +704,8 @@ def test_bpe_train_stats_row(spark, tmp_path):
     assert r.n_merges_learned == 10
     assert r.vocab_size == r.n_base_chars + r.n_merges_learned
     assert r.merged_bounds_ok and r.merges_well_formed
+    # the 10-merge request is met, so the trainer did NOT saturate
+    assert not r.saturated
 
 
 def test_repetition_stats_planted(spark, tmp_path):

@@ -298,7 +298,12 @@ ORACLES: dict[str, str] = {
     # == distinct chars over pretokens, since the pretoken classes cover
     # every non-ws char) recomputed exactly; the merge-loop facts are
     # invariants hard-coded here — a Spark-side violation diverges.
-    # 48 = textdata.BPE_TRAIN_N_MERGES.
+    # 89 = the measured SATURATION of the driver-fixed 31-word corpus
+    # pool (see textdata.BPE_TRAIN_N_MERGES): the r6 row requests 256
+    # merges and must exhaust the pair supply at exactly 89, with the
+    # corpus fully merged (saturated TRUE). A trainer that stops early,
+    # loops past exhaustion, or miscounts diverges on n_merges_learned
+    # or saturated.
     "bpe_train_stats": r"""
         WITH pre AS (
             SELECT regexp_extract_all(text,
@@ -309,15 +314,16 @@ ORACLES: dict[str, str] = {
                        range(1, length(w) + 1),
                        i -> substr(w, CAST(i AS INT), 1))) AS ch
             FROM (SELECT DISTINCT unnest(toks) AS w FROM pre))
-        SELECT CAST(48 AS BIGINT) AS n_merges_learned,
+        SELECT CAST(89 AS BIGINT) AS n_merges_learned,
                (SELECT CAST(count(*) AS BIGINT) FROM chars)
                    AS n_base_chars,
-               (SELECT CAST(count(*) + 48 AS BIGINT) FROM chars)
+               (SELECT CAST(count(*) + 89 AS BIGINT) FROM chars)
                    AS vocab_size,
                CAST(sum(len(toks)) AS BIGINT) AS total_pretokens,
                CAST(sum(COALESCE(list_sum(list_transform(
                    toks, x -> length(x))), 0)) AS BIGINT)
                    AS total_pretoken_chars,
+               TRUE AS saturated,
                TRUE AS merged_bounds_ok,
                TRUE AS merges_well_formed
         FROM pre
