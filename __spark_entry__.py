@@ -481,7 +481,8 @@ _DRIVER_PRIORITY = [
     # r6-new rows and rows whose semantics/plants changed in r6 lead;
     # long-green flagship + r5 inventory follows
     "curate_full", "embed_docs", "embed_kmeans_docs",
-    "embed_dedup_docs", "robots_verdicts", "span_dedup_stats",
+    "embed_dedup_docs", "pack_report", "mix_budget",
+    "robots_verdicts", "span_dedup_stats",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
     "embedding_dedup",
@@ -573,6 +574,13 @@ def _queries_by_section() -> dict[
         "chunk_docs": textdata.chunk_docs,                  # oracled:
         #   training-sequence chunking (overlapping stride windows over
         #   the whitespace-token stream), full chunk_text twin in SQL
+        "pack_report": textdata.pack_report,                # oracled:
+        #   GPT-style concat-and-split sequence packing inside fixed-
+        #   cardinality md5 buckets; per-bucket integer pack/straddle
+        #   stats, same window cumsum re-derived in the twin
+        "mix_budget": textdata.mix_budget,                  # oracled:
+        #   domain mixture plan toward a token budget — epoch repeats +
+        #   256-quantized fractional keep rates, all-integer twin
         "bigram_pmi": textdata.bigram_pmi,                  # oracled:
         #   corpus collocations — top-k adjacent-word pairs by PMI,
         #   exact-count twin in SQL

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "char_lm_ppl",
     "decontam",
     "chunk_docs",
+    "pack_report",
+    "mix_budget",
     "bigram_pmi",
     "bm25_topk",
     "tfidf_keywords",

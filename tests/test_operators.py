@@ -2010,3 +2010,69 @@ def test_host_degrees_hand_graph(spark):
             got["b"].n_out_links, got["b"].n_in_links) == (1, 1, 2, 3)
     assert (got["c"].out_degree, got["c"].in_degree) == (0, 2)
     assert got["c"].n_in_links == 3
+
+
+def test_pack_training_sequences_matches_python_packer(spark):
+    """Packing on a planted chunk stream: global offsets, pack indexes,
+    in-pack offsets and straddle spans must equal a pure-Python
+    concat-and-split reference within each bucket, and empty chunks
+    span zero packs."""
+    import hashlib
+
+    from textextract_spark.operators.textdata import (
+        pack_training_sequences)
+
+    rows = []
+    for doc in range(12):
+        for c in range(doc % 4 + 1):
+            rows.append((doc, c, (doc * 7 + c * 3) % 11))  # some zeros
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, chunk_tokens int")
+    budget = 10
+    got = {(r.doc_id, r.chunk_id): r for r in
+           pack_training_sequences(chunks, budget=budget).collect()}
+
+    def bucket(doc):
+        h = hashlib.md5(str(doc).encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    streams = {}
+    for doc, c, n in sorted(rows):
+        b = bucket(doc)
+        start = streams.get(b, 0)
+        streams[b] = start + n
+        r = got[(doc, c)]
+        assert r.bucket == b
+        assert r.start_off == start
+        assert r.pack_first == start // budget
+        assert r.off_in_pack == start % budget
+        want_span = 0 if n == 0 else (start + n - 1) // budget \
+            - start // budget + 1
+        assert r.n_packs_spanned == want_span, (doc, c, n, start)
+
+
+def test_domain_mixture_budget_plan(spark):
+    """Mixture plan on hand numbers: an up-weighted tiny domain repeats
+    (full epochs + fractional rate), the epoch cap binds, a domain
+    absent from the weight table plans zero tokens."""
+    from textextract_spark.operators.textdata import domain_mixture_budget
+
+    rows = ([(f"doc {i} with six tokens here", "en")
+             for i in range(100)]           # 100 docs x 6 toks = 600
+            + [("tiny corpus", "xx")] * 5   # 10 tokens, weight 0.5
+            + [("unlisted words", "yy")])   # no weight row
+    docs = spark.createDataFrame(rows, "text string, lang string")
+    got = {r.lang: r for r in domain_mixture_budget(
+        docs, weights=(("en", 0.5), ("xx", 0.5)), budget=1000).collect()}
+    en = got["en"]
+    assert (en.n_tokens, en.target_tokens) == (600, 500)
+    # 500/600 epochs -> 0 full, floor(0.8333*256)=213 frac
+    assert (en.full_epochs, en.frac_rate256) == (0, 213)
+    assert en.planned_tokens == 600 * 213 // 256
+    xx = got["xx"]
+    # 500/10 = 50 epochs, capped at 4: full 4, frac 0
+    assert (xx.full_epochs, xx.frac_rate256) == (4, 0)
+    assert xx.planned_tokens == 40
+    yy = got["yy"]
+    assert (yy.target_frac, yy.target_tokens, yy.planned_tokens) \
+        == (0.0, 0, 0)

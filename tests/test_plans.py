@@ -3,6 +3,8 @@ on must actually appear in the executed plans — filters reaching the
 parquet scan, column pruning, broadcast joins for tiny dims, and exactly
 one exchange feeding the extraction UDF."""
 
+import re
+
 import pytest
 
 from textextract_spark.operators import relational, similarity
@@ -421,3 +423,17 @@ def test_embed_documents_stateless_narrow_map(spark, sf_dir):
     assert "Exchange" not in p, f"embedding must not shuffle:\n{p}"
     assert "Join" not in p and "Window" not in p
     assert "MapInPandas" not in p  # JVM-side array exprs, not Python
+
+
+def test_pack_window_only_over_synthetic_bucket(spark, sf_dir):
+    """Sequence packing is the module's ONE deliberate window — it must
+    partition by the fixed-cardinality synthetic md5 bucket (a running
+    sum per bucket is the packing semantics), never by a raw data key,
+    and exactly one window may appear in the plan."""
+    from textextract_spark.operators import textdata as td
+    p = _plan(spark, td.pack_report(spark, sf_dir), "simple")
+    assert p.count("Window") == 1, f"exactly one window expected:\n{p}"
+    wline = next(ln for ln in p.splitlines() if "Window" in ln)
+    # partition spec prints as "], [bucket#N], [doc_id ... ORDER]"
+    assert re.search(r"\], \[bucket#\d+\], \[doc_id#", wline), \
+        f"window must partition by the synthetic bucket:\n{wline}"

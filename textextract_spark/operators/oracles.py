@@ -2729,3 +2729,98 @@ def _embed_dedup_docs_oracle() -> str:
 
 
 ORACLES["embed_dedup_docs"] = _embed_dedup_docs_oracle()
+
+
+def _pack_report_oracle() -> str:
+    """GENERATED from textdata's chunk/pack constants (twin of
+    textdata.pack_report): the chunk_docs CTE, the same md5 doc-id
+    bucket, the same within-bucket (doc_id, chunk_id) cumulative sum,
+    and the straddler predicate floor((end-1)/B) > floor((end-n)/B)."""
+    from .textdata import CHUNK_MAX_TOKENS, CHUNK_STRIDE, PACK_BUDGET as B
+
+    bkt = ("(instr('0123456789abcdef',"
+           " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+           " + (instr('0123456789abcdef',"
+           " substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(s.start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+                   CAST(len(toks[s.start + 1 :
+                               s.start + {CHUNK_MAX_TOKENS}])
+                        AS INT) AS chunk_tokens
+            FROM sized, LATERAL unnest(generate_series(
+                     0, greatest(n - 1, 0), {CHUNK_STRIDE})) AS s(start)),
+        bucketed AS (
+            SELECT doc_id, chunk_id, chunk_tokens,
+                   CAST({bkt} AS INT) AS bucket
+            FROM chunks),
+        c AS (
+            SELECT bucket, chunk_tokens,
+                   sum(chunk_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) AS endo
+            FROM bucketed)
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+               CAST(ceil(sum(chunk_tokens) / {B}) AS BIGINT) AS n_packs,
+               CAST(sum(CASE WHEN chunk_tokens > 0
+                         AND (endo - 1) // {B}
+                             > (endo - chunk_tokens) // {B}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM c GROUP BY bucket ORDER BY bucket
+    """
+
+
+ORACLES["pack_report"] = _pack_report_oracle()
+
+
+def _mix_budget_oracle() -> str:
+    """GENERATED from textdata's MIX_* constants (twin of
+    textdata.mix_budget): same token counts, target rounding, epoch
+    cap/split, and 256-quantized fractional rate."""
+    from .textdata import (
+        MIX_BUDGET_TOKENS as BUD, MIX_MAX_EPOCHS as CAP,
+        MIX_TARGET_WEIGHTS)
+
+    wrows = ", ".join(f"('{lang}', {w})" for lang, w in MIX_TARGET_WEIGHTS)
+    return f"""
+        WITH wt(lang, w) AS (VALUES {wrows}),
+        counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+        plan AS (
+            SELECT c.lang, c.n_docs, c.n_tokens,
+                   COALESCE(wt.w, 0.0) AS target_frac,
+                   CAST(round(COALESCE(wt.w, 0.0) * {BUD}, 0) AS BIGINT)
+                       AS target_tokens
+            FROM counts c LEFT JOIN wt ON c.lang = wt.lang),
+        ep AS (
+            SELECT *,
+                   least(CAST({CAP} AS DOUBLE),
+                         target_tokens / n_tokens) AS epochs
+            FROM plan)
+        SELECT lang, n_docs, n_tokens, target_frac, target_tokens,
+               CAST(floor(epochs) AS BIGINT) AS full_epochs,
+               CAST(floor((epochs - floor(epochs)) * 256) AS INT)
+                   AS frac_rate256,
+               CAST(n_tokens * CAST(floor(epochs) AS BIGINT)
+                    + CAST(floor(n_tokens * CAST(floor(
+                          (epochs - floor(epochs)) * 256) AS INT)
+                          / 256) AS BIGINT) AS BIGINT)
+                   AS planned_tokens
+        FROM ep ORDER BY lang
+    """
+
+
+ORACLES["mix_budget"] = _mix_budget_oracle()

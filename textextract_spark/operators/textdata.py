@@ -1595,3 +1595,149 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .when(es == best, F.lit("es"))
                      .otherwise(F.lit("bn")).alias("lang_guess"))
             .orderBy("doc_id"))
+
+
+# -- training-sequence PACKING (concat-and-split) ----------------------------
+# The step between chunking and the trainer: GPT-style packing
+# concatenates the token stream and splits it every `budget` tokens —
+# chunks DO straddle pack boundaries (that is the published recipe:
+# documents are concatenated with no padding and cut into fixed-length
+# sequences). Packing is inherently a sequential scan, so it runs as a
+# cumulative window INSIDE fixed-cardinality md5 buckets of the doc id:
+# each bucket is one linear pass, parallelism = bucket count (256 here;
+# at 10^12 docs raise PACK_BUCKET_BITS — the assignment is a pure
+# function of (bucket, within-bucket order), so resizing is a config
+# change, not a semantics change). This is the ONE deliberate window in
+# the module: the key is synthetic with FIXED cardinality, never a
+# data-skewed key, and the per-task state is a running sum.
+
+PACK_BUDGET = 64  # tokens per packed training sequence
+
+
+def pack_training_sequences(chunks: DataFrame,
+                            budget: int = PACK_BUDGET,
+                            id_col: str = "doc_id",
+                            ord_col: str = "chunk_id",
+                            tok_col: str = "chunk_tokens") -> DataFrame:
+    """Assign every chunk its place in the packed token stream of its
+    bucket: global start offset, first pack index, offset inside that
+    pack, and how many packs the chunk spans (0 for an empty chunk).
+    Deterministic: bucket = md5(doc id) byte, order = (doc id, chunk
+    order) within bucket — reruns, retries and incremental re-packs of
+    the same table agree exactly.
+
+    Returns (doc_id, chunk_id, bucket, start_off, pack_first,
+    off_in_pack, n_packs_spanned).
+    """
+    from pyspark.sql import Window
+
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
+        ) - 1
+
+    b = (hexval(1) * 16 + hexval(2)).cast("int")
+    w = (Window.partitionBy("bucket")
+         .orderBy(id_col, ord_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    end = F.sum(tok_col).over(w)
+    start = (end - F.col(tok_col)).cast("long")
+    pack_first = F.floor(start / budget).cast("long")
+    pack_last = F.floor((end - 1) / budget).cast("long")
+    return (chunks
+            .withColumn("bucket", b)
+            .select(id_col, ord_col, "bucket", tok_col,
+                    start.alias("start_off"),
+                    pack_first.alias("pack_first"),
+                    (start % budget).alias("off_in_pack"),
+                    F.when(F.col(tok_col) > 0,
+                           pack_last - pack_first + 1)
+                     .otherwise(F.lit(0)).cast("long")
+                     .alias("n_packs_spanned")))
+
+
+def pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: pack the chunked corpus (chunk_sequences output) and
+    report per bucket — chunk count, token total, pack count
+    (ceil(total/budget)), and how many chunks straddle a pack boundary.
+    Every value is an exact integer from a deterministic order, so the
+    DuckDB twin (same md5 bucket, same window cumsum) matches bit for
+    bit."""
+    chunks = chunk_sequences(_docs(spark, sf_dir).select("doc_id", "text"))
+    packed = pack_training_sequences(chunks)
+    return (packed.groupBy("bucket")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("chunk_tokens").alias("n_tokens"),
+                 F.sum((F.col("n_packs_spanned") > 1).cast("long"))
+                  .alias("n_straddlers"))
+            .withColumn("n_packs",
+                        F.ceil(F.col("n_tokens") / PACK_BUDGET)
+                         .cast("long"))
+            .select("bucket", "n_chunks", "n_tokens", "n_packs",
+                    "n_straddlers")
+            .orderBy("bucket"))
+
+
+# -- domain mixture to a token budget ----------------------------------------
+# The "data recipe" step (LLaMA / The Pile): given target domain
+# weights and a total token budget, derive per-domain epoch counts —
+# full repeats plus a deterministic md5-threshold keep rate for the
+# fractional last epoch (so an up-weighted domain repeats, a
+# down-weighted one subsamples; no rand() anywhere).
+
+MIX_BUDGET_TOKENS = 200_000
+MIX_TARGET_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("en", 0.40), ("zh", 0.10), ("es", 0.15), ("de", 0.15), ("fr", 0.20))
+MIX_MAX_EPOCHS = 4  # repeat cap (data-recipe hygiene: past ~4 epochs a
+#                     domain memorizes; the cap is mirrored in the twin)
+
+
+def domain_mixture_budget(docs: DataFrame,
+                          weights: tuple[tuple[str, float], ...]
+                          = MIX_TARGET_WEIGHTS,
+                          budget: int = MIX_BUDGET_TOKENS,
+                          lang_col: str = "lang") -> DataFrame:
+    """Per-domain mixture plan: token counts (whitespace tokens), the
+    target token allocation budget*w, epochs = min(cap, target/have)
+    split into full repeats + a 256-quantized fractional keep rate, and
+    the resulting planned token count. Domains absent from the weight
+    table get weight 0 (dropped from the mix — the report still shows
+    them).
+
+    Scale shape (10^12 docs): ONE map-side-combinable groupBy(domain)
+    token-count agg; everything after is arithmetic on the
+    domains-sized table (broadcast class). The plan's keep decision for
+    a doc (not materialized here) is the stateless md5-threshold rule
+    every sampler in this module uses.
+    """
+    spark = docs.sparkSession
+    wdf = F.broadcast(spark.createDataFrame(
+        list(weights), f"{lang_col} string, w double"))
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                           lambda x: x != ""))
+    counts = (docs.select(F.col(lang_col), toks.alias("__t"))
+              .groupBy(lang_col)
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("__t").alias("n_tokens")))
+    target = F.round(F.coalesce("w", F.lit(0.0)) * budget, 0).cast("long")
+    epochs = F.least(F.lit(float(MIX_MAX_EPOCHS)),
+                     target / F.col("n_tokens"))
+    full = F.floor(epochs).cast("long")
+    frac_rate = F.floor((epochs - full) * 256).cast("int")
+    return (counts.join(wdf, lang_col, "left")
+            .select(F.col(lang_col),
+                    "n_docs", "n_tokens",
+                    F.coalesce("w", F.lit(0.0)).alias("target_frac"),
+                    target.alias("target_tokens"),
+                    full.alias("full_epochs"),
+                    frac_rate.alias("frac_rate256"),
+                    (F.col("n_tokens") * full
+                     + F.floor(F.col("n_tokens") * frac_rate / 256)
+                        .cast("long")).alias("planned_tokens"))
+            .orderBy(lang_col))
+
+
+def mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: the domain mixture plan over the corpus langs."""
+    return domain_mixture_budget(
+        _docs(spark, sf_dir).select("lang", "text"))
