@@ -481,7 +481,7 @@ _DRIVER_PRIORITY = [
     # r6-new rows and rows whose semantics/plants changed in r6 lead;
     # long-green flagship + r5 inventory follows
     "curate_full", "embed_docs", "embed_kmeans_docs",
-    "embed_dedup_docs", "pack_report", "mix_budget",
+    "embed_dedup_docs", "pack_report", "mix_budget", "gopher_report",
     "robots_verdicts", "span_dedup_stats",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
@@ -558,6 +558,10 @@ def _queries_by_section() -> dict[
         "repetition_stats": textdata.repetition_stats,
         "pii_scrub": textdata.pii_scrub,                    # oracled:
         #   ROOTS-style PII redaction, twin generated from PII_PATTERNS
+        "gopher_report": textdata.gopher_report,            # oracled:
+        #   the complete Gopher appendix-A rule battery (word count,
+        #   mean length, symbol ratio, alpha frac, stopwords) with
+        #   planted rule-breakers; stateless narrow map, full twin
         "decontam": textdata.decontam,                      # oracled:
         #   benchmark decontamination — exact word-8-gram overlap vs a
         #   broadcast eval-set gram table; full twin in SQL

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "winnow_fingerprint",
     "quality_score",
+    "gopher_report",
     "repetition_stats",
     "line_dedup",
     "span_dedup_stats",

@@ -1736,6 +1736,12 @@ def test_robots_parse_and_verdicts(spark):
         ("f.example",
          "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\n"
          "Allow: /tmp/ok*\n"),
+        # crawl-delay: two merged star groups (min wins), junk value
+        # ignored, badbot's delay never leaks into the star set
+        ("g.example",
+         "User-agent: badbot\nCrawl-delay: 99\n\n"
+         "User-agent: *\nCrawl-delay: 10\nCrawl-delay: soon\n\n"
+         "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"),
     ], "host string, robots_txt string")
     rules = {r.host: r for r in parse_robots_star(robots).collect()}
     assert rules["a.example"].disallow_prefixes == ["/private", "/tmp/"]
@@ -1745,6 +1751,11 @@ def test_robots_parse_and_verdicts(spark):
     assert rules["c.example"].allow_prefixes == []
     assert rules["e.example"].disallow_prefixes == ["/private", "/tmp/"]
     assert rules["f.example"].disallow_prefixes == ["/*.pdf$", "/tmp/*"]
+    # Crawl-delay: min across merged star groups; non-numeric ignored;
+    # none declared (or only in other agents' groups) -> NULL
+    assert rules["g.example"].crawl_delay == 2.5
+    assert rules["a.example"].crawl_delay is None
+    assert rules["c.example"].crawl_delay is None
 
     urls = spark.createDataFrame([
         (0, "https://a.example/p/1"),          # no rule matches
@@ -2076,3 +2087,41 @@ def test_domain_mixture_budget_plan(spark):
     yy = got["yy"]
     assert (yy.target_frac, yy.target_tokens, yy.planned_tokens) \
         == (0.0, 0, 0)
+
+
+def test_gopher_rules_planted(spark):
+    """Each Gopher rule fires on its planted breaker and only there;
+    hand-recomputed signal values match; the empty doc keeps its
+    verdict row."""
+    from textextract_spark.operators.textdata import gopher_rules
+
+    good = ("the engine reads pages from the crawl and extracts the "
+            "main content that users want to keep with careful scoring "
+            "of every block so the boilerplate disappears and clean "
+            "text survives to be used for training models that have "
+            "good quality and consistent length in all of the many "
+            "cases that matter")
+    rows = [
+        (0, good),                                      # passes all
+        (1, "too short but the and of that be with"),   # word count
+        (2, " ".join(["supercalifragilistic"] * 60)
+            + " the of and"),                           # mean len high
+        (3, good + " " + "#" * 1 + (" #" * 30)),        # symbol ratio
+        (4, " ".join(["123"] * 60) + " the of and"),    # alpha frac
+        (5, " ".join(["alpha", "bravo"] * 30)),         # stopwords
+        (6, ""),                                        # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].ok_word_count and got[1].ok_stopwords
+    assert not got[2].ok_mean_len
+    assert not got[3].ok_symbol_ratio and got[3].ok_word_count
+    assert not got[4].ok_alpha
+    assert not got[5].ok_stopwords and got[5].ok_alpha
+    assert (got[6].n_words, got[6].gopher_pass) == (0, False)
+    # hand-check one signal set
+    ws = rows[4][1].split()
+    assert got[4].n_words == len(ws)
+    assert got[4].alpha_word_frac == round(3 / len(ws), 4)
+    assert not any(r.gopher_pass for r in got.values() if r.doc_id != 0)

@@ -2373,7 +2373,7 @@ def _robots_verdicts_oracle() -> str:
                        AS path
             FROM urls),
         scored AS (
-            SELECT u2.doc_id, u2.host, u2.path,
+            SELECT u2.doc_id, u2.host, u2.path, u2.cls,
                    CAST(COALESCE(MAX(CASE WHEN r.kind = 'al'
                             AND regexp_matches(u2.path, r.rx)
                             THEN r.l END), -1) AS INT) AS best_allow,
@@ -2381,9 +2381,15 @@ def _robots_verdicts_oracle() -> str:
                             AND regexp_matches(u2.path, r.rx)
                             THEN r.l END), -1) AS INT) AS best_disallow
             FROM u2 LEFT JOIN rules r ON u2.cls = r.cls
-            GROUP BY u2.doc_id, u2.host, u2.path)
+            GROUP BY u2.doc_id, u2.host, u2.path, u2.cls)
         SELECT doc_id, host, path, best_allow, best_disallow,
-               best_allow >= best_disallow AS allowed
+               best_allow >= best_disallow AS allowed,
+               -- per-class Crawl-delay literals: class 0 declares 2,
+               -- class 3 declares 7 and 3 across its two merged star
+               -- groups (min wins); other classes none
+               CASE WHEN cls = 0 THEN 2.0
+                    WHEN cls = 3 THEN 3.0
+                    ELSE -1.0 END AS crawl_delay
         FROM scored ORDER BY doc_id
     """
 
@@ -2824,3 +2830,82 @@ def _mix_budget_oracle() -> str:
 
 
 ORACLES["mix_budget"] = _mix_budget_oracle()
+
+
+def _gopher_report_oracle() -> str:
+    """GENERATED from textdata's GOPHER_* constants (twin of
+    textdata.gopher_report): same planted rule-breakers, same integer
+    counts, same single-division ratios and rule thresholds."""
+    from .textdata import (
+        GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+    from .textdata import gopher_report as _gr
+
+    import inspect
+    src = inspect.getsource(_gr)
+    # the planted docs are literal tuples inside the driver function;
+    # re-evaluate them here so the twin can never drift from the plants
+    ns: dict = {}
+    plants_src = src[src.index("plants = ["):src.index("]", src.index(
+        "plants = [")) + 1]
+    exec(plants_src, ns)  # noqa: S102 - own source, deterministic
+    prows = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in ns["plants"])
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES {prows}) AS p(doc_id, text)),
+        w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM all_docs),
+        m AS (
+            SELECT doc_id, text, ws, len(ws) AS n,
+                   COALESCE(list_sum(list_transform(ws,
+                       x -> length(x))), 0) AS chars,
+                   length(text) - length(replace(text, '#', ''))
+                       AS hashes,
+                   (length(text)
+                    - length(replace(text, '...', ''))) // 3
+                       AS ellipses,
+                   len(list_filter(ws,
+                       x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                   len(list_filter([{stop}],
+                       s -> list_contains(list_transform(ws,
+                           x -> lower(x)), s))) AS n_stop
+            FROM w),
+        r AS (
+            SELECT doc_id, n,
+                   CASE WHEN n > 0 THEN chars / n ELSE 0.0 END AS ml,
+                   CASE WHEN n > 0 THEN (hashes + ellipses) / n
+                        ELSE 0.0 END AS sr,
+                   CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS af,
+                   n_stop
+            FROM m)
+        SELECT doc_id, CAST(n AS INT) AS n_words,
+               round(ml, 4) AS mean_word_len,
+               round(sr, 4) AS symbol_word_ratio,
+               round(af, 4) AS alpha_word_frac,
+               CAST(n_stop AS INT) AS n_stopwords,
+               n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+                   AS ok_word_count,
+               ml >= {GOPHER_MIN_MEAN_LEN} AND ml <= {GOPHER_MAX_MEAN_LEN}
+                   AS ok_mean_len,
+               sr < {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+               af >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+               n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+               (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+               AND (ml >= {GOPHER_MIN_MEAN_LEN}
+                    AND ml <= {GOPHER_MAX_MEAN_LEN})
+               AND sr < {GOPHER_MAX_SYMBOL_RATIO}
+               AND af >= {GOPHER_MIN_ALPHA_FRAC}
+               AND n_stop >= {GOPHER_MIN_STOPWORDS} AS gopher_pass
+        FROM r ORDER BY doc_id
+    """
+
+
+ORACLES["gopher_report"] = _gopher_report_oracle()

@@ -1741,3 +1741,108 @@ def mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row: the domain mixture plan over the corpus langs."""
     return domain_mixture_budget(
         _docs(spark, sf_dir).select("lang", "text"))
+
+
+# -- the full Gopher quality rule set ----------------------------------------
+# Rae et al. 2021 (Gopher), Appendix A — the complete document-level
+# filter battery, complementing quality_score's thresholds and
+# repetition_stats' repetition signals. All counts are exact integers;
+# every ratio is one double division from identical integer inputs on
+# both engines, so the rule booleans cannot drift.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document verdicts for every Gopher appendix-A rule: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio ('#' and '...') < 0.1, >= 80% of words containing an
+    alphabetic char, and >= 2 distinct required stop words present —
+    plus the conjunction `gopher_pass`. One verdict row per input doc
+    (zero-word docs fail the word-count rule and report zeros, never
+    disappear).
+
+    Scale shape (10^12 docs): a STATELESS NARROW MAP — every signal is
+    an array/string expression over the row's own text (split once,
+    reused across signals); zero shuffle, no UDF, whole-stage codegen.
+    """
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(ws)
+    chars = F.aggregate(ws, F.lit(0).cast("long"),
+                        lambda a, w: a + F.length(w))
+    mean_len = F.when(n > 0, chars / n).otherwise(F.lit(0.0))
+    hashes = (F.length(text_col)
+              - F.length(F.replace(F.col(text_col), F.lit("#"),
+                                   F.lit(""))))
+    ellipses = F.floor(
+        (F.length(text_col)
+         - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit(""))))
+        / 3).cast("long")
+    sym_ratio = F.when(n > 0, (hashes + ellipses) / n).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    low = F.transform(ws, lambda w: F.lower(w))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(low, s)))
+    r_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_len = ((mean_len >= GOPHER_MIN_MEAN_LEN)
+             & (mean_len <= GOPHER_MAX_MEAN_LEN))
+    r_sym = sym_ratio < GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id", n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        r_words.alias("ok_word_count"), r_len.alias("ok_mean_len"),
+        r_sym.alias("ok_symbol_ratio"), r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_len & r_sym & r_alpha & r_stop)
+        .alias("gopher_pass"))
+
+
+def gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: the Gopher battery over the corpus plus planted
+    rule-breakers in the negative id range (disjoint from any corpus
+    id): -1 a symbol-laden doc, -2 all-numeric words, -3 stopword-free
+    text, -4 one-char words (mean length fails low) — so every rule
+    fires both ways at every sf (corpus docs under 50 words already
+    fail the count rule naturally)."""
+    plants = [
+        (-1, "the cost of #### compute ##### and ### memory be "
+             "measured with care that we have ... always ... known "
+             "#### ### #### ##### ### #### ### ##### ### #### ### "
+             "#### ### to of and that"),
+        (-2, "the 111 222 333 444 555 666 777 888 999 000 111 222 "
+             "333 444 555 666 777 888 999 000 111 222 333 444 555 "
+             "666 777 888 999 000 111 222 333 444 555 666 777 888 "
+             "999 000 be to of and that have with more 123 456"),
+        (-3, "alpha bravo charlie delta echo foxtrot golf hotel "
+             "india juliet kilo lima mike november oscar papa "
+             "quebec romeo sierra tango uniform victor whiskey xray "
+             "yankee zulu alpha bravo charlie delta echo foxtrot "
+             "golf hotel india juliet kilo lima mike november"),
+        (-4, " ".join("a b c d e f g h i j".split() * 6)
+             + " the of and that be"),
+        # -5 passes EVERY rule (the conjunction is non-vacuous both
+        # ways: the corpus word pool carries almost no stopwords, so
+        # without this plant gopher_pass would be uniformly false)
+        (-5, "the engine reads pages from the crawl and extracts the "
+             "main content that users want to keep with careful "
+             "scoring of every block so that boilerplate disappears "
+             "and the clean text survives to be packed into training "
+             "sequences that have consistent length and good quality "
+             "with all of the required stop words present"),
+    ]
+    pl = spark.createDataFrame(plants, "doc_id long, text string")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(pl)
+    return gopher_rules(docs).orderBy("doc_id")

@@ -465,7 +465,18 @@ def parse_robots_star(robots: DataFrame, host_col: str = "host",
             " AND trim(substring(element_at(__ls, i), 10)) != ''"
             f" AND {in_star}),"
             " i -> trim(substring(element_at(__ls, i), 10)))")
-         .alias("disallow_prefixes"))
+         .alias("disallow_prefixes"),
+        # Crawl-delay (the Bing/Yandex extension): across all merged
+        # star groups take the MINIMUM numeric value — the most
+        # conservative politeness wins; unparsable values are ignored,
+        # no directive -> NULL
+        F.expr(
+            "array_min(transform(filter(sequence(1, size(__ls)),"
+            " i -> startswith(lower(element_at(__ls, i)), 'crawl-delay:')"
+            f" AND {in_star}),"
+            " i -> try_cast(trim(substring(element_at(__ls, i), 13))"
+            " AS DOUBLE)))")
+         .alias("crawl_delay"))
 
 
 # Java-and-RE2-shared regex metachars a robots rule value must have
@@ -524,7 +535,8 @@ def robots_allowed(urls_df: DataFrame, rules: DataFrame,
 
     compiled = rules.select(
         F.col("host"), rx_structs("allow_prefixes").alias("__arx"),
-        rx_structs("disallow_prefixes").alias("__drx"))
+        rx_structs("disallow_prefixes").alias("__drx"),
+        F.col("crawl_delay"))
     best = ("coalesce(array_max(transform(filter(%s, r ->"
             " regexp_like(path, r.rx)), r -> r.l)), -1)")
     return (urls_df
@@ -580,14 +592,16 @@ def _synth_robots(spark: SparkSession, sf_dir: str):
     body = (
         F.when(hk % 5 == 0, F.lit(
             "User-agent: badbot\nDisallow: /\n\nUser-agent: *\n"
-            "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp/\n"))
+            "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp/\n"
+            "Crawl-delay: 2\n"))
         .when(hk % 5 == 1, F.lit(
             "User-agent: *\nDisallow:\n"))
         .when(hk % 5 == 2, F.lit("User-agent: badbot\nDisallow: /\n"))
         .when(hk % 5 == 3, F.lit(
             "User-agent: badbot\nUser-agent: *\nDisallow: /private\n"
-            "Allow: /private/ok\n\nUser-agent: goodbot\nDisallow: /\n\n"
-            "User-agent: *\nDisallow: /tmp/\n"))
+            "Allow: /private/ok\nCrawl-delay: 7\n\n"
+            "User-agent: goodbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 3\n"))
         .otherwise(F.lit(
             "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\n"
             "Allow: /tmp/z1*\n")))
@@ -604,7 +618,12 @@ def robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls_df, robots = _synth_robots(spark, sf_dir)
     return (robots_allowed(urls_df, parse_robots_star(robots))
             .select("doc_id", "host", "path", "best_allow",
-                    "best_disallow", "allowed")
+                    "best_disallow", "allowed",
+                    # -1 = no Crawl-delay directive: the driver compare
+                    # (and some comparators generally) conflate float
+                    # NULL with NaN, so the row never emits NULL floats
+                    F.coalesce("crawl_delay", F.lit(-1.0))
+                     .alias("crawl_delay"))
             .orderBy("doc_id"))
 
 
