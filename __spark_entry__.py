@@ -482,7 +482,8 @@ _DRIVER_PRIORITY = [
     # long-green flagship + r5 inventory follows
     "curate_full", "embed_docs", "embed_kmeans_docs",
     "embed_dedup_docs", "pack_report", "mix_budget", "gopher_report",
-    "robots_verdicts", "span_dedup_stats",
+    "robots_verdicts", "robots_sitemaps", "recrawl_schedule",
+    "span_dedup_stats",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
     "embedding_dedup",
@@ -649,9 +650,15 @@ def _queries_by_section() -> dict[
         #   crawl-cycle snapshot delta (added/removed/changed) via one
         #   payload-free full-outer digest join, full twin
         "robots_verdicts": urls.robots_verdicts,            # oracled:
-        #   robots.txt politeness — star-group prefix rules parsed
-        #   with pure array exprs, longest-match/Allow-ties verdict
-        #   per frontier url via one broadcast join, full twin
+        #   RFC 9309 robots politeness — stacked/merged star groups,
+        #   wildcard/$ rules, pattern-length precedence, crawl-delay;
+        #   verdict per frontier url via one broadcast join, full twin
+        "robots_sitemaps": urls.robots_sitemaps,            # oracled:
+        #   group-independent Sitemap: discovery (frontier seeding),
+        #   exploded scalar rows, literal per-class twin
+        "recrawl_schedule": urls.recrawl_schedule,          # oracled:
+        #   per-host change-rate recrawl priorities composed on the
+        #   snapshot-diff cycles; one host agg, full twin
         "host_cap": urls.host_cap,                          # oracled:
         #   per-domain doc cap — exact two-level distributed top-N
         #   (no window over the hot host); twin uses DuckDB row_number

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "dsir_sample",
     "robots_verdicts",
+    "robots_sitemaps",
+    "recrawl_schedule",
     "anchor_terms",
     "crawl_diff",
     "link_graph",

@@ -2125,3 +2125,52 @@ def test_gopher_rules_planted(spark):
     assert got[4].n_words == len(ws)
     assert got[4].alpha_word_frac == round(3 / len(ws), 4)
     assert not any(r.gopher_pass for r in got.values() if r.doc_id != 0)
+
+
+def test_parse_sitemaps_group_independent(spark):
+    """Sitemap: lines apply regardless of User-agent sections — above
+    groups, inside other agents' groups, and inside the star group all
+    collect, in file order; empty values drop; hosts without a line
+    get an empty list."""
+    from textextract_spark.operators.urls import parse_sitemaps
+
+    robots = spark.createDataFrame([
+        ("a.example",
+         "Sitemap: https://a.example/top.xml\n"
+         "User-agent: badbot\nDisallow: /\n"
+         "sitemap: https://a.example/inner.xml\n"
+         "User-agent: *\nDisallow: /x\n"
+         "SITEMAP: https://cdn.example/star.xml\nSitemap:\n"),
+        ("b.example", "User-agent: *\nDisallow:\n"),
+    ], "host string, robots_txt string")
+    got = {r.host: r.sitemaps for r in parse_sitemaps(robots).collect()}
+    assert got["a.example"] == ["https://a.example/top.xml",
+                                "https://a.example/inner.xml",
+                                "https://cdn.example/star.xml"]
+    assert got["b.example"] == []
+
+
+def test_recrawl_priority_buckets(spark):
+    """Priority buckets on a hand-built diff: an all-churn host goes
+    high, a mildly-changing one medium, a static one low; counts and
+    rates recomputed by hand."""
+    from textextract_spark.operators.urls import recrawl_priority
+
+    rows = (
+        [("https://hot.example/p/%d" % i, "changed") for i in range(6)]
+        + [("https://hot.example/p/x", "added")]
+        + [("https://mid.example/p/%d" % i, "unchanged")
+           for i in range(8)]
+        + [("https://mid.example/p/8", "removed")]
+        + [("https://cold.example/p/%d" % i, "unchanged")
+           for i in range(5)])
+    diff = spark.createDataFrame(rows, "url string, status string")
+    got = {r.host: r for r in recrawl_priority(diff).collect()}
+    hot = got["hot.example"]
+    assert (hot.n_urls, hot.n_changed, hot.n_added) == (7, 6, 1)
+    assert (hot.change_rate, hot.priority) == (1.0, "high")
+    mid = got["mid.example"]
+    assert (mid.n_removed, mid.change_rate, mid.priority) \
+        == (1, round(1 / 9, 4), "medium")
+    assert (got["cold.example"].change_rate,
+            got["cold.example"].priority) == (0.0, "low")

@@ -2909,3 +2909,78 @@ def _gopher_report_oracle() -> str:
 
 
 ORACLES["gopher_report"] = _gopher_report_oracle()
+
+
+# sitemap discovery twin (urls.robots_sitemaps): Sitemap: lines are
+# class constants in the synthesized robots corpus — class 1 declares
+# one, class 4 declares two (one ABOVE any group, one inside: the
+# directive is group-independent); classes 0/2/3 none.
+ORACLES["robots_sitemaps"] = """
+    WITH hosts AS (
+        SELECT 's' || CAST(k AS VARCHAR) || '.example' AS host,
+               CAST(k % 5 AS INT) AS cls
+        FROM (SELECT unnest(range(0, 11)) AS k)),
+    sm AS (
+        SELECT host, 0 AS pos,
+               'https://cdn.example/sitemap-news.xml' AS sitemap
+        FROM hosts WHERE cls = 1
+        UNION ALL
+        SELECT host, 0, 'https://cdn.example/s1.xml'
+        FROM hosts WHERE cls = 4
+        UNION ALL
+        SELECT host, 1, 'https://cdn.example/s2.xml'
+        FROM hosts WHERE cls = 4)
+    SELECT host, CAST(pos AS INT) AS pos, sitemap
+    FROM sm ORDER BY host, pos
+"""
+
+
+# recrawl scheduling twin (urls.recrawl_schedule): the crawl_diff twin's
+# cycles re-aggregated per host with the same rate/priority thresholds.
+ORACLES["recrawl_schedule"] = """
+    WITH old AS (
+        SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               md5(text) AS od
+        FROM documents),
+    new AS (
+        SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 17 = 5 THEN md5(text || 'v2')
+                    ELSE md5(text) END AS nd
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT 'https://s' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example/new/' || CAST(doc_id AS VARCHAR) AS url,
+               md5('new:' || text) AS nd
+        FROM documents WHERE doc_id % 17 = 7),
+    d AS (
+        SELECT COALESCE(old.url, new.url) AS url,
+               CASE WHEN od IS NULL THEN 'added'
+                    WHEN nd IS NULL THEN 'removed'
+                    WHEN od = nd THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.url = new.url),
+    h AS (
+        SELECT lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1))
+                   AS host, status
+        FROM d),
+    agg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed
+        FROM h GROUP BY host)
+    SELECT host, n_urls, n_changed, n_added, n_removed,
+           round((n_changed + n_added + n_removed) / n_urls, 4)
+               AS change_rate,
+           CASE WHEN (n_changed + n_added + n_removed) / n_urls >= 0.5
+                THEN 'high'
+                WHEN (n_changed + n_added + n_removed) / n_urls >= 0.1
+                THEN 'medium'
+                ELSE 'low' END AS priority
+    FROM agg ORDER BY host
+"""

@@ -595,7 +595,8 @@ def _synth_robots(spark: SparkSession, sf_dir: str):
             "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp/\n"
             "Crawl-delay: 2\n"))
         .when(hk % 5 == 1, F.lit(
-            "User-agent: *\nDisallow:\n"))
+            "User-agent: *\nDisallow:\n"
+            "Sitemap: https://cdn.example/sitemap-news.xml\n"))
         .when(hk % 5 == 2, F.lit("User-agent: badbot\nDisallow: /\n"))
         .when(hk % 5 == 3, F.lit(
             "User-agent: badbot\nUser-agent: *\nDisallow: /private\n"
@@ -603,8 +604,9 @@ def _synth_robots(spark: SparkSession, sf_dir: str):
             "User-agent: goodbot\nDisallow: /\n\n"
             "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 3\n"))
         .otherwise(F.lit(
+            "Sitemap: https://cdn.example/s1.xml\n"
             "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\n"
-            "Allow: /tmp/z1*\n")))
+            "Allow: /tmp/z1*\nSitemap: https://cdn.example/s2.xml\n")))
     robots = spark.range(11).select(
         F.concat(F.lit("s"), hk.cast("string"), F.lit(".example"))
          .alias("host"),
@@ -780,3 +782,75 @@ def host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row: degree summary over the planted-link host graph
     (same corpus as link_graph / host_pagerank)."""
     return host_degrees(host_link_graph(_linked_pages(spark, sf_dir)))
+
+
+def parse_sitemaps(robots: DataFrame, host_col: str = "host",
+                   body_col: str = "robots_txt") -> DataFrame:
+    """Per-host sitemap URL list from ``Sitemap:`` lines — which are
+    GROUP-INDEPENDENT per the sitemaps protocol (they apply regardless
+    of any User-agent section), so this is a plain line filter, in
+    file order, empty values dropped. Stateless narrow map over the
+    robots table; the output seeds the crawl frontier.
+
+    Returns (host, sitemaps array<string>)."""
+    return (robots
+            .withColumn("__ls", F.expr(
+                f"transform(split({body_col}, '\\n'), x -> trim(x))"))
+            .select(
+                F.col(host_col).alias("host"),
+                F.expr(
+                    "transform(filter(__ls,"
+                    " x -> startswith(lower(x), 'sitemap:')"
+                    " AND trim(substring(x, 9)) != ''),"
+                    " x -> trim(substring(x, 9)))").alias("sitemaps")))
+
+
+def robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: discovered sitemap URLs over the synthesized robots
+    corpus, one (host, pos, sitemap) row per entry (exploded — scalar
+    columns keep the driver's value-hash comparator on known ground);
+    hosts with no Sitemap line contribute no rows."""
+    _, robots = _synth_robots(spark, sf_dir)
+    return (parse_sitemaps(robots)
+            .select("host", F.posexplode("sitemaps")
+                    .alias("pos", "sitemap"))
+            .orderBy("host", "pos"))
+
+
+def recrawl_priority(diff: DataFrame) -> DataFrame:
+    """Per-host recrawl scheduling from a snapshot_diff report: change
+    activity (changed + added + removed over total) drives the
+    priority bucket a frontier scheduler feeds back into crawl
+    frequency — hosts churning content get recrawled sooner, static
+    hosts decay. Buckets: high >= 0.5, medium >= 0.1, else low.
+
+    Scale shape: host extraction is a stateless expression over the
+    (url, status) report; ONE map-side-combinable host aggregation —
+    hosts are the skewed key, so a groupBy, never a window."""
+    host = F.lower(F.regexp_extract(F.col("url"),
+                                    r"^[a-z]+://([^/:?#]+)", 1))
+    agg = (diff.select(host.alias("host"), "status")
+           .groupBy("host")
+           .agg(F.count("*").alias("n_urls"),
+                F.sum((F.col("status") == "changed").cast("long"))
+                 .alias("n_changed"),
+                F.sum((F.col("status") == "added").cast("long"))
+                 .alias("n_added"),
+                F.sum((F.col("status") == "removed").cast("long"))
+                 .alias("n_removed")))
+    rate = ((F.col("n_changed") + F.col("n_added") + F.col("n_removed"))
+            / F.col("n_urls"))
+    prio = (F.when(rate >= 0.5, F.lit("high"))
+            .when(rate >= 0.1, F.lit("medium"))
+            .otherwise(F.lit("low")))
+    return (agg.select("host", "n_urls", "n_changed", "n_added",
+                       "n_removed", F.round(rate, 4).alias("change_rate"),
+                       prio.alias("priority"))
+            .orderBy("host"))
+
+
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: recrawl priorities over the crawl_diff cycles (the
+    %17 residue construction concentrates churn unevenly across the 11
+    hosts, so the buckets split non-vacuously at every sf)."""
+    return recrawl_priority(crawl_diff(spark, sf_dir))
