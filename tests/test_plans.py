@@ -437,3 +437,24 @@ def test_pack_window_only_over_synthetic_bucket(spark, sf_dir):
     # partition spec prints as "], [bucket#N], [doc_id ... ORDER]"
     assert re.search(r"\], \[bucket#\d+\], \[doc_id#", wline), \
         f"window must partition by the synthetic bucket:\n{wline}"
+
+
+def test_embed_dedup_pairs_join_on_cluster_key(spark, sf_dir):
+    """The SemDeDup pair stage must join ON THE CLUSTER KEY (the
+    published design: pairwise comparison only within k-means
+    clusters) — no cartesian product, no broadcast nested loop, no
+    window; the assignment side scores literal centroids (no centroid
+    join)."""
+    from textextract_spark.operators import learned
+    p = _plan(spark, learned.embed_dedup_docs(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    joins = [ln for ln in p.splitlines()
+             if any(j in ln for j in ("SortMergeJoin", "ShuffledHashJoin",
+                                      "BroadcastHashJoin"))]
+    # every equi-join keys on __k (the pair stage) or doc_id (the
+    # label join-back / CC iterations)
+    for ln in joins:
+        assert "__k" in ln or "doc_id" in ln or "src" in ln \
+            or "cluster_id" in ln, f"join off the expected keys:\n{ln}"
