@@ -2835,7 +2835,9 @@ ORACLES["mix_budget"] = _mix_budget_oracle()
 def _gopher_report_oracle() -> str:
     """GENERATED from textdata's GOPHER_* constants (twin of
     textdata.gopher_report): same planted rule-breakers, same integer
-    counts, same single-division ratios and rule thresholds."""
+    counts, same single-division ratios and rule thresholds; the
+    has-alpha predicate is lower(w) <> upper(w) on both engines (a
+    cased-character test — unicode-general, pure string ops)."""
     from .textdata import (
         GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
         GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
@@ -2873,7 +2875,7 @@ def _gopher_report_oracle() -> str:
                     - length(replace(text, '...', ''))) // 3
                        AS ellipses,
                    len(list_filter(ws,
-                       x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                       x -> lower(x) <> upper(x))) AS alpha,
                    len(list_filter([{stop}],
                        s -> list_contains(list_transform(ws,
                            x -> lower(x)), s))) AS n_stop
