@@ -481,7 +481,8 @@ _DRIVER_PRIORITY = [
     # r6-new rows and rows whose semantics/plants changed in r6 lead;
     # long-green flagship + r5 inventory follows
     "curate_full", "embed_docs", "embed_kmeans_docs",
-    "embed_dedup_docs", "pack_report", "mix_budget", "gopher_report",
+    "embed_dedup_docs", "pack_report", "pack_texts", "mix_budget",
+    "gopher_report",
     "robots_verdicts", "robots_sitemaps", "recrawl_schedule",
     "span_dedup_stats",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
@@ -579,6 +580,9 @@ def _queries_by_section() -> dict[
         "chunk_docs": textdata.chunk_docs,                  # oracled:
         #   training-sequence chunking (overlapping stride windows over
         #   the whitespace-token stream), full chunk_text twin in SQL
+        "pack_texts": textdata.pack_texts,                  # oracled:
+        #   the MATERIALIZED packed sequences — byte-exact pack_text
+        #   per (bucket, pack) under the hash gate (end-to-end packing)
         "pack_report": textdata.pack_report,                # oracled:
         #   GPT-style concat-and-split sequence packing inside fixed-
         #   cardinality md5 buckets; per-bucket integer pack/straddle

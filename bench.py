@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "decontam",
     "chunk_docs",
     "pack_report",
+    "pack_texts",
     "mix_budget",
     "bigram_pmi",
     "bm25_topk",

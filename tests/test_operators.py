@@ -2174,3 +2174,46 @@ def test_recrawl_priority_buckets(spark):
         == (1, round(1 / 9, 4), "medium")
     assert (got["cold.example"].change_rate,
             got["cold.example"].priority) == (0.0, "low")
+
+
+def test_pack_sequences_text_matches_python(spark):
+    """The materialized packs must equal a pure-Python concat-and-split
+    of each bucket's chunk token stream: byte-identical text, exact
+    budget-sized packs except each bucket's last."""
+    import hashlib
+
+    from textextract_spark.operators.textdata import pack_sequences_text
+
+    rows = []
+    for doc in range(15):
+        for c in range(doc % 3 + 1):
+            toks = [f"w{doc}_{c}_{i}" for i in range((doc * 5 + c) % 9)]
+            rows.append((doc, c, " ".join(toks)))
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, chunk_text string")
+    budget = 7
+    got = {(r.bucket, r.pack): r for r in
+           pack_sequences_text(chunks, budget=budget).collect()}
+
+    def bucket(doc):
+        h = hashlib.md5(str(doc).encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    streams: dict = {}
+    for doc, c, text in sorted(rows):
+        streams.setdefault(bucket(doc), []).extend(
+            t for t in text.split() if t)
+    want = {}
+    for b, toks in streams.items():
+        for p in range(0, (len(toks) + budget - 1) // budget):
+            want[(b, p)] = toks[p * budget:(p + 1) * budget]
+    assert set(got) == {k for k, v in want.items() if v}
+    for key, toks in want.items():
+        if not toks:
+            continue
+        r = got[key]
+        assert r.pack_text == " ".join(toks), key
+        assert r.n_tokens == len(toks)
+        # only a bucket's LAST pack may be short
+        if len(toks) < budget:
+            assert key[1] == max(p for b, p in want if b == key[0])

@@ -2986,3 +2986,64 @@ ORACLES["recrawl_schedule"] = """
                 ELSE 'low' END AS priority
     FROM agg ORDER BY host
 """
+
+
+def _pack_texts_oracle() -> str:
+    """GENERATED from the chunk/pack constants (twin of
+    textdata.pack_texts): rebuild the chunk token lists, the md5
+    bucket, the within-bucket cumsum, the per-pack slice arithmetic,
+    and the ordered flatten + space join — byte-exact pack_text."""
+    from .textdata import CHUNK_MAX_TOKENS, CHUNK_STRIDE, PACK_BUDGET as B
+
+    bkt = ("(instr('0123456789abcdef',"
+           " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+           " + (instr('0123456789abcdef',"
+           " substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(s.start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+                   toks[s.start + 1 : s.start + {CHUNK_MAX_TOKENS}]
+                       AS ctoks
+            FROM sized, LATERAL unnest(generate_series(
+                     0, greatest(n - 1, 0), {CHUNK_STRIDE})) AS s(start)),
+        bk AS (
+            SELECT doc_id, chunk_id, ctoks,
+                   CAST({bkt} AS INT) AS bucket
+            FROM chunks),
+        cum AS (
+            SELECT bucket, ctoks,
+                   sum(len(ctoks)) OVER (
+                       PARTITION BY bucket ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) AS e
+            FROM bk),
+        spans AS (
+            SELECT bucket, ctoks, e - len(ctoks) AS s, e
+            FROM cum WHERE e > e - len(ctoks)),
+        contrib AS (
+            SELECT bucket, CAST(p.pack AS INT) AS pack,
+                   greatest(p.pack * {B}, s) AS lo,
+                   ctoks[CAST(greatest(p.pack * {B}, s) - s + 1 AS INT) :
+                         CAST(least((p.pack + 1) * {B}, e) - s AS INT)]
+                       AS part
+            FROM spans, LATERAL unnest(generate_series(
+                     CAST(s // {B} AS BIGINT),
+                     CAST((e - 1) // {B} AS BIGINT))) AS p(pack)),
+        packs AS (
+            SELECT bucket, pack,
+                   flatten(list(part ORDER BY lo)) AS ptoks
+            FROM contrib GROUP BY bucket, pack)
+        SELECT bucket, pack,
+               CAST(len(ptoks) AS INT) AS n_tokens,
+               array_to_string(ptoks, ' ') AS pack_text
+        FROM packs ORDER BY bucket, pack
+    """
+
+
+ORACLES["pack_texts"] = _pack_texts_oracle()

@@ -1856,3 +1856,77 @@ def gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl = spark.createDataFrame(plants, "doc_id long, text string")
     docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(pl)
     return gopher_rules(docs).orderBy("doc_id")
+
+
+def pack_sequences_text(chunks: DataFrame,
+                        budget: int = PACK_BUDGET,
+                        id_col: str = "doc_id",
+                        ord_col: str = "chunk_id",
+                        text_col: str = "chunk_text") -> DataFrame:
+    """Materialize the PACKED SEQUENCES themselves — the trainer-facing
+    artifact: within each md5 bucket the chunk token streams are
+    concatenated in (doc id, chunk order) and cut every ``budget``
+    tokens; a chunk straddling a boundary contributes its token slices
+    to each pack it spans. Returns one row per (bucket, pack) with the
+    exact token count and the space-joined sequence text — every pack
+    holds exactly ``budget`` tokens except each bucket's last.
+
+    Scale shape: the same fixed-cardinality-bucket window cumsum as
+    pack_training_sequences, then a per-chunk explode over the <= 2-3
+    packs it spans (slice arithmetic, narrow), and ONE (bucket, pack)
+    aggregation whose per-key state is bounded by the budget itself
+    (a pack holds at most ``budget`` tokens by construction) — the
+    sort_array(collect_list) per pack is therefore bounded state, not
+    a hot-key window."""
+    from pyspark.sql import Window
+
+    def hexval(i):
+        return F.expr(
+            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
+        ) - 1
+
+    b = (hexval(1) * 16 + hexval(2)).cast("int")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != "")
+    base = chunks.select(F.col(id_col), F.col(ord_col),
+                         toks.alias("__tk"),
+                         b.alias("bucket"))
+    w = (Window.partitionBy("bucket")
+         .orderBy(id_col, ord_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.size("__tk")
+    end = F.sum(n).over(w)
+    base = base.select("bucket", "__tk",
+                       (end - n).cast("long").alias("__s"),
+                       end.cast("long").alias("__e"))
+    packs = F.sequence(F.floor(F.col("__s") / budget).cast("int"),
+                       F.floor((F.col("__e") - 1) / budget).cast("int"))
+    c = (base.filter(F.col("__e") > F.col("__s"))
+         .select("bucket", "__tk", "__s",
+                 F.explode(packs).alias("pack")))
+    lo = F.greatest(F.col("pack").cast("long") * budget, F.col("__s"))
+    hi = F.least((F.col("pack") + 1).cast("long") * budget,
+                 F.col("__s") + F.size("__tk"))
+    part = F.slice(F.col("__tk"), (lo - F.col("__s") + 1).cast("int"),
+                   (hi - lo).cast("int"))
+    return (c.select("bucket", "pack", lo.alias("__lo"),
+                     part.alias("__part"))
+            .groupBy("bucket", "pack")
+            .agg(F.aggregate(
+                     F.sort_array(F.collect_list(
+                         F.struct(F.col("__lo"), F.col("__part")))),
+                     F.expr("CAST(array() AS array<string>)"),
+                     lambda acc, s: F.concat(acc, s["__part"]))
+                 .alias("__toks"))
+            .select("bucket", "pack",
+                    F.size("__toks").alias("n_tokens"),
+                    F.array_join("__toks", " ").alias("pack_text"))
+            .orderBy("bucket", "pack"))
+
+
+def pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row: the materialized packed sequences over the chunked
+    corpus — byte-exact pack_text per (bucket, pack) under the hash
+    gate, proving the full concat-and-split semantics end to end."""
+    chunks = chunk_sequences(_docs(spark, sf_dir).select("doc_id", "text"))
+    return pack_sequences_text(chunks)
