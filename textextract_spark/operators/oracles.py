@@ -1752,13 +1752,15 @@ def _curate_full_oracle() -> str:
         v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bc),
         lp AS (
             SELECT k.url,
-                   log2((COALESCE(bc.bc, 0) + 1)
-                        / (COALESCE(uc.uc, 0) + v.v)) AS lp
+                   CAST(round(log2((COALESCE(bc.bc, 0) + 1)
+                        / (COALESCE(uc.uc, 0) + v.v)) * 1000000, 0)
+                        AS BIGINT) AS lpu
             FROM kbg k
             LEFT JOIN bc ON k.bg = bc.bg
             LEFT JOIN uc ON substr(k.bg, 1, 1) = uc.c1
             CROSS JOIN v),
-        h AS (SELECT url, -avg(lp) AS h FROM lp GROUP BY url),
+        h AS (SELECT url, -(sum(lpu) / (count(*) * 1000000.0)) AS h
+              FROM lp GROUP BY url),
         pb AS (
             SELECT url,
                    CASE WHEN power(2, h) <= {PPL_HEAD_MAX} THEN 'head'
@@ -1827,16 +1829,19 @@ def _char_lm_ppl_oracle() -> str:
             FROM bc GROUP BY 1),
         v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM bc),
         lp AS (
+            -- int64 micro-unit quantization: the per-doc sum is exact
+            -- integer addition, order-independent on both engines
             SELECT b.doc_id,
-                   log2((COALESCE(bc.bc, 0) + 1)
-                        / (COALESCE(uc.uc, 0) + v.v)) AS lp
+                   CAST(round(log2((COALESCE(bc.bc, 0) + 1)
+                        / (COALESCE(uc.uc, 0) + v.v)) * 1000000, 0)
+                        AS BIGINT) AS lpu
             FROM bg b
             LEFT JOIN bc ON b.bg = bc.bg
             LEFT JOIN uc ON substr(b.bg, 1, 1) = uc.c1
             CROSS JOIN v),
         h AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   -avg(lp) AS h
+                   -(sum(lpu) / (count(*) * 1000000.0)) AS h
             FROM lp GROUP BY doc_id)
         SELECT doc_id, n_bigrams,
                round(h, 4) AS cross_entropy,

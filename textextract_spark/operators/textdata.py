@@ -1323,6 +1323,11 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
     v = bg_counts.select(
         F.countDistinct(F.substring("bg", 2, 1)).alias("v"))
 
+    # per-bigram log-probs quantized to int64 MICRO-UNITS before the
+    # per-doc sum (r6 — the dsir_doc_weights / lr_train pattern): an
+    # avg() over raw doubles is summation-order-dependent and can flip
+    # the round-4 sync point by an ulp between engines; integer sums
+    # cannot. The mean is then the single float step per doc.
     scored = (bigrams(docs, keep=("doc_id",))
               .join(F.broadcast(bg_counts), "bg", "left")
               .withColumn("c1", F.substring("bg", 1, 1))
@@ -1330,12 +1335,14 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
               .crossJoin(F.broadcast(v))
               .select(
                   "doc_id",
-                  (F.log2((F.coalesce("bc", F.lit(0)) + 1)
-                          / (F.coalesce("uc", F.lit(0)) + F.col("v"))))
-                  .alias("lp"))
+                  F.round(F.log2((F.coalesce("bc", F.lit(0)) + 1)
+                                 / (F.coalesce("uc", F.lit(0))
+                                    + F.col("v"))) * 1_000_000, 0)
+                  .cast("long").alias("__lpu"))
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_bigrams"),
-                   (-F.avg("lp")).alias("__h")))
+                   (-(F.sum("__lpu")
+                      / (F.count("*") * 1_000_000.0))).alias("__h")))
     ppl = F.pow(F.lit(2.0), F.col("__h"))
     bucket = (F.when(ppl <= PPL_HEAD_MAX, F.lit("head"))
               .when(ppl <= PPL_MIDDLE_MAX, F.lit("middle"))
