@@ -2037,12 +2037,15 @@ def _bm25_topk_oracle() -> str:
             GROUP BY doc_id, dl, w),
         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
         contrib AS (
+            -- int64 micro-unit quantization: per-doc sum is exact
             SELECT doc_id,
-                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   CAST(round((ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                                  / (df + 0.5))
                    * tf * ({k1} + 1.0)
-                   / (tf + {k1} * ((1.0 - {b}) + {b} * dl / avgdl)) AS s
+                   / (tf + {k1} * ((1.0 - {b}) + {b} * dl / avgdl)))
+                   * 1000000, 0) AS BIGINT) AS su
             FROM tf JOIN dfreq USING (w) CROSS JOIN stats)
-        SELECT doc_id, round(sum(s), 4) AS score,
+        SELECT doc_id, round(sum(su) / 1000000.0, 4) AS score,
                count(*) AS n_terms
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}

@@ -74,16 +74,22 @@ def bm25_search(docs: DataFrame, query: tuple[str, ...],
     dfreq = tf.groupBy("w").agg(F.count("*").alias("__df"))
     idf = F.log(1.0 + (F.col("__n").cast("double") - F.col("__df") + 0.5)
                 / (F.col("__df") + 0.5))
+    # per-term contributions quantized to int64 micro-units before the
+    # per-doc sum (r6, the dsir/char-LM pattern): a sum of raw doubles
+    # is summation-order-dependent and can flip the round-4 cut by an
+    # ulp between engines; integer sums cannot
     contrib = (tf.join(F.broadcast(dfreq), "w")
                .crossJoin(F.broadcast(stats))
                .select("doc_id",
-                       (idf * F.col("__tf") * (k1 + 1.0)
-                        / (F.col("__tf")
-                           + k1 * ((1.0 - b)
-                                   + b * F.col("__dl")
-                                   / F.col("__avgdl")))).alias("__s")))
+                       F.round((idf * F.col("__tf") * (k1 + 1.0)
+                                / (F.col("__tf")
+                                   + k1 * ((1.0 - b)
+                                           + b * F.col("__dl")
+                                           / F.col("__avgdl"))))
+                               * 1_000_000, 0)
+                        .cast("long").alias("__su")))
     return (contrib.groupBy("doc_id")
-            .agg(F.round(F.sum("__s"), 4).alias("score"),
+            .agg(F.round(F.sum("__su") / 1_000_000.0, 4).alias("score"),
                  F.count("*").alias("n_terms"))
             .orderBy(F.desc("score"), "doc_id")
             .limit(top_k))
