@@ -1489,15 +1489,25 @@ def test_pagerank_hosts_reference(spark):
     for s, _, n in raw:
         out[s] = out.get(s, 0) + n
     nodes = {s for s, _, _ in raw} | {t for _, t, _ in raw}
-    rank = {v: 1.0 for v in nodes}
+    # the r6 exact micro-unit schedule: per-edge contributions are
+    # re-quantized, per-node sums are exact integers. Half-up rounding
+    # (floor(x + .5) on the positive values here) — Python's round()
+    # is banker's and would diverge from Spark/DuckDB on a .5 boundary
+    import math as _m
+
+    def r_half_up(x):
+        return _m.floor(x + 0.5)
+
+    rank = {v: 1_000_000 for v in nodes}
     for _ in range(3):
-        contrib = {v: 0.0 for v in nodes}
+        contrib = {v: 0 for v in nodes}
         for s, t, n in raw:
-            contrib[t] += rank[s] * n / out[s]
-        rank = {v: 0.15 + 0.85 * contrib[v] for v in nodes}
+            contrib[t] += r_half_up(rank[s] * n / out[s])
+        rank = {v: 150_000 + r_half_up(0.85 * contrib[v])
+                for v in nodes}
     assert set(got) == nodes
     for v in nodes:
-        assert abs(got[v] - round(rank[v], 4)) < 1e-9, (v, got[v], rank[v])
+        assert got[v] == round(rank[v] / 1_000_000, 4), (v, got[v])
     # dangling sink d keeps only what flows in; no rank is invented
     assert got["d"] < got["b"]
 

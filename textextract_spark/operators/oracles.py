@@ -1974,40 +1974,46 @@ ORACLES["link_graph"] = f"""
 
 def _host_pagerank_oracle() -> str:
     """GENERATED from urls' PageRank constants (twin of
-    urls.host_pagerank): the same 3 iterations unrolled as CTEs over
-    the same edge fractions; init rank 1.0, dangling nodes keep the
-    (1-d) base."""
+    urls.host_pagerank): the same 3 iterations unrolled as CTEs, each
+    in exact int64 MICRO-UNITS — per edge round(rank_u * n_links / o),
+    exact per-dst sum, re-quantized damping step — so every round is
+    summation-order-independent on both engines; init 1e6, dangling
+    nodes keep the (1-d) base."""
     from .urls import PAGERANK_DAMPING, PAGERANK_ITERS
 
     d = PAGERANK_DAMPING
-    base = 1.0 - d
+    base_u = round((1.0 - d) * 1_000_000)
     iters = []
     prev = "r0"
     for k in range(1, PAGERANK_ITERS + 1):
         iters.append(f"""
         r{k} AS (
             SELECT n.host,
-                   {base} + {d} * COALESCE(c.c, 0.0) AS rank
+                   CAST({base_u} + CAST(round({d} * COALESCE(c.c, 0), 0)
+                                        AS BIGINT) AS BIGINT) AS rq
             FROM nodes n LEFT JOIN (
-                SELECT f.dst_host AS host, sum(r.rank * f.frac) AS c
-                FROM frac f JOIN {prev} r ON f.src_host = r.host
-                GROUP BY f.dst_host) c ON n.host = c.host)""")
+                SELECT w.dst_host AS host,
+                       sum(CAST(round(r.rq * w.n_links * 1.0 / w.o, 0)
+                                AS BIGINT)) AS c
+                FROM wedges w JOIN {prev} r ON w.src_host = r.host
+                GROUP BY w.dst_host) c ON n.host = c.host)""")
         prev = f"r{k}"
     return f"""
         WITH {_LINKED_PAGES_CTE},
         outd AS (
             SELECT src_host, sum(n_links) AS o FROM edges
             GROUP BY src_host),
-        frac AS (
-            SELECT e.src_host, e.dst_host,
-                   CAST(e.n_links AS DOUBLE) / outd.o AS frac
+        wedges AS (
+            SELECT e.src_host, e.dst_host, e.n_links, outd.o
             FROM edges e JOIN outd ON e.src_host = outd.src_host),
         nodes AS (
             SELECT DISTINCT host FROM (
                 SELECT src_host AS host FROM edges
                 UNION ALL SELECT dst_host FROM edges)),
-        r0 AS (SELECT host, 1.0 AS rank FROM nodes),{','.join(iters)}
-        SELECT host, round(rank, 4) AS rank FROM {prev} ORDER BY host
+        r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rq
+               FROM nodes),{','.join(iters)}
+        SELECT host, round(rq / 1000000.0, 4) AS rank
+        FROM {prev} ORDER BY host
     """
 
 

@@ -301,32 +301,43 @@ def pagerank_hosts(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
     fixed analytics depth here (n_iter=3, unrolled in the SQL twin too)
     the plan stays shallow without it.
 
-    Returns (host, rank) with rank rounded to 4 places — both engines
-    evaluate the identical double expression tree over exact integer
-    link counts, so the rounded values are portable.
+    Ranks iterate in exact int64 MICRO-UNITS (r6, the lr_train /
+    k-means schedule): per round each edge contributes
+    round(rank_u * n_links / out_links) — one IEEE-identical double
+    division of exact integers, re-quantized immediately — and the
+    per-dst SUM is exact integer addition, order-independent. Summing
+    raw double products instead is the summation-order schedule the
+    r5/r6 ADVICE pattern flags: iterated three times it compounds
+    before the round-4 sync point. Returns (host, rank) with rank =
+    round(micro-units / 1e6, 4).
     """
     out = edges.groupBy("src_host").agg(F.sum("n_links").alias("__out"))
-    frac = (edges.join(out, "src_host")
-            .select("src_host", "dst_host",
-                    (F.col("n_links") / F.col("__out")).alias("__frac")))
+    wedges = (edges.join(out, "src_host")
+              .select("src_host", "dst_host", "n_links", "__out"))
     nodes = (edges.select(F.col("src_host").alias("host"))
              .union(edges.select(F.col("dst_host").alias("host")))
              .distinct())
-    ranks = nodes.select("host", F.lit(1.0).alias("rank"))
+    base_u = round((1.0 - damping) * 1_000_000)  # exact: 150000 at d=.85
+    ranks = nodes.select("host", F.lit(1_000_000).cast("long")
+                         .alias("__rq"))
     for _ in range(n_iter):
-        contrib = (frac.join(ranks,
-                             frac.src_host == ranks.host)
+        contrib = (wedges.join(ranks,
+                               wedges.src_host == ranks.host)
                    .groupBy("dst_host")
-                   .agg(F.sum(F.col("rank") * F.col("__frac"))
+                   .agg(F.sum(F.round(F.col("__rq") * F.col("n_links")
+                                      / F.col("__out"), 0).cast("long"))
                         .alias("__c")))
         ranks = (nodes.join(contrib,
                             nodes.host == contrib.dst_host, "left")
                  .select("host",
-                         (F.lit(1.0 - damping)
-                          + F.lit(damping)
-                          * F.coalesce("__c", F.lit(0.0))).alias("rank")))
-    return ranks.select("host", F.round("rank", 4).alias("rank")) \
-                .orderBy("host")
+                         (F.lit(base_u).cast("long")
+                          + F.round(F.lit(damping)
+                                    * F.coalesce("__c", F.lit(0)), 0)
+                             .cast("long")).alias("__rq")))
+    return (ranks.select("host",
+                         F.round(F.col("__rq") / 1_000_000.0, 4)
+                          .alias("rank"))
+            .orderBy("host"))
 
 
 def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
