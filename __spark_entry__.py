@@ -471,6 +471,48 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _trainset_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END data pipeline as one driver row: crawl pages ->
+    extraction -> the FULL curation journey (quality, exact + near
+    dedup, decontamination, perplexity, split) -> training-sequence
+    CHUNKING of the surviving keeps -> GPT-style sequence PACKING —
+    emitting the byte-exact packed trainer sequences per (bucket,
+    pack). This is the complete product path a pretraining user runs,
+    under one hash gate; the twin recomputes every stage in SQL
+    including the packed text assembly. Same corpus/plants/eval set as
+    curate_full; keeps are keyed by url through chunking and packing
+    (the md5 bucket and within-bucket order are pure functions of the
+    url, so the twin orders identically)."""
+    from textextract_spark.operators.textdata import (
+        chunk_sequences, pack_sequences_text)
+    from textextract_spark.pipeline import curation_decisions_full
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    exact_plants = docs.filter(F.col("doc_id") < 10).select(
+        (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
+    near_plants = docs.filter(F.col("doc_id") < 20).select(
+        (-F.col("doc_id") - 200000).alias("doc_id"),
+        F.concat("text", F.lit(" postscriptum")).alias("text"), "lang")
+    both = docs.unionByName(exact_plants).unionByName(near_plants)
+    pages = both.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
+                          F.lit(_CHROME_POST)), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+          .select("url", "status", "text"))
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("text")
+    keeps = (curation_decisions_full(ex, eval_docs)
+             .filter(F.col("decision") == "keep")
+             .select("url", "text"))
+    chunks = chunk_sequences(keeps, id_col="url")
+    return pack_sequences_text(chunks, id_col="url")
+
+
 # Rows a sampling driver must reach first: a correctness snapshot that
 # caps at ~50 rows takes them in registration order, and r4 proved the
 # cost of leaving new rows at the tail (its 4 newest missed the
@@ -480,7 +522,7 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # r6-new rows and rows whose semantics/plants changed in r6 lead;
     # long-green flagship + r5 inventory follows
-    "curate_full", "embed_docs", "embed_kmeans_docs",
+    "curate_full", "trainset_packs", "embed_docs", "embed_kmeans_docs",
     "embed_dedup_docs", "pack_report", "pack_texts", "mix_budget",
     "gopher_report",
     "robots_verdicts", "robots_sitemaps", "recrawl_schedule",
@@ -714,6 +756,9 @@ def _queries_by_section() -> dict[
         "curate_neardup": _curate_neardup,                  # oracled:
         #   curation v2: + near-dup cluster stage, twin closes the
         #   jaccard pair graph by recursive CTE
+        "trainset_packs": _trainset_packs,                  # oracled:
+        #   the END-TO-END pipeline: extract -> full curation -> chunk
+        #   -> pack; byte-exact packed trainer sequences in one twin
         "curate_full": _curate_full,                        # oracled:
         #   the COMPLETE journey (the product --curate path): + decontam
         #   + perplexity bucket + split, all re-derived in one SQL twin

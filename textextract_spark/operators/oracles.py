@@ -3061,3 +3061,69 @@ def _pack_texts_oracle() -> str:
 
 
 ORACLES["pack_texts"] = _pack_texts_oracle()
+
+
+def _trainset_packs_oracle() -> str:
+    """GENERATED composition twin of the END-TO-END pipeline row
+    (__spark_entry__._trainset_packs): the ENTIRE curate_full journey
+    chain (this module's _curate_full_oracle, reused by string surgery
+    on its final SELECT — unused leaf CTEs are never executed), then
+    the keeps' chunking + packed-sequence assembly keyed by url (the
+    pack_texts twin's slice arithmetic with md5(url) buckets)."""
+    from .textdata import CHUNK_MAX_TOKENS, CHUNK_STRIDE, PACK_BUDGET as B
+
+    full = _curate_full_oracle()
+    cut = full.index("SELECT d3.url, d3.status")
+    with_part = full[:cut].rstrip()
+    # the WITH chain ends with "sp AS ( ... )\n" followed by the final
+    # select we just cut; continue the chain with a comma
+    bkt = ("(instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1)"
+           " * 16 + (instr('0123456789abcdef',"
+           " substr(md5(url), 2, 1)) - 1)")
+    return with_part + f""",
+        tk AS (
+            SELECT url,
+                   list_filter(string_split_regex(t, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM d3 WHERE decision = 'keep'),
+        tsized AS (SELECT url, toks, len(toks) AS n FROM tk),
+        tchunks AS (
+            SELECT url,
+                   CAST(s.start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+                   toks[s.start + 1 : s.start + {CHUNK_MAX_TOKENS}]
+                       AS ctoks
+            FROM tsized, LATERAL unnest(generate_series(
+                     0, greatest(n - 1, 0), {CHUNK_STRIDE})) AS s(start)),
+        tbk AS (
+            SELECT url, chunk_id, ctoks, CAST({bkt} AS INT) AS bucket
+            FROM tchunks),
+        tcum AS (
+            SELECT bucket, ctoks,
+                   sum(len(ctoks)) OVER (
+                       PARTITION BY bucket ORDER BY url, chunk_id
+                       ROWS UNBOUNDED PRECEDING) AS e
+            FROM tbk),
+        tspans AS (
+            SELECT bucket, ctoks, e - len(ctoks) AS s, e
+            FROM tcum WHERE e > e - len(ctoks)),
+        tcontrib AS (
+            SELECT bucket, CAST(p.pack AS INT) AS pack,
+                   greatest(p.pack * {B}, s) AS lo,
+                   ctoks[CAST(greatest(p.pack * {B}, s) - s + 1 AS INT) :
+                         CAST(least((p.pack + 1) * {B}, e) - s AS INT)]
+                       AS part
+            FROM tspans, LATERAL unnest(generate_series(
+                     CAST(s // {B} AS BIGINT),
+                     CAST((e - 1) // {B} AS BIGINT))) AS p(pack)),
+        tpacks AS (
+            SELECT bucket, pack,
+                   flatten(list(part ORDER BY lo)) AS ptoks
+            FROM tcontrib GROUP BY bucket, pack)
+        SELECT bucket, pack,
+               CAST(len(ptoks) AS INT) AS n_tokens,
+               array_to_string(ptoks, ' ') AS pack_text
+        FROM tpacks ORDER BY bucket, pack
+    """
+
+
+ORACLES["trainset_packs"] = _trainset_packs_oracle()
