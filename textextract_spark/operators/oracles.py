@@ -461,8 +461,9 @@ ORACLES: dict[str, str] = {
     # C4-style cross-corpus line dedup over the synthesized multi-line
     # corpus (own text + residue-class snippet + global footer — same
     # construction as textdata.line_dedup): group directly on the line
-    # text (Spark groups on md5(line), identical partition), same packed
-    # (doc_id*1000000 + line_no) winner key
+    # text (Spark groups on md5(line), identical partition), same
+    # two-field lexicographic (doc_id, line_no) winner (DuckDB ROW min
+    # == Spark struct min)
     "line_dedup": r"""
         WITH seeds AS (
             SELECT doc_id AS sid, substr(text, 1, 80) AS snip
@@ -483,11 +484,11 @@ ORACLES: dict[str, str] = {
         ne AS (SELECT * FROM raw WHERE length(line) > 0),
         stats AS (
             SELECT line, count(*) AS c,
-                   min(doc_id * 1000000 + line_no) AS w
+                   min(ROW(doc_id, line_no)) AS w
             FROM ne GROUP BY line),
         kept AS (
             SELECT n.doc_id, n.line_no, n.line,
-                   (s.c = 1 OR n.doc_id * 1000000 + n.line_no = s.w)
+                   (s.c = 1 OR ROW(n.doc_id, n.line_no) = s.w)
                        AS keep
             FROM ne n JOIN stats s ON n.line = s.line)
         , agg AS (

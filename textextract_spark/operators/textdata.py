@@ -1133,7 +1133,6 @@ def temperature_mixture(spark: SparkSession, sf_dir: str,
 # winner packing doc_id*PACK + line_no: valid while every doc has fewer
 # than PACK lines (a 1M-line page is not a document); packed-long min is
 # the deterministic tie-break portable to SQL (struct min is not)
-LINE_PACK = 1_000_000
 
 
 def duplicate_line_removal(docs: DataFrame,
@@ -1161,8 +1160,13 @@ def duplicate_line_removal(docs: DataFrame,
 
     Returns (doc_id, clean_text, n_lines, n_kept, n_dropped) — one row
     per input doc; n_lines counts the doc's non-empty lines.
+
+    The winner is the two-field lexicographic (doc_id, line_no) struct
+    min (r6 — same reasoning as the span-dedup fix: any fixed pack base
+    aliases once a doc outgrows it; a >10^6-LINE page is rarer than a
+    >10^6-char one but the exact one-pass agg costs the same).
     """
-    packed = F.col("doc_id") * LINE_PACK + F.col("line_no")
+    occ = F.struct(F.col("doc_id"), F.col("line_no"))
     lines = (docs
              .select("doc_id",
                      F.posexplode(F.split(F.col(text_col), "\n"))
@@ -1172,10 +1176,10 @@ def duplicate_line_removal(docs: DataFrame,
              .filter(F.length("line") > 0)
              .withColumn("__h", F.md5("line")))
     stats = lines.groupBy("__h").agg(
-        F.count("*").alias("__c"), F.min(packed).alias("__w"))
+        F.count("*").alias("__c"), F.min(occ).alias("__w"))
     kept = (lines.join(stats, "__h")
             .withColumn("__keep",
-                        (F.col("__c") == 1) | (packed == F.col("__w"))))
+                        (F.col("__c") == 1) | (occ == F.col("__w"))))
     # collect_list skips nulls: the when() without otherwise drops
     # non-kept lines from the array while count/sum still see them
     clean = F.concat_ws("\n", F.transform(
