@@ -1622,6 +1622,18 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the module: the key is synthetic with FIXED cardinality, never a
 # data-skewed key, and the per-task state is a running sum.
 
+def _md5_bucket_n(id_col: str, n_hex: int):
+    """First n_hex md5 hex digits of the id as an integer bucket
+    (16^n_hex buckets) — the generalized form of _md5_bucket-style
+    sampling keys, used where bucket COUNT is a scale knob."""
+    b = F.lit(0)
+    for i in range(1, n_hex + 1):
+        b = b * 16 + (F.expr(
+            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
+        ) - 1)
+    return b.cast("int")
+
+
 PACK_BUDGET = 64  # tokens per packed training sequence
 
 
@@ -1629,7 +1641,8 @@ def pack_training_sequences(chunks: DataFrame,
                             budget: int = PACK_BUDGET,
                             id_col: str = "doc_id",
                             ord_col: str = "chunk_id",
-                            tok_col: str = "chunk_tokens") -> DataFrame:
+                            tok_col: str = "chunk_tokens",
+                            bucket_hex: int = 2) -> DataFrame:
     """Assign every chunk its place in the packed token stream of its
     bucket: global start offset, first pack index, offset inside that
     pack, and how many packs the chunk spans (0 for an empty chunk).
@@ -1637,17 +1650,18 @@ def pack_training_sequences(chunks: DataFrame,
     order) within bucket — reruns, retries and incremental re-packs of
     the same table agree exactly.
 
+    ``bucket_hex`` sets the bucket-key width in md5 hex digits — 2
+    (256 buckets) for test/demo scale; at 100 TB use 4 (65,536 buckets
+    of ~1.5 GB, each one linear task). Bucket count is a SEMANTIC
+    parameter (it changes which chunks share a pack stream), so the
+    demo rows pin 2 and the twin mirrors it.
+
     Returns (doc_id, chunk_id, bucket, start_off, pack_first,
     off_in_pack, n_packs_spanned).
     """
     from pyspark.sql import Window
 
-    def hexval(i):
-        return F.expr(
-            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
-        ) - 1
-
-    b = (hexval(1) * 16 + hexval(2)).cast("int")
+    b = _md5_bucket_n(id_col, bucket_hex)
     w = (Window.partitionBy("bucket")
          .orderBy(id_col, ord_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1873,7 +1887,8 @@ def pack_sequences_text(chunks: DataFrame,
                         budget: int = PACK_BUDGET,
                         id_col: str = "doc_id",
                         ord_col: str = "chunk_id",
-                        text_col: str = "chunk_text") -> DataFrame:
+                        text_col: str = "chunk_text",
+                        bucket_hex: int = 2) -> DataFrame:
     """Materialize the PACKED SEQUENCES themselves — the trainer-facing
     artifact: within each md5 bucket the chunk token streams are
     concatenated in (doc id, chunk order) and cut every ``budget``
@@ -1888,15 +1903,10 @@ def pack_sequences_text(chunks: DataFrame,
     aggregation whose per-key state is bounded by the budget itself
     (a pack holds at most ``budget`` tokens by construction) — the
     sort_array(collect_list) per pack is therefore bounded state, not
-    a hot-key window."""
+    a hot-key window. ``bucket_hex`` as in pack_training_sequences."""
     from pyspark.sql import Window
 
-    def hexval(i):
-        return F.expr(
-            f"instr('{_HEX}', substr(md5(cast({id_col} as string)),{i},1))"
-        ) - 1
-
-    b = (hexval(1) * 16 + hexval(2)).cast("int")
+    b = _md5_bucket_n(id_col, bucket_hex)
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: x != "")
     base = chunks.select(F.col(id_col), F.col(ord_col),
