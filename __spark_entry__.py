@@ -526,7 +526,7 @@ _DRIVER_PRIORITY = [
     "embed_dedup_docs", "pack_report", "pack_texts", "mix_budget",
     "gopher_report",
     "robots_verdicts", "robots_sitemaps", "recrawl_schedule",
-    "span_dedup_stats",
+    "span_dedup_stats", "line_dedup", "token_bpe_merge",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
     "embedding_dedup",
