@@ -31,6 +31,18 @@ from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to defaultParallelism (r7, guide §2.5): the
+    local test corpus is one parquet row group, which would pin the
+    chrome-synthesis / payload-hash scan stage of every extraction and
+    curation driver row to ONE core; a multi-split production scan makes
+    this a no-op. Output-identical: every driver row here ends in an
+    explicit orderBy and the extraction winner agg is payload-free
+    max(struct) — order-independent."""
+    from textextract_spark.operators.sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 # The fixed chrome wrapping documents.text into an HTML page: extraction
 # strips every part of it and returns exactly trim(text) as one <p> span,
 # which is what makes the extraction driver rows fully SQL-oracle-able.
@@ -44,7 +56,7 @@ _CHROME_POST = ("</p></article><footer><a href=\"/tos\">terms</a>"
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a pages table (input_hint schema) from the driver's
     documents table — deterministic, no external data."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     html = F.encode(
         F.concat(F.lit(_CHROME_PRE), F.col("text"), F.lit(_CHROME_POST)),
         "UTF-8")
@@ -107,7 +119,7 @@ def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return doc_id.map(lambda i: build_pdf(
             [f"Document {i}", "flate stream body"], compress=True))
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     pages = docs.select(
         F.concat(F.lit("docm://"), F.col("doc_id").cast("string"))
          .alias("url"),
@@ -160,7 +172,7 @@ def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "digest": pd.Series(digests, dtype="object"),
             })
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text"))
     out = docs.repartition(8, "doc_id").mapInPandas(
         rt, schema="doc_id long, url string, warc_ts timestamp, "
@@ -288,7 +300,7 @@ def _simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRAY_K = 8  # a 64-bit sign-stable collision needs every vote sum
     #             within symdiff of a sign boundary, all shifting one
     #             way — astronomically unlikely past a few occurrences
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text"))
     eligible = (F.length(F.trim("text")) > 0) & ~sketch._is_spaceless(
         F.trim(F.lower(F.col("text"))))
@@ -344,7 +356,7 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (md5, min(url)) only, map-side combinable, then an
     AQE-splittable hash-key join back. decisions: drop:extract |
     drop:quality | drop:dup | keep."""
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text", "lang"))
     plants = docs.filter(F.col("doc_id") < 10).select(
         (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
@@ -405,7 +417,7 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE cluster closure."""
     from textextract_spark.pipeline import curation_decisions_neardup
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text", "lang"))
     exact_plants = docs.filter(F.col("doc_id") < 10).select(
         (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
@@ -445,7 +457,7 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, the add-one char-bigram LM, and the md5 split buckets."""
     from textextract_spark.pipeline import curation_decisions_full
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text", "lang"))
     exact_plants = docs.filter(F.col("doc_id") < 10).select(
         (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")
@@ -487,7 +499,7 @@ def _trainset_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_sequences, pack_sequences_text)
     from textextract_spark.pipeline import curation_decisions_full
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_docs_spread(spark, sf_dir)
             .select("doc_id", "text", "lang"))
     exact_plants = docs.filter(F.col("doc_id") < 10).select(
         (-F.col("doc_id") - 100000).alias("doc_id"), "text", "lang")

@@ -54,7 +54,12 @@ _HEX = "0123456789abcdef"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r7: spread the one-row-group local scan so the token hash / LR
+    # feature / embedding fold stages parallelize (guide §2.5); no-op on
+    # any multi-split production scan. All cross-row sums downstream are
+    # exact int64 micro-units (order-independent by design).
+    from .sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _words(col):
@@ -356,7 +361,8 @@ def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q): embedding components in exact micro-units. The
     float32 -> double promotion is exact and identical in both engines,
     so the quantization is portable."""
-    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .sketch import _spread
+    return (_spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
             .select("vec_id", F.expr(
                 f"transform(embedding, x -> CAST(round("
                 f"CAST(x AS DOUBLE) * {KMEANS_SCALE}, 0) AS BIGINT))")

@@ -35,6 +35,15 @@ MEDIA_SCHEMA = StructType([
     StructField("entropy", DoubleType()),
 ])
 
+def _n_parts(spark: SparkSession) -> int:
+    """Partition count for the Arrow decode stages: the session's
+    defaultParallelism instead of a constant tuned below the local core
+    count (r7, guide §2 "make partitioning scale-adaptive"); at cluster
+    scale this tracks the executor core total exactly like the input
+    split count does."""
+    return spark.sparkContext.defaultParallelism
+
+
 
 def build_bmp(width: int, height: int) -> bytes:
     """Minimal valid 24bpp BMP (BITMAPINFOHEADER), deterministic pixels."""
@@ -279,7 +288,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("doc_id") % 3 == 0, "image")
                      .when(F.col("doc_id") % 3 == 1, "audio")
                      .otherwise("video").alias("media_type")))
-    feats = docs.repartition(8, "media_id") \
+    feats = docs.repartition(_n_parts(spark), "media_id") \
         .mapInPandas(_feature_batches, schema=MEDIA_SCHEMA)
     return feats.orderBy("media_id")
 
@@ -336,7 +345,7 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.octet_length("text") >= N_FRAMES)
             .select(F.col("doc_id").alias("media_id"),
                     F.encode("text", "UTF-8").alias("media")))
-    frames = docs.repartition(8, "media_id") \
+    frames = docs.repartition(_n_parts(spark), "media_id") \
         .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
     return frames.orderBy("media_id", "frame_idx")
 
@@ -410,7 +419,7 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity is pytest-asserted (tests/test_operators.py)."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").alias("media_id")))
-    media = docs.repartition(8, "media_id").mapInPandas(
+    media = docs.repartition(_n_parts(spark), "media_id").mapInPandas(
         _synth_media_batches,
         schema="media_id long, media binary")
     return (media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
@@ -462,7 +471,7 @@ def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     with PIL present only the decode call changes."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").alias("media_id")))
-    out = docs.repartition(8, "media_id").mapInPandas(
+    out = docs.repartition(_n_parts(spark), "media_id").mapInPandas(
         _resize_batches,
         schema="media_id long, src_w int, src_h int, "
                "pixel_sum long, weighted_sum long")
@@ -533,7 +542,7 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all independently re-derived in SQL."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").alias("media_id")))
-    out = docs.repartition(8, "media_id").mapInPandas(
+    out = docs.repartition(_n_parts(spark), "media_id").mapInPandas(
         _audio_feature_batches,
         schema="media_id long, channels int, n_samples int, "
                "rms double, zcr double, peak int")

@@ -35,7 +35,11 @@ TFIDF_PER_DOC = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r7: spread the one-row-group local scan so tokenize/explode runs
+    # on every core (guide §2.5); no-op on a multi-split production
+    # scan. BM25/TF-IDF sums are exact ints or int64 micro-units.
+    from .sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _words(col):

@@ -37,7 +37,11 @@ _PLANE_SEED = 1337
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # r7: spread the one-row-group local scan so the LSH signature UDF
+    # and the per-pair cosine math run on every core (guide §2.5);
+    # no-op on a multi-split production scan.
+    from .sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a, b):

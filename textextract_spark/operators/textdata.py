@@ -26,7 +26,18 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r7 (guide §2.5 "input skew: one huge unsplittable file ...
+    # repartition immediately after the read"): the local test corpus is
+    # ONE parquet row group, so every narrow compute stage downstream
+    # (regex scrubbing, tokenize/explode, embedding folds) would run on
+    # ONE core of local[32] without the spread. _spread is a no-op once
+    # the scan already has >= defaultParallelism splits — i.e. at any
+    # production multi-file scale. Row order is NOT part of any operator
+    # contract here: every driver row ends in an explicit orderBy, and
+    # cross-row aggregates in this module are exact-integer
+    # (order-independent) by the r6 micro-unit design.
+    from .sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # -- exact dedup / fingerprints ---------------------------------------------

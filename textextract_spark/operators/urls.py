@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 TRACKING_PREFIX = "utm_"  # the industry-standard tracking-param family
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, spread to defaultParallelism when the local
+    one-row-group file would otherwise pin the synth/regex stage to one
+    core (r7, guide §2.5); no-op on a multi-split production scan. All
+    downstream aggregates in this module are exact integers / min / max
+    (order-independent)."""
+    from .sketch import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def canonicalize_url(u: Column) -> Column:
     """Canonical form of an absolute http(s) URL:
 
@@ -140,7 +150,7 @@ def host_cap(spark: SparkSession, sf_dir: str,
     url = F.concat(F.lit("https://h"), hostnum.cast("string"),
                    F.lit(".example.com/p/"), d.cast("string"))
     ts = F.timestamp_seconds(F.lit(1735689600) + d)
-    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = (_docs_spread(spark, sf_dir)
              .select("doc_id", url.alias("url"), ts.alias("warc_ts")))
     return (cap_per_host(pages, cap=cap)
             .select("doc_id", "host", "warc_ts")
@@ -198,7 +208,7 @@ def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(F.lit("https://h"), hostnum.cast("string"),
                    F.lit(".example.com"), seg,
                    F.lit("/p/"), d.cast("string"))
-    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = (_docs_spread(spark, sf_dir)
              .select("doc_id", url.alias("url")))
     bl = spark.createDataFrame(
         [("h3.example.com",), ("h5.example.com",)], ["host"])
@@ -229,7 +239,7 @@ def _synth_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.lit("https://example.com/b/"), g,
                           F.lit("?id="), g)))
     ts = F.timestamp_seconds(F.lit(1735689600) + d)  # 2025-01-01 + id sec
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (_docs_spread(spark, sf_dir)
             .select("doc_id", raw.alias("url"), ts.alias("warc_ts")))
 
 
@@ -365,7 +375,7 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(' <a href="https://s'), _s((d + 1) % 11),
         F.lit(".example/p/"), _s(d + 1), F.lit('">next</a></body></html>'))
     ts = F.timestamp_seconds(F.lit(1735689600) + d)
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (_docs_spread(spark, sf_dir)
             .select(url.alias("url"), ts.alias("warc_ts"),
                     F.encode(html_str, "UTF-8").alias("html"),
                     "text", "lang"))
@@ -595,7 +605,7 @@ def _synth_robots(spark: SparkSession, sf_dir: str):
                                      d.cast("string")))
             .when(sel == 3, F.concat(F.lit("/tmp/z"), d.cast("string")))
             .otherwise(F.lit("")))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     urls_df = docs.select(
         "doc_id",
         F.concat(F.lit("https://"), host, path).alias("url"))
@@ -746,7 +756,7 @@ def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites the payload of doc_id%17==5 (changed), and discovers a
     fresh url per doc_id%17==7 (added); everything else is unchanged.
     Same construction in the DuckDB twin."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     d = F.col("doc_id")
     url = F.concat(F.lit("https://s"), (d % 11).cast("string"),
                    F.lit(".example/p/"), d.cast("string"))
