@@ -532,13 +532,17 @@ def _trainset_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows without a prior driver-recorded green (r4 post-snapshot + every
 # r5-new row), then the long-green r1-r3 inventory.
 _DRIVER_PRIORITY = [
-    # r6-new rows and rows whose semantics/plants changed in r6 lead;
-    # long-green flagship + r5 inventory follows
+    # r7 (VERDICT r6 ask #1): the ~50-row sampled window must contain
+    # ONLY fully-oracled rows — the three rows-only queries
+    # (token_bpe_merge / minhash_neardup / simhash_neardup) sit AFTER
+    # the window; their oracled derived-metric twins (bpe_bounds /
+    # minhash_recall / simhash_exact_pairs) carry the semantics inside
+    # it, so CORRECTNESS_r07 can read 50/50 green with zero err cells.
     "curate_full", "trainset_packs", "embed_docs", "embed_kmeans_docs",
     "embed_dedup_docs", "pack_report", "pack_texts", "mix_budget",
     "gopher_report",
     "robots_verdicts", "robots_sitemaps", "recrawl_schedule",
-    "span_dedup_stats", "line_dedup", "token_bpe_merge",
+    "span_dedup_stats", "line_dedup", "bpe_bounds",
     "dsir_sample", "anchor_terms", "char_lm_ppl", "pii_scrub",
     "lang_trigram", "simhash_exact_pairs", "ann_lsh_pairs",
     "embedding_dedup",
@@ -551,7 +555,7 @@ _DRIVER_PRIORITY = [
     "lr_train_weights", "lr_train_eval",
     "kmeans_clusters", "cluster_balanced_sample",
     "link_graph", "host_pagerank", "host_degree_stats",
-    "crawl_diff",
+    "crawl_diff", "minhash_recall",
 ]
 
 

@@ -291,15 +291,19 @@ def test_temp_mixture_broadcasts_rates_no_window(spark, sf_dir):
     assert "rand(" not in p
 
 
-def test_char_lm_ppl_model_broadcasts(spark, sf_dir):
-    """The perplexity filter's bigram/first-char model tables must reach
-    the scoring join as broadcasts (vocabulary-bounded model), with no
-    window and no sort-merge of the corpus gram stream."""
+def test_char_lm_ppl_model_rides_closure(spark, sf_dir):
+    """The perplexity filter's vocabulary-bounded model rides the
+    scoring UDF's closure (r7 — the lang_trigram / lr broadcast shape;
+    the r6 form exploded every corpus character through two broadcast
+    joins): the scoring pass must be ONE Arrow stage with no corpus
+    explode, no join, no window, and no sort-merge anywhere."""
     from textextract_spark.operators import textdata
     p = _plan(spark, textdata.char_lm_ppl(spark, sf_dir), "simple")
-    assert p.count("BroadcastHashJoin") >= 2, \
-        f"model tables must broadcast:\n{p}"
-    assert "Window" not in p
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, \
+        f"scoring must be the Arrow closure-model stage:\n{p}"
+    assert "Join" not in p, f"model must not join:\n{p}"
+    assert "Generate" not in p, f"corpus gram explode crept back:\n{p}"
+    assert "Window" not in p and "SortMergeJoin" not in p
 
 
 def test_bm25_plan_shape(spark, sf_dir):

@@ -112,8 +112,14 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
     """
     base = docs.select("doc_id", target_pred.alias("__is_target"),
                        _words(F.col("text")).alias("__w"))
+    # explode_outer + null filter (the minhash_signatures rule, applied
+    # module-wide in r7): plain explode gets an inferred size(__w)>0
+    # filter whose predicate re-evaluates the inlined tokenizer a second
+    # time per row once CollapseProject merges the projection into the
+    # generate (guide §7.2 "duplicated subtrees")
     toks = (base.select("doc_id", "__is_target",
-                        F.explode("__w").alias("__t"))
+                        F.explode_outer("__w").alias("__t"))
+            .filter(F.col("__t").isNotNull())
             .select("doc_id", "__is_target",
                     _bucket("__t", buckets).alias("__b")))
     # ONE token-key aggregation yields both distributions (q = all
@@ -191,7 +197,9 @@ def _lr_features(docs: DataFrame, buckets: int):
         .cast("int").alias("y"),
         _words(F.col("text")).alias("__w"))
     labels = base.select("doc_id", "y").localCheckpoint(eager=True)
-    feats = (base.select("doc_id", F.explode("__w").alias("__t"))
+    # explode_outer + null filter: see dsir_doc_weights (r7)
+    feats = (base.select("doc_id", F.explode_outer("__w").alias("__t"))
+             .filter(F.col("__t").isNotNull())
              .select("doc_id", _bucket("__t", buckets).alias("bucket"))
              .distinct())
     # bucket -1 is the intercept: an always-on feature for every doc,
@@ -568,8 +576,12 @@ def embed_documents(docs: DataFrame, dim: int = EMBED_DIM,
     ws = _words(F.col(text_col))
     hs = F.transform(ws, _tok_hash)
     zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    # sign bit = (h // dim) % 2, written as the pure-integer test
+    # pmod(h, 2*dim) < dim (identical for every h >= 0, any dim) — the
+    # r6 form truncated a DOUBLE division, exact only for power-of-two
+    # dims (ADVICE r6 #3); this closes that edge with zero float ops
     sign = lambda h: F.when(
-        ((h / dim).cast("long") % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+        F.pmod(h, F.lit(2 * dim)) < dim, F.lit(1)).otherwise(F.lit(-1))
     emb = F.aggregate(
         hs, zero,
         lambda acc, h: F.transform(
@@ -586,9 +598,18 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector element individually under the hash gate (scalar
     columns also keep the driver's value-hash comparator on ground it
     is known to handle; the operator itself returns arrays)."""
+    # posexplode_outer (r7): plain posexplode gets an inferred
+    # size(embedding)>0 filter that re-evaluates the whole O(tokens*dim)
+    # embedding fold a second time per row (measured 10.9s -> 4.9s at
+    # sf1.0). The array is always exactly `dim` long, so outer emits the
+    # same rows; the coalesces restore the generated columns' original
+    # non-nullable schema (outer marks them nullable).
     return (embed_documents(_docs(spark, sf_dir))
             .select("doc_id", "n_tokens",
-                    F.posexplode("embedding").alias("dim", "v"))
+                    F.posexplode_outer("embedding").alias("dim", "v"))
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dim", F.lit(0)).alias("dim"),
+                    F.coalesce("v", F.lit(0).cast("long")).alias("v"))
             .orderBy("doc_id", "dim"))
 
 

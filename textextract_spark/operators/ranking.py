@@ -71,7 +71,10 @@ def bm25_search(docs: DataFrame, query: tuple[str, ...],
     base = base.select("doc_id", F.size("__w").alias("__dl"), "__w")
     stats = base.agg(F.count("*").alias("__n"),
                      F.avg("__dl").alias("__avgdl"))
-    tf = (base.select("doc_id", "__dl", F.explode("__w").alias("w"))
+    # explode_outer (r7): plain explode infers a size(__w)>0 filter that
+    # re-evaluates the inlined tokenizer per row; the isin filter below
+    # already drops the null row outer emits for token-less docs
+    tf = (base.select("doc_id", "__dl", F.explode_outer("__w").alias("w"))
           .filter(F.col("w").isin(*query))
           .groupBy("doc_id", "__dl", "w")
           .agg(F.count("*").alias("__tf")))

@@ -2,12 +2,14 @@
 n-gram Jaccard verification (graft brief: dedup family for training-data
 pipelines).
 
-Spark-first: shingling, the K minhash permutations, banding, bit-votes and
-Hamming distances are ALL built-in functions — zero Python UDFs. MinHash
-signatures are computed via explode + a 64-column hash aggregation
-(whole-stage codegen) rather than 64 higher-order ``transform`` calls:
-lambda functions are interpreted per element, and 64 × shingles × docs
-interpreted evals measured ~10x slower than the codegen agg path.
+Spark-first: the K minhash permutations, banding, bit-votes and Hamming
+distances are ALL built-in functions. MinHash signatures are computed via
+explode + a 64-column hash aggregation (whole-stage codegen) rather than
+64 higher-order ``transform`` calls: lambda functions are interpreted per
+element, and 64 × shingles × docs interpreted evals measured ~10x slower
+than the codegen agg path. The one Arrow-batched pandas UDF is the r7
+shingling stage (with_shingles — measured 6x vs the interpreted
+per-window transform; semantics replicated exactly, see its docstring).
 
 Scale shape (10^9 docs): the only shuffles are (a) the doc_id hash-agg
 for signatures, (b) groupBy(band/chunk key) bucketing, and (c) a
@@ -21,6 +23,7 @@ from __future__ import annotations
 
 import random as _random
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,25 +105,52 @@ def with_shingles(df: DataFrame) -> DataFrame:
     is a property of the text), so pairwise Jaccard semantics are
     unchanged; cross-script pairs share no shingles by construction.
 
-    Shape: TWO filtered branches unioned, not one CASE expression — a
-    CASE WHEN over higher-order transforms under the downstream explode
-    drops the whole generate out of whole-stage codegen (measured 3.6x
-    on the simhash votes, same structure), while per-branch filters keep
-    each explode codegen'd and the branches share one ReusedExchange of
-    the _spread repartition."""
-    df = _with_tokens(_spread(df))
-    norm = _norm()
-    sp = _is_spaceless(norm)
-    word_sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("tokens") - SHINGLE),
-        lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE))))
-    word = (df.filter((~sp) & (F.size("tokens") >= SHINGLE))
-            .withColumn("shingles", word_sh))
-    chars = (df.filter(sp & (F.length(norm) >= CHAR_SHINGLE))
-             .withColumn("shingles",
-                         F.array_distinct(_char_ngrams(norm,
-                                                       CHAR_SHINGLE))))
-    return word.unionByName(chars).drop("__norm")
+    Execution strategy (r7): ONE Arrow-batched pandas UDF over the
+    JVM-normalized text — trim+lower stays in Spark so its semantics
+    cannot drift — replacing the interpreted per-window slice+concat_ws
+    transform (measured 3.3 s -> ~0.5 s at sf1.0/local[32] for this
+    stage alone; the winnow_fingerprint / lang_trigram tradeoff).
+    Token semantics are replicated exactly: re.ASCII scopes Python's
+    \\s to the Java \\s charset, re.split keeps the same leading
+    empty token as Spark's split, " ".join matches concat_ws over
+    non-null strings, and dict.fromkeys preserves array_distinct's
+    first-occurrence order (BMP corpus assumption as elsewhere: Java
+    indexes UTF-16 units, Python codepoints — the full-value oracles
+    on the dedup family would flag an astral-plane divergence).
+
+    Docs qualifying for neither branch carry shingles = NULL where the
+    r6 two-branch union dropped their rows — inert for every consumer
+    (minhash_signatures explode_outer-filters nulls; the jaccard
+    verify join only ever fetches pair members, which have bands and
+    therefore shingles)."""
+    import re
+    from pyspark.sql.types import ArrayType, StringType
+
+    ws_run = re.compile(r"\s+", re.ASCII)
+    ws_one = re.compile(r"\s", re.ASCII)
+    k_c, k_w = CHAR_SHINGLE, SHINGLE
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingles_of(norms: pd.Series) -> pd.Series:
+        out = []
+        for t in norms:
+            n = len(t)
+            if n and (n - len(ws_one.sub("", t))) / n < SPACELESS_MAX_WS:
+                out.append(list(dict.fromkeys(
+                    t[i:i + k_c] for i in range(n - k_c + 1)))
+                    if n >= k_c else None)
+            elif n:
+                toks = ws_run.split(t)
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i:i + k_w])
+                    for i in range(len(toks) - k_w + 1)))
+                    if len(toks) >= k_w else None)
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    return _spread(df).withColumn(
+        "shingles", shingles_of(F.trim(F.lower(F.col("text")))))
 
 
 # Universal-hash coefficients for the K permutations, seeded once.
@@ -149,8 +179,8 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     # adds size(shingles)>0 for plain explode and pushes it below the
     # _spread exchange — re-evaluating the whole interpreted shingle
     # transform on the unspread scan side (measured 2.5s of the 4s
-    # signature time on ONE core). shingles is never empty here anyway
-    # (with_shingles filters size(tokens) >= SHINGLE).
+    # signature time on ONE core). Since r7 with_shingles also emits
+    # shingles=NULL for non-qualifying docs; the null filter drops them.
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     exploded = (with_shingles(df)
                 .select("doc_id", F.explode_outer("shingles").alias("shingle"))

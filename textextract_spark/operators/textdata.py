@@ -345,15 +345,20 @@ def bigram_pmi(spark: SparkSession, sf_dir: str,
     """
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
     dw = _docs(spark, sf_dir).select(words.alias("__w"))
-    uni = (dw.select(F.explode("__w").alias("w"))
+    # explode_outer + null filter throughout (r7): plain explode infers
+    # a size()>0 filter that re-evaluates the inlined tokenizer /
+    # bigram transform a second time per row (guide §7.2)
+    uni = (dw.select(F.explode_outer("__w").alias("w"))
+           .filter(F.col("w").isNotNull())
            .groupBy("w").agg(F.count("*").alias("cw")))
     tot1 = uni.agg(F.sum("cw").alias("__t1"))
     pairs = (dw.filter(F.size("__w") >= 2)
-             .select(F.explode(F.expr(
+             .select(F.explode_outer(F.expr(
                  "transform(sequence(1, size(__w) - 1),"
                  " i -> struct(element_at(__w, i) as w1,"
                  "             element_at(__w, i + 1) as w2))"))
                  .alias("__b"))
+             .filter(F.col("__b").isNotNull())
              .select("__b.w1", "__b.w2"))
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     tot2 = bi.agg(F.sum("n_pair").alias("__t2"))
@@ -1140,10 +1145,9 @@ def temperature_mixture(spark: SparkSession, sf_dir: str,
 
 
 # -- cross-corpus duplicate-line removal (C4-style) -------------------------
-
-# winner packing doc_id*PACK + line_no: valid while every doc has fewer
-# than PACK lines (a 1M-line page is not a document); packed-long min is
-# the deterministic tie-break portable to SQL (struct min is not)
+# Winner = the two-field lexicographic (doc_id, line_no) struct min
+# (r6; same reasoning as the span-dedup fix) — portable to SQL as a
+# two-column MIN and alias-free at any line count.
 
 
 def duplicate_line_removal(docs: DataFrame,
@@ -1245,6 +1249,9 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
             lambda i: F.concat_ws(
                 " ", *[F.element_at("__toks", i + k)
                        for k in range(n)]))
+        # plain explode kept deliberately (r7): outer explode loses
+        # whole-stage codegen on the generate — measured 2x worse here
+        # than the inferred filter's duplicated gram-transform eval
         return (df.filter(F.size("__toks") >= n)
                 .select(*keep, F.explode(g).alias("g"))
                 .select(*keep, F.md5("g").alias("__h")))
@@ -1297,14 +1304,15 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
 
     Scale shape (10^12 docs): the TRAIN stage is one explode + hash agg
     over the reference slice, but its OUTPUT is vocabulary-bounded
-    (V^2 bigram rows at most) — a classic broadcast model. The SCORE
-    stage is stateless per doc: explode bigrams, two broadcast joins
-    (bigram + first-char counts), one map-side-combinable avg per
-    doc_id — a single shuffle on doc_id, no window, no global sort
-    anywhere (the reason for fixed thresholds). Bigrams are built with
-    zip_with over two slices of a materialized char array (SCALE.md
-    rule 9: slices evaluate once per row; a sequence+substr transform
-    re-evaluates interpreted substr per element).
+    (observed distinct bigrams, <= V^2 rows) — a classic broadcast
+    model. Since r7 the model rides the SCORING UDF's closure (the
+    lang_trigram / lr_train broadcast shape) instead of two broadcast
+    joins over an exploded per-character row stream: the score pass is
+    ONE stateless Arrow-batched stage emitting (n_bigrams, sum_lpu) per
+    doc — zero shuffle, no explode of the corpus at all. Measured at
+    sf1.0/local[32]: 6.8 s (join form, spread) -> ~1.5 s. The per-doc
+    log-prob lookup is a numpy searchsorted over the sorted bigram-key
+    table (O(len * log V) per doc, memory = observed bigrams only).
 
     Model definition (mirrored exactly in the DuckDB twin):
       pad      = ' ' || lower(text) || ' '
@@ -1313,7 +1321,19 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
       H(doc)   = -avg(log2 P) over the doc's bigrams, ppl = 2^H.
     Unseen bigrams fall back through the add-one smoothing; unseen
     first chars score 1/V per bigram.
+
+    Cross-engine exactness is preserved bit-for-bit: every quantized
+    log-prob (micro-unit int64, the r6 pattern) is still produced by
+    the SAME Spark expression tree the r6 join emitted — the model
+    table is computed in Spark and collected, never re-derived in
+    Python — and the per-doc sum is exact integer addition in numpy.
+    Bigrams in Python are adjacent UTF-16 CODE UNITS
+    (pad.encode('utf-16-le')), which is exactly Java's split-by-char
+    semantics, so the gram stream is identical to the r6 explode's.
     """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
     def with_pad(df):
         return (df.filter(F.length("text") > 0)
                 .withColumn("__pad", F.concat(F.lit(" "), F.lower("text"),
@@ -1331,33 +1351,97 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
 
     docs = with_pad(docs)
     ref_bg = bigrams(with_pad(ref))
-    bg_counts = ref_bg.groupBy("bg").agg(F.count("*").alias("bc"))
+    # ONE training job (localCheckpoint) feeding the three tiny model
+    # projections below — without it each collect re-runs the ref pass
+    bg_counts = (ref_bg.groupBy("bg").agg(F.count("*").alias("bc"))
+                 .localCheckpoint(eager=True))
     c1_counts = (bg_counts
                  .groupBy(F.substring("bg", 1, 1).alias("c1"))
                  .agg(F.sum("bc").alias("uc")))
     v = bg_counts.select(
         F.countDistinct(F.substring("bg", 2, 1)).alias("v"))
 
-    # per-bigram log-probs quantized to int64 MICRO-UNITS before the
-    # per-doc sum (r6 — the dsir_doc_weights / lr_train pattern): an
-    # avg() over raw doubles is summation-order-dependent and can flip
-    # the round-4 sync point by an ulp between engines; integer sums
-    # cannot. The mean is then the single float step per doc.
-    scored = (bigrams(docs, keep=("doc_id",))
-              .join(F.broadcast(bg_counts), "bg", "left")
-              .withColumn("c1", F.substring("bg", 1, 1))
-              .join(F.broadcast(c1_counts), "c1", "left")
-              .crossJoin(F.broadcast(v))
-              .select(
-                  "doc_id",
-                  F.round(F.log2((F.coalesce("bc", F.lit(0)) + 1)
-                                 / (F.coalesce("uc", F.lit(0))
-                                    + F.col("v"))) * 1_000_000, 0)
-                  .cast("long").alias("__lpu"))
-              .groupBy("doc_id")
-              .agg(F.count("*").alias("n_bigrams"),
-                   (-(F.sum("__lpu")
-                      / (F.count("*") * 1_000_000.0))).alias("__h")))
+    # per-bigram log-probs quantized to int64 MICRO-UNITS (r6 — the
+    # dsir_doc_weights / lr_train pattern; integer sums are summation-
+    # order-independent). The three model projections below are the
+    # EXACT r6 scoring expression evaluated per case: seen bigram
+    # (bc, uc non-null), unseen bigram under a seen first char
+    # (bc NULL -> coalesce 0), unseen first char (bc, uc both NULL).
+    def lpu(bc, uc):
+        return (F.round(F.log2((bc + 1) / (uc + F.col("v")))
+                        * 1_000_000, 0).cast("long").alias("lpu"))
+
+    pair_rows = (bg_counts
+                 .withColumn("c1", F.substring("bg", 1, 1))
+                 .join(c1_counts, "c1")
+                 .crossJoin(F.broadcast(v))
+                 .select("bg", lpu(F.col("bc"), F.col("uc"))))
+    zero = F.lit(0).cast("long")
+    c1_rows = (c1_counts.crossJoin(F.broadcast(v))
+               .select("c1", lpu(zero, F.col("uc"))))
+    g_row = v.select(lpu(zero, zero))
+
+    # collect the vocabulary-bounded model (driver-held state, the
+    # MLlib shape) and build the numpy lookup tables once per plan
+    pair_map = {r["bg"]: r["lpu"] for r in pair_rows.collect()}
+    c1_map = {r["c1"]: r["lpu"] for r in c1_rows.collect()}
+    g_lpu = g_row.collect()[0]["lpu"]
+    if g_lpu is None:  # empty reference corpus: nothing will be scored
+        g_lpu = 0
+
+    def u16(s: str) -> "np.ndarray":
+        return np.frombuffer(s.encode("utf-16-le"), dtype="<u2")
+
+    def key64(a, b):
+        return a.astype(np.int64) * 65536 + b.astype(np.int64)
+
+    pk = np.empty(len(pair_map), dtype=np.int64)
+    pv = np.empty(len(pair_map), dtype=np.int64)
+    for i, (bg, val) in enumerate(pair_map.items()):
+        cu = u16(bg)  # two BMP chars -> two code units
+        pk[i] = int(cu[0]) * 65536 + int(cu[1])
+        pv[i] = val
+    order = np.argsort(pk)
+    pk, pv = pk[order], pv[order]
+    c1k = np.empty(len(c1_map), dtype=np.int64)
+    c1v = np.empty(len(c1_map), dtype=np.int64)
+    for i, (c1, val) in enumerate(c1_map.items()):
+        c1k[i] = int(u16(c1)[0])
+        c1v[i] = val
+    order = np.argsort(c1k)
+    c1k, c1v = c1k[order], c1v[order]
+
+    def lookup(keys, tk, tv):
+        """Exact int64 sum of tv at matching tk positions plus the
+        count of misses, via searchsorted on the sorted key table."""
+        if not len(tk):
+            return 0, keys
+        idx = np.minimum(np.searchsorted(tk, keys), len(tk) - 1)
+        hit = tk[idx] == keys
+        return int(tv[idx[hit]].sum()), keys[~hit]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def score(pads: pd.Series) -> pd.Series:
+        out = []
+        for p in pads:
+            u = np.frombuffer(p.encode("utf-16-le"), dtype="<u2")
+            a = u[:-1]
+            total, missed = lookup(key64(a, u[1:]), pk, pv)
+            if len(missed):
+                # unseen bigram: fall back to the first char's default,
+                # then to the global unseen-first-char default
+                c1_total, c1_missed = lookup(
+                    (missed // 65536), c1k, c1v)
+                total += c1_total + int(g_lpu) * len(c1_missed)
+            out.append([len(u) - 1, total])
+        return pd.Series(out)
+
+    sn = (docs.select("doc_id", score(F.col("__pad")).alias("__sn")))
+    n_b = F.coalesce(F.col("__sn").getItem(0), F.lit(0).cast("long"))
+    scored = sn.select(
+        "doc_id",
+        n_b.alias("n_bigrams"),
+        (-(F.col("__sn").getItem(1) / (n_b * 1_000_000.0))).alias("__h"))
     ppl = F.pow(F.lit(2.0), F.col("__h"))
     bucket = (F.when(ppl <= PPL_HEAD_MAX, F.lit("head"))
               .when(ppl <= PPL_MIDDLE_MAX, F.lit("middle"))
@@ -1738,7 +1822,10 @@ def domain_mixture_budget(docs: DataFrame,
     split into full repeats + a 256-quantized fractional keep rate, and
     the resulting planned token count. Domains absent from the weight
     table get weight 0 (dropped from the mix — the report still shows
-    them).
+    them). NB the reverse direction is silent by design (ADVICE r6
+    #4): a weight-table domain with NO corpus docs contributes no
+    report row and its budget share goes unallocated — audit the
+    plan's domain list against the weight config when building a mix.
 
     Scale shape (10^12 docs): ONE map-side-combinable groupBy(domain)
     token-count agg; everything after is arithmetic on the

@@ -274,10 +274,15 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html",
         F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1))
     links = F.regexp_extract_all(
         F.decode(F.col(html_col), "UTF-8"), F.lit(LINK_HREF_RE), 1)
+    # explode_outer + null filter (r7): plain explode infers a
+    # size(links)>0 filter that re-runs the href regexp over the whole
+    # payload a second time per row; the null filter keeps the
+    # "no-link pages emit no rows" contract
     return (pages
             .select(F.col(url_col).alias("url"),
                     src_host.alias("src_host"),
-                    F.explode(links).alias("dst_url"))
+                    F.explode_outer(links).alias("dst_url"))
+            .filter(F.col("dst_url").isNotNull())
             .withColumn("dst_host", F.lower(F.regexp_extract(
                 F.col("dst_url"), r"^https?://([^/:?#]+)", 1))))
 
@@ -684,14 +689,18 @@ def inbound_anchor_terms(pages: DataFrame, html_col: str = "html",
     hrefs = F.regexp_extract_all(body, F.lit(ANCHOR_RE), 1)
     texts = F.regexp_extract_all(body, F.lit(ANCHOR_RE), 2)
     pairs = F.arrays_zip(hrefs.alias("dst"), texts.alias("txt"))
+    # explode_outer + null filters (r7): plain explode infers size()>0
+    # filters that re-run the anchor regexps a second time per row
     tokd = (pages
-            .select(F.explode(pairs).alias("__a"))
+            .select(F.explode_outer(pairs).alias("__a"))
+            .filter(F.col("__a").isNotNull())
             .select(F.lower(F.regexp_extract(
                         F.col("__a.dst"), r"^https?://([^/:?#]+)", 1))
                      .alias("dst_host"),
-                    F.explode(F.regexp_extract_all(
+                    F.explode_outer(F.regexp_extract_all(
                         F.lower(F.col("__a.txt")), F.lit("[a-z]+"), 0))
-                     .alias("term")))
+                     .alias("term"))
+            .filter(F.col("term").isNotNull()))
     counts = (tokd.groupBy("dst_host", "term")
               .agg(F.count("*").alias("n")))
     member = F.struct((-F.col("n")).alias("negn"), F.col("term"),
