@@ -417,16 +417,17 @@ def test_anchor_terms_two_level_topk_no_unbounded_collect(spark, sf_dir):
 
 
 def test_embed_documents_stateless_narrow_map(spark, sf_dir):
-    """embed_documents must stay a stateless narrow map — pure array
-    expressions over the row's own text, no exchange, no join, no
-    window: at 10^12 docs the embedding step must add zero shuffle to
-    whatever consumes it."""
+    """embed_documents must stay a stateless narrow map — no exchange,
+    no join, no window: at 10^12 docs the embedding step must add zero
+    shuffle to whatever consumes it. Since r7 the kernel is the Arrow-
+    batched numpy stage (the r6 interpreted array fold was the bench's
+    most steal-amplified stage; see the docstring) — still narrow."""
     from textextract_spark.operators import learned
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = _plan(spark, learned.embed_documents(docs), "simple")
     assert "Exchange" not in p, f"embedding must not shuffle:\n{p}"
     assert "Join" not in p and "Window" not in p
-    assert "MapInPandas" not in p  # JVM-side array exprs, not Python
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p
 
 
 def test_pack_window_only_over_synthetic_bucket(spark, sf_dir):

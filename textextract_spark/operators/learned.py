@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -549,17 +550,6 @@ def cluster_balanced_sample(spark: SparkSession,
 EMBED_DIM = 16
 
 
-def _tok_hash(w):
-    """Exact int64 Horner fold of a token's codepoints mod the module
-    prime — the same hash _bucket compiles to SQL text, as a lambda-API
-    column function (needed inside nested array lambdas)."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(w)),
-        F.lit(0).cast("long"),
-        lambda a, i: (a * 31 + F.ascii(F.substring(w, i, F.lit(1))))
-        % HASH_MOD)
-
-
 def embed_documents(docs: DataFrame, dim: int = EMBED_DIM,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -567,29 +557,66 @@ def embed_documents(docs: DataFrame, dim: int = EMBED_DIM,
     embeddings.
 
     Scale shape (10^12 docs): a STATELESS NARROW MAP — the embedding
-    is a pure function of the row's own text (tokens hashed once into
-    an int array, then one fold into the dim-slot accumulator), so the
-    operator adds ZERO shuffle to whatever consumes it; at cluster
-    scale it fuses into the scan projection. Cost is O(tokens * dim)
-    per row with dim = 16.
+    is a pure function of the row's own text, so the operator adds
+    ZERO shuffle to whatever consumes it (plan-asserted).
+
+    Execution strategy (r7): one Arrow-batched pandas UDF over the
+    JVM-lowered text (lower() stays in Spark so its semantics cannot
+    drift; Python re.findall of the ASCII class [a-z]+ is identical to
+    Java's regexp_extract_all for this pattern). The r6 interpreted
+    nested-lambda fold rebuilt the 16-slot accumulator ARRAY per token
+    — ~0.8 s quiet at sf1.0, but its per-token allocation storm made
+    it the bench's most steal-amplified stage (15.5 s in a co-tenant
+    burst window where neighbors degraded ~1.4x). The numpy kernel
+    (per-batch distinct-token Horner memo -> bincount of signed hash
+    slots) is allocation-light and exact: every value is the same
+    int64 arithmetic — hash = Horner fold mod HASH_MOD, slot = h mod
+    dim, sign + iff h mod 2*dim < dim (the integer form of the r6
+    (h // dim) % 2 bit, closing ADVICE r6 #3) — and bincount's float64
+    weight sums are exact far beyond any |token count| < 2^53.
     """
-    ws = _words(F.col(text_col))
-    hs = F.transform(ws, _tok_hash)
-    zero = F.array_repeat(F.lit(0).cast("long"), dim)
-    # sign bit = (h // dim) % 2, written as the pure-integer test
-    # pmod(h, 2*dim) < dim (identical for every h >= 0, any dim) — the
-    # r6 form truncated a DOUBLE division, exact only for power-of-two
-    # dims (ADVICE r6 #3); this closes that edge with zero float ops
-    sign = lambda h: F.when(
-        F.pmod(h, F.lit(2 * dim)) < dim, F.lit(1)).otherwise(F.lit(-1))
-    emb = F.aggregate(
-        hs, zero,
-        lambda acc, h: F.transform(
-            acc, lambda x, i: x + F.when((h % dim) == i.cast("long"),
-                                         sign(h)).otherwise(F.lit(0))))
-    return docs.select(F.col(id_col),
-                       F.size(ws).alias("n_tokens"),
-                       emb.alias("embedding"))
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    word_re = re.compile(WORD_RE)
+    mod2d, prime = 2 * dim, HASH_MOD
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def embed(lowered: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}  # per-batch distinct-token memo
+
+        def h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = 0
+                for c in w:
+                    v = (v * 31 + ord(c)) % prime
+                cache[w] = v
+            return v
+
+        out = []
+        for t in lowered:
+            if t is None:
+                out.append(None)
+                continue
+            toks = word_re.findall(t)
+            if not toks:
+                out.append([0] * (dim + 1))
+                continue
+            hs = np.fromiter((h(w) for w in toks), dtype=np.int64,
+                             count=len(toks))
+            sign = np.where((hs % mod2d) < dim, 1, -1)
+            emb = np.bincount(hs % dim, weights=sign, minlength=dim)
+            out.append([len(toks)] + emb.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    arr = embed(F.lower(F.col(text_col)))
+    return (docs.select(F.col(id_col), arr.alias("__e"))
+            .select(F.col(id_col),
+                    F.col("__e").getItem(0).cast("int").alias("n_tokens"),
+                    F.slice("__e", 2, dim).alias("embedding")))
 
 
 def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
