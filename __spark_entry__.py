@@ -31,6 +31,17 @@ from textextract_spark.operators.oracles import ORACLES
 from textextract_spark.pipeline import extract_pages
 
 
+def _num_parts(spark: SparkSession) -> int:
+    """Extraction partition count for the driver rows: the session's
+    defaultParallelism (floored at the historical 16) instead of a
+    constant tuned below the local core count — r7, guide §2 "make
+    partitioning scale-adaptive". part_key never reaches these rows'
+    output columns, so the value is a pure execution knob here.
+    entry() keeps the pinned 16: its flagship output digest (which
+    includes part_key) is tracked across rounds."""
+    return max(16, spark.sparkContext.defaultParallelism)
+
+
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan spread to defaultParallelism (r7, guide §2.5): the
     local test corpus is one parquet row group, which would pin the
@@ -99,7 +110,8 @@ def _extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the mixed html/pdf/plain corpus runs in pytest against
     golden files.)"""
     pages = _pages_from_documents(spark, sf_dir)
-    return _extraction_report(extract_pages(pages, num_parts=16, n_salts=4))
+    return _extraction_report(extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4))
 
 
 def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +141,8 @@ def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.encode("text", "UTF-8")).alias("html"),
         F.col("text"),
         F.col("lang"))
-    return _extraction_report(extract_pages(pages, num_parts=16, n_salts=4))
+    return _extraction_report(extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4))
 
 
 def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +261,8 @@ def _extract_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = (read_warc(spark, _warc_docs_dir(sf_dir))
              .withColumn("lang", F.lit(None).cast("string")))
     return _extraction_report(
-        extract_pages(pages, num_parts=16, n_salts=4, digest_col="digest"))
+        extract_pages(pages, num_parts=_num_parts(spark), n_salts=4,
+                      digest_col="digest"))
 
 
 def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +385,8 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.col("lang"))
     from textextract_spark.pipeline import curation_decisions
 
-    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+    ex = (extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4)
           .select("url", "status", "text"))
     return (curation_decisions(ex)
             .select("url", "status", "quality", "decision",
@@ -433,7 +448,8 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
         F.col("text"), F.col("lang"))
-    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+    ex = (extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4)
           .select("url", "status", "text"))
     return (curation_decisions_neardup(ex)
             .select("url", "status", "quality", "decision",
@@ -473,7 +489,8 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
         F.col("text"), F.col("lang"))
-    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+    ex = (extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4)
           .select("url", "status", "text"))
     eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("text")
     return (curation_decisions_full(ex, eval_docs)
@@ -515,7 +532,8 @@ def _trainset_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
         F.col("text"), F.col("lang"))
-    ex = (extract_pages(pages, num_parts=16, n_salts=4)
+    ex = (extract_pages(pages, num_parts=_num_parts(spark),
+                          n_salts=4)
           .select("url", "status", "text"))
     eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("text")
     keeps = (curation_decisions_full(ex, eval_docs)

@@ -111,25 +111,58 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
     mean is the single float step, rounded to 6 places from identical
     integer inputs on both engines.
     """
-    base = docs.select("doc_id", target_pred.alias("__is_target"),
-                       _words(F.col("text")).alias("__w"))
-    # explode_outer + null filter (the minhash_signatures rule, applied
-    # module-wide in r7): plain explode gets an inferred size(__w)>0
-    # filter whose predicate re-evaluates the inlined tokenizer a second
-    # time per row once CollapseProject merges the projection into the
-    # generate (guide §7.2 "duplicated subtrees")
-    toks = (base.select("doc_id", "__is_target",
-                        F.explode_outer("__w").alias("__t"))
-            .filter(F.col("__t").isNotNull())
-            .select("doc_id", "__is_target",
-                    _bucket("__t", buckets).alias("__b")))
-    # ONE token-key aggregation yields both distributions (q = all
-    # docs, p = target slice as a conditional sum) — at 10^12 docs
-    # this is the only wide pass over the token stream besides the
-    # scoring pass itself
-    dist = (toks.groupBy("__b")
-            .agg(F.count("*").alias("__qc"),
-                 F.sum(F.col("__is_target").cast("long"))
+    # r7: per-doc BUCKET HISTOGRAMS from one Arrow/numpy pass (the
+    # embed_documents kernel shape — same Horner hash, validated exact)
+    # replace the exploded per-token stream: the token explode fed two
+    # consumers (distribution + scoring) and so evaluated the inlined
+    # tokenizer and interpreted Horner fold twice; the histogram table
+    # is (docs x buckets) ints, lazily checkpointed once, and both
+    # aggregations become sums over counts — identical exact-int64
+    # values throughout.
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    word_re = re.compile(WORD_RE)
+    prime = HASH_MOD
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hist_of(lowered: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}  # per-batch distinct-token memo
+
+        def hb(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = 0
+                for ch in w:
+                    v = (v * 31 + ord(ch)) % prime
+                v %= buckets
+                cache[w] = v
+            return v
+
+        out = []
+        for t in lowered:
+            toks = word_re.findall(t) if t is not None else []
+            hs = np.fromiter((hb(w) for w in toks), dtype=np.int64,
+                             count=len(toks))
+            out.append(np.bincount(hs, minlength=buckets)
+                       .astype(np.int64).tolist())
+        return pd.Series(out)
+
+    hist = (docs.select("doc_id", target_pred.alias("__is_target"),
+                        hist_of(F.lower(F.col("text"))).alias("__hist"))
+            .localCheckpoint(eager=False))
+    hx = hist.select("doc_id", "__is_target",
+                     F.posexplode("__hist").alias("__b", "__c"))
+    # ONE bucket aggregation yields both distributions (q = all docs,
+    # p = target slice as a conditional sum); an empty bucket now
+    # arrives as qc=0 instead of a missing row — the +1 smoothing in
+    # ratios makes the two identical
+    dist = (hx.groupBy("__b")
+            .agg(F.sum("__c").alias("__qc"),
+                 F.sum(F.when(F.col("__is_target"), F.col("__c"))
+                        .otherwise(F.lit(0).cast("long")))
                   .alias("__pc")))
     tot = dist.agg(F.sum("__qc").alias("__qt"),
                    F.sum("__pc").alias("__pt"))
@@ -144,10 +177,16 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
                   / ((F.coalesce("__qc", F.lit(0)) + 1.0)
                      / (F.col("__qt") + buckets))
                   ) * 1_000_000, 0).cast("long").alias("__lru")))
-    per_doc = (toks.join(F.broadcast(ratios), "__b")
+    # scoring = count-weighted ratio sums over the histogram rows:
+    # sum(c * lru) == the per-token sum of lru exactly (int64; |c *
+    # lru| < 2^40 per bucket), and n_tokens == sum(c). Zero-token docs
+    # now emit an all-zero row whose 0/0 mean is NULL -> the same 0.0
+    # coalesce as the r6 missing-row case.
+    per_doc = (hx.join(F.broadcast(ratios), "__b")
                .groupBy("doc_id")
-               .agg(F.count("*").alias("__n_tok"),
-                    F.sum("__lru").alias("__sum_u")))
+               .agg(F.sum("__c").alias("__n_tok"),
+                    F.sum(F.col("__c") * F.col("__lru"))
+                     .alias("__sum_u")))
     return (docs.select("doc_id", "lang")
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "lang",

@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NB deliberately NOT _spread here (r7): these aggregations are
+    # count/min/max-shaped with light map-side work, and an A/B at
+    # sf1.0 measured the spread's round-robin repartition (which pays a
+    # local sort per evaluation) as a net LOSS — approx_stats 2.2 s ->
+    # 6.8 s, daily_counters 1.5 s -> 1.9 s. The heavy text operators
+    # spread in their own modules where compute dominates the exchange.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -195,9 +195,13 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
         F.array(*[F.col(f"mh{k}") for k in range(K_HASHES)]).alias("minhash"))
 
 
-def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ("minhash",)) -> DataFrame:
+def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Explode the minhash signature into (band_id, band_key) rows,
-    carrying the `keep` payload columns along."""
+    carrying the `keep` payload columns along. Default carries NOTHING
+    beyond doc_id (r7): the band rows are checkpointed and shuffled 16x
+    per doc inside _candidate_pairs, so a kept 64-long signature
+    multiplies that stage's bytes ~30x — survivors join signatures
+    back instead (minhash_neardup)."""
     # posexplode_outer: a plain posexplode gets an inferred size()>0
     # filter that re-evaluates the interpreted 16-band md5 transform a
     # second time per row (see minhash_signatures note)
@@ -295,9 +299,24 @@ def _candidate_pairs(bands: DataFrame, payload_col: str | None) -> DataFrame:
 def minhash_neardup(spark: SparkSession, sf_dir: str,
                     threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs by MinHash LSH + signature-estimated
-    Jaccard >= threshold. One pass: signature -> bands -> bucket pairs."""
-    mh = minhash_signatures(_docs(spark, sf_dir))
-    pairs = _candidate_pairs(minhash_bands(mh), "minhash")
+    Jaccard >= threshold: signature -> payload-free bands -> bucket
+    pairs -> signatures joined back for the surviving pairs only.
+
+    r7 (guide §8 decide-small/attach-once): the bands used to carry
+    the full 64-long signature per (doc, band) row — ~30x the id-only
+    bytes through the checkpoint, the bucket shuffle and the
+    collect_list; now the pair ids are decided payload-free (the
+    ngram_jaccard shape) and the two signature join-backs touch only
+    the pair survivors. The signature table is lazily checkpointed so
+    the band branch and both join-backs share ONE materialization."""
+    mh = (minhash_signatures(_docs(spark, sf_dir))
+          .localCheckpoint(eager=False))
+    pairs = _candidate_pairs(minhash_bands(mh), None)
+    joined = (pairs
+              .join(mh.select(F.col("doc_id").alias("a_id"),
+                              F.col("minhash").alias("pa")), "a_id")
+              .join(mh.select(F.col("doc_id").alias("b_id"),
+                              F.col("minhash").alias("pb")), "b_id"))
     # filter on the RAW estimate; round only for display (filtering on
     # the rounded value disagrees with a raw-threshold oracle at the
     # boundary, e.g. raw 0.39997 rounds to 0.4)
@@ -305,7 +324,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str,
                                       lambda x, y: (x == y).cast("int")),
                            F.lit(0), lambda acc, x: acc + x)
                / F.lit(K_HASHES))
-    return (pairs.select("a_id", "b_id", est_raw.alias("__raw"))
+    return (joined.select("a_id", "b_id", est_raw.alias("__raw"))
             .filter(F.col("__raw") >= threshold)
             .select("a_id", "b_id",
                     F.round("__raw", 4).alias("est_jaccard"))
@@ -385,19 +404,27 @@ def with_simhash(df: DataFrame) -> DataFrame:
     toks = (word.unionByName(chars)
             .filter(F.col("tok").isNotNull())
             .withColumn("h", F.xxhash64("tok")))
-    votes = toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)])
-    lo = sum((F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+    # r7: aggregate the ONES count per bit (sum of (h>>b)&1 — no
+    # conditional in the hot per-token path) plus one token count; the
+    # ±1 vote sum is recovered exactly as 2*ones_b - n, so "vote > 0"
+    # becomes the majority test 2*ones_b > n — identical signatures,
+    # ~25% less work in the 64-column map-side aggregation
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("__n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+          for b in range(SIMHASH_BITS)])
+
+    def pos(b: int):
+        return 2 * F.col(f"o{b}") > F.col("__n")
+
+    lo = sum((F.when(pos(b), F.lit(1 << b).cast("long"))
                .otherwise(F.lit(0).cast("long"))
               for b in range(32)), F.lit(0).cast("long"))
-    hi = sum((F.when(F.col(f"v{32 + b}") > 0, F.lit(1 << b).cast("long"))
+    hi = sum((F.when(pos(32 + b), F.lit(1 << b).cast("long"))
                .otherwise(F.lit(0).cast("long"))
               for b in range(31)), F.lit(0).cast("long"))
     # top bit via two's complement: 1<<63 overflows signed long
-    top = (F.when(F.col(f"v{SIMHASH_BITS - 1}") > 0,
-                  F.lit(-(1 << 63)).cast("long"))
+    top = (F.when(pos(SIMHASH_BITS - 1), F.lit(-(1 << 63)).cast("long"))
             .otherwise(F.lit(0).cast("long")))
     sim = lo + F.shiftleft(hi, 32) + top
     return votes.select("doc_id", sim.alias("simhash"))

@@ -1382,10 +1382,18 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
     g_row = v.select(lpu(zero, zero))
 
     # collect the vocabulary-bounded model (driver-held state, the
-    # MLlib shape) and build the numpy lookup tables once per plan
-    pair_map = {r["bg"]: r["lpu"] for r in pair_rows.collect()}
-    c1_map = {r["c1"]: r["lpu"] for r in c1_rows.collect()}
-    g_lpu = g_row.collect()[0]["lpu"]
+    # MLlib shape) in ONE job and build the numpy lookup tables
+    model_rows = (
+        pair_rows.select(F.lit(0).alias("k"), F.col("bg").alias("key"),
+                         "lpu")
+        .unionByName(c1_rows.select(F.lit(1).alias("k"),
+                                    F.col("c1").alias("key"), "lpu"))
+        .unionByName(g_row.select(F.lit(2).alias("k"),
+                                  F.lit("").alias("key"), "lpu"))
+        .collect())
+    pair_map = {r["key"]: r["lpu"] for r in model_rows if r["k"] == 0}
+    c1_map = {r["key"]: r["lpu"] for r in model_rows if r["k"] == 1}
+    g_lpu = next((r["lpu"] for r in model_rows if r["k"] == 2), None)
     if g_lpu is None:  # empty reference corpus: nothing will be scored
         g_lpu = 0
 
