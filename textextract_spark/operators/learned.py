@@ -180,8 +180,9 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
     # scoring = count-weighted ratio sums over the histogram rows:
     # sum(c * lru) == the per-token sum of lru exactly (int64; |c *
     # lru| < 2^40 per bucket), and n_tokens == sum(c). Zero-token docs
-    # now emit an all-zero row whose 0/0 mean is NULL -> the same 0.0
-    # coalesce as the r6 missing-row case.
+    # emit an all-zero histogram row; the n_tok > 0 guard (NOT a bare
+    # division + coalesce: ANSI mode raises DIVIDE_BY_ZERO before the
+    # coalesce can see a NULL) gives them the r6 neutral 0.0 verdict.
     per_doc = (hx.join(F.broadcast(ratios), "__b")
                .groupBy("doc_id")
                .agg(F.sum("__c").alias("__n_tok"),
@@ -192,10 +193,10 @@ def dsir_doc_weights(docs: DataFrame, target_pred,
             .select("doc_id", "lang",
                     F.coalesce(F.col("__n_tok"), F.lit(0))
                      .alias("n_tokens"),
-                    F.coalesce(
-                        F.round(F.col("__sum_u")
-                                / (F.col("__n_tok") * 1_000_000.0), 6),
-                        F.lit(0.0)).alias("avg_log_ratio")))
+                    F.when(F.col("__n_tok") > 0,
+                           F.round(F.col("__sum_u")
+                                   / (F.col("__n_tok") * 1_000_000.0), 6))
+                     .otherwise(F.lit(0.0)).alias("avg_log_ratio")))
 
 
 def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
