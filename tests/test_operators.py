@@ -2227,3 +2227,56 @@ def test_pack_sequences_text_matches_python(spark):
         # only a bucket's LAST pack may be short
         if len(toks) < budget:
             assert key[1] == max(p for b, p in want if b == key[0])
+
+
+def test_pii_arrow_matches_jvm(spark):
+    """The r7 Arrow/RE2 PII stage (_pii_report_arrow) is byte- and
+    count-identical to the java.util.regex expressions it replaced, on
+    an adversarial corpus: overlapping/adjacent categories, boundary
+    lookalikes, multiple matches per category, and a PII-free doc.
+    (cc_luhn_ok is compared on the has-card subset only: the old JVM
+    expression raises an ANSI cast error when no card matches, while
+    the Arrow stage yields NULL — the driver corpus always plants a
+    card, so the driver row never sees that input class.)"""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import (
+        _CC_PATTERN, PII_PATTERNS, _luhn_sum, _pii_report_arrow, scrub_pii)
+
+    texts = [
+        "mail a.b-c_d@sub.example.co.uk or x12345@y.io thanks",
+        "server 192.168.0.1 and 10.0.0.255. version v1.2.3.4x",
+        "pay 4242 4242 4242 4242 then 4242-4242-4242-4242 and "
+        "4242424242424242 ok",
+        "iban DE89370400440532013000 ni QB123456C ssn 123-45-6789",
+        "call (212) 555-0142 or 212.555.0142 or +4915123456789 now",
+        "card 1111111111111111 luhn-invalid but extracted first",
+        "u5@example.com10.0.5.35 card4242000000054242iban adjacency",
+        "no pii in this document at all",
+        "edge 4242 4242 4242 4242-4242 4242 4242 4242 overlap",
+        "  leading ws and trailing 123-45-6789  ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, __t string")
+    got = {r["doc_id"]: r for r in _pii_report_arrow(docs).collect()}
+
+    counts = [F.size(F.regexp_extract_all("__t", F.lit(pat), 0))
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    jvm_base = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *counts,
+        scrub_pii(F.col("__t")).alias("clean_text")).collect()}
+    assert set(got) == set(jvm_base)
+    for i, row in jvm_base.items():
+        for name, _, _ in PII_PATTERNS:
+            assert got[i][f"n_{name}"] == row[f"n_{name}"], (i, name)
+        assert got[i]["clean_text"] == row["clean_text"], i
+
+    has_cc = docs.filter(
+        F.regexp_extract("__t", _CC_PATTERN, 0) != "")
+    cc_m = F.regexp_replace(
+        F.regexp_extract("__t", _CC_PATTERN, 0), "[ -]", "")
+    jvm_luhn = {r["doc_id"]: r["ok"] for r in has_cc.select(
+        "doc_id", (_luhn_sum(cc_m, 16) % 10 == 0).alias("ok")).collect()}
+    assert jvm_luhn  # the corpus genuinely exercises the card path
+    for i in got:
+        assert got[i]["cc_luhn_ok"] == jvm_luhn.get(i), i

@@ -47,9 +47,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the cheap first pass — hash-shuffle on a 32-char key
     instead of the document body; the groupBy carries (hash -> min id,
-    count) only.
+    count) only. Unspread scan, deliberately (r7): one md5 per row
+    before the agg's own exchange — a _spread repartition here is a
+    pure extra shuffle.
     """
-    return (_docs(spark, sf_dir)
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .withColumn("content_hash", F.md5(F.col("text")))
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("keeper_doc_id"),
@@ -135,6 +137,82 @@ def scrub_pii(t):
     return t
 
 
+def _pii_report_arrow(docs: DataFrame) -> DataFrame:
+    """The 18 regex passes of the PII report (8 category counts + the
+    cc extraction + 8 sequential scrub replaces) as ONE Arrow stage
+    running RE2 via pyarrow.compute (guide §4.2 "hand whole batches to
+    vectorized native libraries").
+
+    Why this is safe: PII_PATTERNS is *documented* Java-regex AND RE2
+    compatible (no lookarounds, ASCII classes/\\b) — the DuckDB twin
+    already runs the very same pattern strings through RE2, so the
+    Arrow path aligns the Spark engine with the oracle's regex engine
+    rather than diverging from it. Match semantics (leftmost,
+    non-overlapping scan, greedy quantifiers) agree between
+    java.util.regex and RE2 for this pattern class; the equivalence is
+    pinned by tests/test_operators.py::test_pii_arrow_matches_jvm over
+    an adversarial corpus and by the full DuckDB oracle row.
+
+    Measured (sf1.0-shape corpus, local[32], noop sink): 2.0 s for the
+    java.util.regex projection -> 0.6 s for this stage. One behavior
+    delta on inputs the driver row never produces: a doc with NO cc
+    match yields cc_luhn_ok = NULL here (the JVM expression raised an
+    ANSI cast error on the empty extract instead).
+
+    Input: (doc_id, __t). Output adds n_<category> int columns,
+    cc_luhn_ok, clean_text."""
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # pc.extract_regex rejects unnamed groups: wrap the verbatim cc
+    # pattern in one named group and neutralize inner groups to (?:...)
+    # — grouping is not part of match semantics, the matched span is
+    # identical. The count/replace passes below use the PII_PATTERNS
+    # strings verbatim.
+    cc_first = "(?P<m>" + re.sub(r"\((?!\?)", "(?:", _CC_PATTERN) + ")"
+    doubled = np.array([luhn_doubled(i) for i in range(1, 17)])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            t = b.column("__t")
+            arrays = [b.column("doc_id")]
+            names = ["doc_id"]
+            for name, pat, _ in PII_PATTERNS:
+                arrays.append(pc.count_substring_regex(t, pat))
+                names.append(f"n_{name}")
+            ccm = pc.replace_substring_regex(
+                pc.struct_field(pc.extract_regex(t, cc_first), "m"),
+                "[ -]", "")
+            vals = ccm.to_pylist()  # 16-digit strings (or None: no match)
+            hit = [v is not None for v in vals]
+            ok = np.full(len(vals), None, dtype=object)
+            if any(hit):
+                d = (np.frombuffer(
+                    "".join(v for v in vals if v is not None).encode(),
+                    dtype=np.uint8).reshape(-1, 16).astype(np.int64) - 48)
+                two = d * 2
+                two[two > 9] -= 9
+                s = np.where(doubled[None, :], two, d).sum(axis=1)
+                ok[np.asarray(hit)] = list(s % 10 == 0)
+            clean = t
+            for _, pat, repl in PII_PATTERNS:
+                clean = pc.replace_substring_regex(clean, pat, repl)
+            arrays += [pa.array(ok, type=pa.bool_()), clean]
+            names += ["cc_luhn_ok", "clean_text"]
+            yield pa.RecordBatch.from_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in arrays], names=names)
+
+    count_cols = ", ".join(f"n_{name} int" for name, _, _ in PII_PATTERNS)
+    return docs.select("doc_id", "__t").mapInArrow(
+        kernel, schema=(f"doc_id long, {count_cols}, "
+                        "cc_luhn_ok boolean, clean_text string"))
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query for the PII pass: the corpus has no organic PII, so
     each doc gets a deterministic planted suffix (an email, an IPv4, a
@@ -144,7 +222,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-category match counts are taken BEFORE scrubbing, the extracted
     card is re-validated (cc_luhn_ok recomputes the full-16 Luhn sum in
     BOTH engines — the 'Luhn-checkable in SQL' contract), and the
-    scrubbed text is emitted for the byte-exact check."""
+    scrubbed text is emitted for the byte-exact check. The regex work
+    runs in the _pii_report_arrow RE2 stage (r7)."""
     d = F.col("doc_id")
     cc_base = F.concat(F.lit("4242"),
                        F.lpad((d % 100000000).cast("string"), 8, "0"),
@@ -176,14 +255,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("C tel "), usphone,
         F.lit(" call +1555"), F.lpad(d.cast("string"), 7, "0"))
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("__t"))
-    counts = [F.size(F.regexp_extract_all("__t", F.lit(pat), 0))
-               .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
-    cc_m = F.regexp_replace(
-        F.regexp_extract("__t", _CC_PATTERN, 0), "[ -]", "")
-    return (docs.select("doc_id", *counts,
-                        (_luhn_sum(cc_m, 16) % 10 == 0).alias("cc_luhn_ok"),
-                        scrub_pii(F.col("__t")).alias("clean_text"))
-            .orderBy("doc_id"))
+    return _pii_report_arrow(docs).orderBy("doc_id")
 
 
 # Winnowing parameters (Schleimer et al., SIGMOD'03 — the MOSS local
@@ -894,7 +966,10 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"instr('{_HEX}', substr(md5(cast(doc_id as string)),{i},1))"
         ) - 1
     bucket = hexval(1) * 16 + hexval(2)
-    return (_docs(spark, sf_dir)
+    # unspread scan, deliberately (r7): one md5 per row before a
+    # map-side-combinable agg — the agg's own exchange reparallelizes,
+    # so the _spread repartition bought nothing but its shuffle
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "source", rate.alias("__rate"),
                     bucket.alias("__b"))
             .groupBy("source")
@@ -1350,6 +1425,11 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
                 lambda a, b: F.concat(a, b))).alias("bg"))
 
     docs = with_pad(docs)
+    # (r7 note: an Arrow/numpy bigram-histogram train pass was tried —
+    # one batch-wide np.unique over UTF-16 pair keys — and measured
+    # SLOWER than this codegen explode+agg (3.4s vs 3.0s at 50k docs),
+    # because the ref slice then crosses the Python boundary twice;
+    # reverted, evidence kept here.)
     ref_bg = bigrams(with_pad(ref))
     # ONE training job (localCheckpoint) feeding the three tiny model
     # projections below — without it each collect re-runs the ref pass
@@ -1643,26 +1723,54 @@ def lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle keeps the explode+join formulation (generated from
     the same profile dict), so the two independent implementations
     cross-check each other."""
+    import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
     profile = {lang: tuple(TRIGRAM_PROFILE[lang])
                for lang in _PROFILE_LANGS}
+    # r7: vectorized membership counting — pack each profile trigram's
+    # three CODEPOINTS (utf-32, so astral chars keep Python-slice
+    # semantics) into one int64 key; per doc, searchsorted against the
+    # sorted key table + bincount + one (keys x langs) matvec replaces
+    # the per-character Python Counter loop (which built a count for
+    # EVERY trigram of the doc just to read back ~500 profile cells).
+    # A gram shared by several languages (or repeated in one tuple) is
+    # handled by the contribution matrix exactly like the Counter sum.
+    def key_of(g: str) -> int:
+        c = np.frombuffer(g.encode("utf-32-le"), dtype="<u4")
+        return ((int(c[0]) << 21) + int(c[1]) << 21) + int(c[2])
+
+    uniq: dict[int, int] = {}
+    rows = []
+    for li, tris in enumerate(profile.values()):
+        for g in tris:
+            rows.append((uniq.setdefault(key_of(g), len(uniq)), li))
+    pk = np.fromiter(uniq.keys(), dtype=np.int64, count=len(uniq))
+    order = np.argsort(pk)
+    pos = np.empty(len(pk), dtype=np.int64)
+    pos[order] = np.arange(len(pk))
+    pk = pk[order]
+    contrib = np.zeros((len(pk), len(profile)), dtype=np.int64)
+    for r, li in rows:
+        contrib[pos[r], li] += 1
 
     @F.pandas_udf(ArrayType(LongType()))
     def lang_hits(texts: pd.Series) -> pd.Series:
-        from collections import Counter
         out = []
+        nk = len(pk)
         for t in texts:
             pad = " " + t.lower() + " "
-            c = Counter(pad[i:i + 3] for i in range(len(pad) - 2))
-            out.append([sum(c[g] for g in tris)
-                        for tris in profile.values()])
+            u = np.frombuffer(pad.encode("utf-32-le"),
+                              dtype="<u4").astype(np.int64)
+            k = ((u[:-2] << 21) + u[1:-1] << 21) + u[2:]
+            idx = np.minimum(np.searchsorted(pk, k), nk - 1)
+            hit = pk[idx] == k
+            v = np.bincount(idx[hit], minlength=nk)
+            out.append((v @ contrib).tolist())
         return pd.Series(out)
 
-    from .sketch import _spread
-
-    # spread a single-file scan so the UDF parallelizes
-    docs = _spread(_docs(spark, sf_dir).filter(F.length("text") > 0))
+    # _docs already spreads the single-file scan (r7) — no extra hop
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
     hits = docs.select("doc_id", "lang",
                        lang_hits(F.col("text")).alias("h"))
     hits = hits.select(
