@@ -532,7 +532,13 @@ def connected_components(edges: DataFrame,
               .withColumn("cluster_id", F.col("doc_id")))
     changed = 0
     for _ in range(max_iters):
-        # min label among self and neighbors
+        # min label among self and neighbors; the changed flag rides the
+        # SAME join (r7): the old shape re-joined new vs old labels in a
+        # separate count job every round — with shallow dup components
+        # (2-4 rounds typical) that convergence check was half the
+        # loop's jobs and a full extra shuffle join per round. Now the
+        # checkpointed round output carries __chg and the check is one
+        # narrow agg over in-memory blocks.
         neighbor_min = (sym.join(labels,
                                  sym.dst == labels.doc_id)
                         .groupBy("src")
@@ -543,13 +549,18 @@ def connected_components(edges: DataFrame,
                       .select("doc_id",
                               F.least("cluster_id",
                                       F.coalesce("nmin", "cluster_id"))
-                               .alias("cluster_id")))
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels = new_labels
+                               .alias("cluster_id"),
+                              (F.coalesce("nmin", "cluster_id")
+                               < F.col("cluster_id")).alias("__chg")))
+        # LAZY checkpoint + the changed-count agg as its first action:
+        # one job both materializes the round (lineage cut) and answers
+        # the convergence question — 1 job/round where r6 ran 2 (the
+        # eager checkpoint, then a new-vs-old shuffle join + count)
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (new_labels
+                   .agg(F.sum(F.col("__chg").cast("long")).alias("c"))
+                   .collect()[0]["c"]) or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     sym.unpersist()
