@@ -150,7 +150,10 @@ def host_cap(spark: SparkSession, sf_dir: str,
     url = F.concat(F.lit("https://h"), hostnum.cast("string"),
                    F.lit(".example.com/p/"), d.cast("string"))
     ts = F.timestamp_seconds(F.lit(1735689600) + d)
-    pages = (_docs_spread(spark, sf_dir)
+    # unspread scan, deliberately (r7): url synthesis is a narrow
+    # projection and cap_per_host's host agg repartitions anyway — the
+    # _spread exchange was pure overhead (measured 1.15x at 50k docs)
+    pages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
              .select("doc_id", url.alias("url"), ts.alias("warc_ts")))
     return (cap_per_host(pages, cap=cap)
             .select("doc_id", "host", "warc_ts")
@@ -326,6 +329,18 @@ def pagerank_hosts(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
     before the round-4 sync point. Returns (host, rank) with rank =
     round(micro-units / 1e6, 4).
     """
+    # materialize the HOST-LEVEL edge table once (r7, guide §5
+    # localCheckpoint): the rank recurrence references `wedges`/`nodes`
+    # in every unrolled iteration, and Catalyst does not share logical
+    # subtrees across those references — without the checkpoint the
+    # whole upstream (page synthesis + href regex explode + host agg)
+    # re-ran ~6x per query (measured 2.0s -> 1.6s at 50k docs,
+    # local[32]; the at-scale saving grows with corpus size while the
+    # checkpoint stays host-sized). The edge table is host-granular
+    # (tiny at any corpus
+    # size), exactly the "write the graph to a scratch table before
+    # iterating" step a production PageRank performs anyway.
+    edges = edges.localCheckpoint(eager=False)
     out = edges.groupBy("src_host").agg(F.sum("n_links").alias("__out"))
     wedges = (edges.join(out, "src_host")
               .select("src_host", "dst_host", "n_links", "__out"))
@@ -764,8 +779,13 @@ def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the documents table — cycle B drops doc_id%17==3 (removed),
     rewrites the payload of doc_id%17==5 (changed), and discovers a
     fresh url per doc_id%17==7 (added); everything else is unchanged.
-    Same construction in the DuckDB twin."""
-    docs = _docs_spread(spark, sf_dir)
+    Same construction in the DuckDB twin.
+
+    Unspread scan, deliberately (r7): the per-doc work here is one md5
+    per branch — the _spread repartition bought no parallel compute
+    worth its exchange (measured a 1.6x regression at 50k docs), and
+    the snapshot_diff full-outer join repartitions by url anyway."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     url = F.concat(F.lit("https://s"), (d % 11).cast("string"),
                    F.lit(".example/p/"), d.cast("string"))
