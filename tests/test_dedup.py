@@ -359,3 +359,84 @@ def test_neardup_clusters_transitive_chain(spark, tmp_path_factory):
     assert exact01 >= 0.5 and exact12 >= 0.5 and exact02 < 0.5, \
         (exact01, exact12, exact02)
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_pyxxh64_matches_spark(spark):
+    """xxh64_bytes is bit-for-bit F.xxhash64 on a string column —
+    empty, ASCII, multi-byte UTF-8, and every length class around the
+    32/8/4/1-byte processing boundaries."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.sketch import xxh64_bytes
+
+    toks = ["", "a", "spark", "ñé", "漢字テスト", "x" * 3, "x" * 4,
+            "x" * 7, "x" * 8, "x" * 12, "x" * 31, "x" * 32, "x" * 33,
+            "x" * 64, "mixed 混合 tokens 123", " leading", "trailing "]
+    df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    got = {r["t"]: r["h"] for r in
+           df.select("t", F.xxhash64("t").alias("h")).collect()}
+    for t in toks:
+        v = xxh64_bytes(t.encode("utf-8"))
+        sv = v - (1 << 64) if v >= (1 << 63) else v
+        assert sv == got[t], t
+
+
+def test_simhash_arrow_votes_match_jvm_agg(spark):
+    """The r7 Arrow vote kernel produces signatures identical to the
+    r6 JVM explode + 64-column aggregation it replaced, on a corpus
+    exercising both script branches and the tokenizer edges (leading/
+    trailing non-space whitespace -> empty tokens, empty norm, short
+    spaceless doc with NO signature row)."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.sketch import (
+        SIMHASH_BITS, SIMHASH_CHAR_TOKEN, _is_spaceless, with_simhash)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta alpha"),
+         (1, "一二三四五六七八九十一二三四五"),
+         (2, "\ttabbed start and end\t"),
+         (3, "   "),          # norm '' -> one empty word token
+         (4, "一二"),         # spaceless, < SIMHASH_CHAR_TOKEN: no row
+         (5, "word"),
+         (6, "alpha  beta\n\ngamma")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"]
+           for r in with_simhash(docs).collect()}
+
+    # the r6 reference: tokenize/explode in the JVM, xxhash64, 64 sums
+    norm = F.trim(F.lower(F.col("text")))
+    base = (docs.withColumn("__norm", norm)
+            .withColumn("tokens", F.split(F.col("__norm"), r"\s+")))
+    sp = _is_spaceless(F.col("__norm"))
+    word = (base.filter(~sp)
+            .select("doc_id", F.explode("tokens").alias("tok")))
+    chars = (base.filter(sp & (F.length("__norm") >= SIMHASH_CHAR_TOKEN))
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(1),
+                            F.length("__norm") - (SIMHASH_CHAR_TOKEN - 1)),
+                 lambda i: F.col("__norm").substr(
+                     i, F.lit(SIMHASH_CHAR_TOKEN)))).alias("tok")))
+    toks = word.unionByName(chars).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("__n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+          for b in range(SIMHASH_BITS)])
+
+    def pos(b):
+        return 2 * F.col(f"o{b}") > F.col("__n")
+
+    lo = sum((F.when(pos(b), F.lit(1 << b).cast("long"))
+              .otherwise(F.lit(0).cast("long")) for b in range(32)),
+             F.lit(0).cast("long"))
+    hi = sum((F.when(pos(32 + b), F.lit(1 << b).cast("long"))
+              .otherwise(F.lit(0).cast("long")) for b in range(31)),
+             F.lit(0).cast("long"))
+    top = (F.when(pos(SIMHASH_BITS - 1),
+                  F.lit(-(1 << 63)).cast("long"))
+           .otherwise(F.lit(0).cast("long")))
+    want = {r["doc_id"]: r["simhash"] for r in votes.select(
+        "doc_id", (lo + F.shiftleft(hi, 32) + top).alias("simhash"))
+        .collect()}
+    assert got == want
+    assert 4 not in got  # short spaceless doc: no vote row either way

@@ -59,22 +59,6 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _with_tokens(df: DataFrame) -> DataFrame:
-    """Materialize the normalized text and its whitespace tokens as
-    COLUMNS (not inline expressions): every downstream per-element
-    lambda (char n-grams, word shingles) must reference an attribute —
-    an inline trim(lower(text)) inside a lambdafunction is re-evaluated
-    for EVERY array element, turning shingling O(len^2) per doc (the
-    same inline-in-lambda bug measured 3x on repetition_stats' gram
-    stage; plan-asserted in tests/test_plans)."""
-    return (df.withColumn("__norm", F.trim(F.lower(F.col("text"))))
-              .withColumn("tokens", F.split(F.col("__norm"), r"\s+")))
-
-
-def _norm():
-    return F.col("__norm")
-
-
 def _is_spaceless(norm):
     """Script predicate: text whose whitespace density is below
     SPACELESS_MAX_WS is unsegmented (CJK and other space-free scripts) —
@@ -84,17 +68,6 @@ def _is_spaceless(norm):
     Spark operator and the DuckDB twin agree byte-for-byte)."""
     ws = F.length(norm) - F.length(F.regexp_replace(norm, r"\s", ""))
     return (F.length(norm) > 0) & (ws / F.length(norm) < SPACELESS_MAX_WS)
-
-
-def _char_ngrams(norm, width: int):
-    """Sliding char n-grams WITH duplicates (simhash votes are
-    frequency-weighted, matching the word-token path); minhash shingling
-    applies array_distinct on top. Char 5-grams are the standard CJK
-    dedup unit — about the information of word 3-shingles in segmented
-    text."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(norm) - (width - 1)),
-        lambda i: norm.substr(i, F.lit(width)))
 
 
 def with_shingles(df: DataFrame) -> DataFrame:
@@ -369,50 +342,155 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             .select("a_id", "b_id", F.round("__raw", 4).alias("jaccard")))
 
 
+# Spark-compatible XXH64 (seed 42) over raw bytes — bit-for-bit equal to
+# F.xxhash64 on a string column (validated against Spark for empty,
+# ASCII, multi-byte UTF-8 and >=32-byte inputs; pinned by
+# tests/test_dedup.py::test_pyxxh64_matches_spark). Pure Python: callers
+# run it behind a per-batch distinct-token memo, so the cost is per
+# distinct token, not per occurrence.
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """Unsigned XXH64; subtract 2^64 when bit 63 is set to get Spark's
+    signed long."""
+    M, P1, P2, P3, P4, P5 = (_XXH_M, _XXH_P1, _XXH_P2, _XXH_P3,
+                             _XXH_P4, _XXH_P5)
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            k = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl64((v1 + k * P2) & M, 31) * P1) & M
+            k = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl64((v2 + k * P2) & M, 31) * P1) & M
+            k = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl64((v3 + k * P2) & M, 31) * P1) & M
+            k = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl64((v4 + k * P2) & M, 31) * P1) & M
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl64((v * P2) & M, 31) * P1) & M) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h = (_rotl64(h ^ (_rotl64((k * P2) & M, 31) * P1) & M, 27)
+             * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = (_rotl64(h ^ (k * P1) & M, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ (data[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
 def with_simhash(df: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc via token-hash bit votes (one hash-agg).
+    """64-bit SimHash per doc via token-hash bit votes.
 
     Script-aware votes: whitespace tokens for segmented text, char
     trigrams when the whitespace-density predicate flags unsegmented
     script (an unsegmented doc otherwise casts ONE whole-line vote and
     its signature is just that line's hash — any edit flips ~32 bits).
 
+    Execution strategy (r7, guide §4.2): ONE Arrow-batched stage over
+    the JVM-normalized text computes the 64 per-bit ones-counts + the
+    token count per doc — tokenize, hash (xxh64_bytes, bit-identical
+    to F.xxhash64 behind a per-batch distinct-token memo) and a numpy
+    unpackbits/sum. This replaces tokenize -> explode (one row per
+    TOKEN) -> 64-column hash aggregation + its shuffle: measured
+    2.9s -> [see OPTIMIZATION_r07] for the vote stage at 50k docs,
+    local[32], zero shuffle left before signature assembly. Token
+    semantics replicated exactly (re.ASCII \\s split keeping empty
+    tokens like Java split with limit -1; trim/lower stays in the JVM;
+    BMP assumption for the char branch as in with_shingles — Java
+    substr slices UTF-16 units, Python codepoints).
+
     The signature is assembled with bit arithmetic over the 64 vote
     sums: sum(2^b * [votes_b > 0]) computed as two 32-bit halves then
-    combined, avoiding a 64-deep nested expression tree.
+    combined, avoiding a 64-deep nested expression tree. The ±1 vote
+    sum is recovered exactly as 2*ones_b - n, so "vote > 0" is the
+    majority test 2*ones_b > n — identical signatures to the explicit
+    ±1 form.
     """
-    norm = _norm()
-    sp = _is_spaceless(norm)
-    base = _with_tokens(_spread(df))
-    # two filtered branches, not a CASE under the explode: the CASE form
-    # drops the generate out of whole-stage codegen (measured 3.7s ->
-    # 1.0s at sf0.1); the branches reuse one exchange (disjoint row
-    # sets, so tokenize work is not duplicated). explode_outer + null
-    # filter: see minhash_signatures (avoids the inferred size()>0
-    # filter being pushed below the spread exchange)
-    word = (base.filter(~sp)
-            .select("doc_id", F.explode_outer("tokens").alias("tok")))
-    # length guard mirrors with_shingles' char branch: a spaceless doc
-    # shorter than the token width has no n-grams — without the filter,
-    # sequence(1, len-2) goes DESCENDING and substr clamps negative
-    # positions, silently voting on duplicate junk tokens
-    chars = (base.filter(sp & (F.length(norm) >= SIMHASH_CHAR_TOKEN))
-             .select("doc_id",
-                     F.explode_outer(
-                         _char_ngrams(norm, SIMHASH_CHAR_TOKEN))
-                      .alias("tok")))
-    toks = (word.unionByName(chars)
-            .filter(F.col("tok").isNotNull())
-            .withColumn("h", F.xxhash64("tok")))
-    # r7: aggregate the ONES count per bit (sum of (h>>b)&1 — no
-    # conditional in the hot per-token path) plus one token count; the
-    # ±1 vote sum is recovered exactly as 2*ones_b - n, so "vote > 0"
-    # becomes the majority test 2*ones_b > n — identical signatures,
-    # ~25% less work in the 64-column map-side aggregation
-    votes = toks.groupBy("doc_id").agg(
-        F.count("*").alias("__n"),
-        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-          for b in range(SIMHASH_BITS)])
+    import re
+
+    import numpy as np
+
+    ws_run = re.compile(r"\s+", re.ASCII)
+    ws_one = re.compile(r"\s", re.ASCII)
+    k_c = SIMHASH_CHAR_TOKEN
+    max_ws = SPACELESS_MAX_WS
+
+    def votes_kernel(batches):
+        memo: dict[str, int] = {}
+
+        def h_of(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = xxh64_bytes(t.encode("utf-8"))
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, ns, rows = [], [], []
+            for doc_id, norm in zip(pdf["doc_id"], pdf["__norm"]):
+                n = len(norm)
+                if n and (n - len(ws_one.sub("", norm))) / n < max_ws:
+                    if n < k_c:  # no char n-grams: no vote row at all
+                        continue
+                    toks = [norm[i:i + k_c] for i in range(n - k_c + 1)]
+                else:
+                    # keeps leading/trailing empty tokens exactly like
+                    # Java split(limit=-1); an empty norm votes once
+                    # with the hash of "" — both match the r6 explode
+                    toks = ws_run.split(norm)
+                hs = np.fromiter((h_of(t) for t in toks),
+                                 dtype=np.uint64, count=len(toks))
+                rows.append(np.unpackbits(
+                    hs.view(np.uint8), bitorder="little")
+                    .reshape(-1, SIMHASH_BITS).sum(
+                        axis=0, dtype=np.int64))
+                ids.append(doc_id)
+                ns.append(len(toks))
+            ones = (np.vstack(rows) if rows
+                    else np.empty((0, SIMHASH_BITS), dtype=np.int64))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "__n": pd.Series(ns, dtype="int64"),
+                 **{f"o{b}": ones[:, b]
+                    for b in range(SIMHASH_BITS)}})
+
+    base = _spread(df).select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("__norm"))
+    votes = base.mapInPandas(
+        votes_kernel,
+        schema=("doc_id long, __n long, "
+                + ", ".join(f"o{b} long" for b in range(SIMHASH_BITS))))
 
     def pos(b: int):
         return 2 * F.col(f"o{b}") > F.col("__n")
