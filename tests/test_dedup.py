@@ -440,3 +440,55 @@ def test_simhash_arrow_votes_match_jvm_agg(spark):
         .collect()}
     assert got == want
     assert 4 not in got  # short spaceless doc: no vote row either way
+
+
+def test_minhash_arrow_matches_jvm_agg(spark):
+    """The r7 fused shingle+signature Arrow kernel produces minhash
+    signatures identical to the r6 JVM explode + 64-min aggregation,
+    on both script branches plus the no-shingle classes (short word
+    doc, short spaceless doc, whitespace-only doc -> no row)."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.sketch import (
+        _MH_A, _MH_B, _P31, K_HASHES, minhash_signatures, with_shingles)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta alpha beta"),
+         (1, "一二三四五六七八九十一二三四五"),
+         (2, "two words"),       # < SHINGLE tokens: no row
+         (3, "一二三"),          # spaceless, < CHAR_SHINGLE: no row
+         (4, "   "),             # empty norm: no row
+         (5, "a b c d e f g h i j k")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: list(r["minhash"])
+           for r in minhash_signatures(docs).collect()}
+
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    exploded = (with_shingles(docs)
+                .select("doc_id",
+                        F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull())
+                .select("doc_id", h32.alias("h")))
+    mins = exploded.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P31)))
+         .alias(f"mh{k}")
+        for k, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+    want = {r["doc_id"]: [r[f"mh{k}"] for k in range(K_HASHES)]
+            for r in mins.collect()}
+    assert got == want
+    assert {2, 3, 4}.isdisjoint(got)
+
+
+def test_minhash_signatures_string_ids(spark):
+    """The kernel preserves a non-long id type (the curation path keys
+    by url strings)."""
+    docs = spark.createDataFrame(
+        [("u://a", "alpha beta gamma delta"),
+         ("u://b", "alpha beta gamma delta")],
+        ["doc_id", "text"])
+    rows = minhash_signatures_rows = {
+        r["doc_id"]: list(r["minhash"])
+        for r in __import__("textextract_spark.operators.sketch",
+                            fromlist=["minhash_signatures"])
+        .minhash_signatures(docs).collect()}
+    assert rows["u://a"] == rows["u://b"]

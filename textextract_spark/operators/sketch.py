@@ -142,30 +142,81 @@ _P31 = (1 << 31) - 1
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """(doc_id, minhash): the K-element signature array.
 
-    Each shingle is hashed ONCE (xxhash64 -> low 32 bits) after an
-    explode; the K permutations are K ``min(a_k*h+b_k mod p)`` aggregate
-    columns in ONE codegen'd hash aggregation keyed on doc_id (map-side
-    partials; the shuffle carries K longs per doc). Duplicate shingles
-    don't affect a min, so no distinct is needed on this path.
-    """
-    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
-    # adds size(shingles)>0 for plain explode and pushes it below the
-    # _spread exchange — re-evaluating the whole interpreted shingle
-    # transform on the unspread scan side (measured 2.5s of the 4s
-    # signature time on ONE core). Since r7 with_shingles also emits
-    # shingles=NULL for non-qualifying docs; the null filter drops them.
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
-    exploded = (with_shingles(df)
-                .select("doc_id", F.explode_outer("shingles").alias("shingle"))
-                .filter(F.col("shingle").isNotNull())
-                .select("doc_id", h32.alias("h")))
-    mins = exploded.groupBy("doc_id").agg(*[
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P31)))
-         .alias(f"mh{k}")
-        for k, (a, b) in enumerate(zip(_MH_A, _MH_B))])
-    return mins.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{k}") for k in range(K_HASHES)]).alias("minhash"))
+    ONE Arrow-batched stage over the JVM-normalized text (r7, guide
+    §4.2): shingle exactly like with_shingles (same script-aware
+    tokenizer, same dict.fromkeys distinct — duplicate shingles can't
+    change a min anyway), hash each distinct shingle once through
+    xxh64_bytes (bit-identical to F.xxhash64, per-batch memo), keep
+    the low 32 bits, and take the K permutation minima as one
+    (shingles x K) vectorized numpy min. This replaces with_shingles
+    -> explode (one row per SHINGLE) -> a 64-column min aggregation
+    and its shuffle: signature stage measured 1.45s -> ~0.9s at 50k
+    docs / local[32], zero exchange left in the stage. All values are
+    exact int64 arithmetic on both paths (h32 < 2^32, a < 2^30, so
+    a*h32+b < 2^63 — overflow-free in numpy int64 exactly as in ANSI
+    SQL), so signatures are bit-identical — pinned by
+    tests/test_dedup.py::test_minhash_arrow_matches_jvm_agg. Docs
+    qualifying for neither shingle branch emit no signature row (the
+    explode_outer + null-filter behavior of the r6 form)."""
+    import re
+
+    import numpy as np
+
+    ws_run = re.compile(r"\s+", re.ASCII)
+    ws_one = re.compile(r"\s", re.ASCII)
+    k_c, k_w = CHAR_SHINGLE, SHINGLE
+    max_ws = SPACELESS_MAX_WS
+    A = np.asarray(_MH_A, dtype=np.int64)
+    B = np.asarray(_MH_B, dtype=np.int64)
+
+    def sig_kernel(batches):
+        memo: dict[str, int] = {}
+
+        def h32_of(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = xxh64_bytes(t.encode("utf-8")) & 0xFFFFFFFF
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["__norm"]):
+                n = len(t)
+                if n and (n - len(ws_one.sub("", t))) / n < max_ws:
+                    if n < k_c:
+                        continue
+                    sh = dict.fromkeys(
+                        t[i:i + k_c] for i in range(n - k_c + 1))
+                elif n:
+                    toks = ws_run.split(t)
+                    if len(toks) < k_w:
+                        continue
+                    sh = dict.fromkeys(
+                        " ".join(toks[i:i + k_w])
+                        for i in range(len(toks) - k_w + 1))
+                else:
+                    continue
+                hs = np.fromiter((h32_of(s) for s in sh),
+                                 dtype=np.int64, count=len(sh))
+                sigs.append((hs[:, None] * A[None, :] + B[None, :])
+                            % _P31)
+                ids.append(doc_id)
+            yield pd.DataFrame({
+                # input dtype, not a hard-coded int64: the curation
+                # path keys this kernel by url STRINGS (see
+                # exact_jaccard_pairs)
+                "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                "minhash": pd.Series(
+                    [s.min(axis=0) for s in sigs], dtype="object"),
+            })
+
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    return (_spread(df)
+            .select("doc_id",
+                    F.trim(F.lower(F.col("text"))).alias("__norm"))
+            .mapInPandas(sig_kernel,
+                         schema=f"doc_id {id_type}, minhash array<long>"))
 
 
 def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
