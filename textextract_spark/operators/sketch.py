@@ -139,8 +139,16 @@ _MH_B = [_rng.randrange(0, (1 << 31) - 1) for _ in range(K_HASHES)]
 _P31 = (1 << 31) - 1
 
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
-    """(doc_id, minhash): the K-element signature array.
+def minhash_signatures(df: DataFrame,
+                       emit_shingles: bool = False) -> DataFrame:
+    """(doc_id, minhash[, shingles]): the K-element signature array.
+
+    emit_shingles=True additionally returns the distinct shingle array
+    the signature was computed FROM (r7): the candidate/verify shape
+    (exact_jaccard_pairs) needs both, and emitting them from this one
+    kernel removes a second full tokenize+shingle pass over the corpus
+    (with_shingles ran the identical Python loop again — measured
+    ~0.7 s duplicated work at 50k docs / local[32]).
 
     ONE Arrow-batched stage over the JVM-normalized text (r7, guide
     §4.2): shingle exactly like with_shingles (same script-aware
@@ -180,7 +188,7 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
             return v
 
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, shs = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["__norm"]):
                 n = len(t)
                 if n and (n - len(ws_one.sub("", t))) / n < max_ws:
@@ -202,21 +210,28 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
                 sigs.append((hs[:, None] * A[None, :] + B[None, :])
                             % _P31)
                 ids.append(doc_id)
-            yield pd.DataFrame({
+                if emit_shingles:
+                    shs.append(list(sh))
+            out = {
                 # input dtype, not a hard-coded int64: the curation
                 # path keys this kernel by url STRINGS (see
                 # exact_jaccard_pairs)
                 "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
                 "minhash": pd.Series(
                     [s.min(axis=0) for s in sigs], dtype="object"),
-            })
+            }
+            if emit_shingles:
+                out["shingles"] = pd.Series(shs, dtype="object")
+            yield pd.DataFrame(out)
 
     id_type = df.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, minhash array<long>"
+    if emit_shingles:
+        schema += ", shingles array<string>"
     return (_spread(df)
             .select("doc_id",
                     F.trim(F.lower(F.col("text"))).alias("__norm"))
-            .mapInPandas(sig_kernel,
-                         schema=f"doc_id {id_type}, minhash array<long>"))
+            .mapInPandas(sig_kernel, schema=schema))
 
 
 def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
@@ -225,16 +240,26 @@ def minhash_bands(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     beyond doc_id (r7): the band rows are checkpointed and shuffled 16x
     per doc inside _candidate_pairs, so a kept 64-long signature
     multiplies that stage's bytes ~30x — survivors join signatures
-    back instead (minhash_neardup)."""
+    back instead (minhash_neardup).
+
+    Band key is xxhash64 of the band's signature slice — ONE LONG (r7,
+    guide §2.3 "narrower types"), replacing the r6 32-hex-char md5
+    string that rode the band checkpoint plus three bucket shuffles at
+    ~6x the bytes. Bucket membership is decided by key equality and
+    equal slices hash equal under either function, so the candidate
+    set — and every downstream verified pair — is unchanged (a 64-bit
+    collision merging two buckets could only ADD a candidate, which
+    the exact-jaccard / est-jaccard verify then filters identically in
+    both engines)."""
     # posexplode_outer: a plain posexplode gets an inferred size()>0
-    # filter that re-evaluates the interpreted 16-band md5 transform a
+    # filter that re-evaluates the interpreted 16-band hash transform a
     # second time per row (see minhash_signatures note)
     return (df.select(
         "doc_id", *keep,
         F.posexplode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.md5(F.concat_ws(
+                lambda b: F.xxhash64(F.concat_ws(
                     ",",
                     F.transform(
                         F.slice("minhash", b * ROWS_PER_BAND + 1,
@@ -374,10 +399,20 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     (doc_id, text) frame (doc_id may be any orderable type — the
     curation path passes urls). Shared by ngram_jaccard_pairs and the
     near-dup curation stage (pipeline.curation_decisions_neardup) — one
-    implementation of the candidate/verify shape."""
+    implementation of the candidate/verify shape.
+
+    r7: signatures and shingle sets come out of ONE Arrow kernel pass
+    (minhash_signatures emit_shingles=True), lazily checkpointed so the
+    banding branch and both verify join-backs share a single
+    materialization — the r6 form ran the full tokenize+shingle Python
+    loop twice (once inside the signature kernel, once in
+    with_shingles). Shingle arrays still never ride the bucket shuffle:
+    bands project (doc_id, minhash) only."""
+    sig = (minhash_signatures(docs, emit_shingles=True)
+           .localCheckpoint(eager=False))
     pairs = _candidate_pairs(
-        minhash_bands(minhash_signatures(docs)), None)
-    sh = with_shingles(docs).select("doc_id", "shingles")
+        minhash_bands(sig.select("doc_id", "minhash")), None)
+    sh = sig.select("doc_id", "shingles")
     joined = (pairs
               .join(sh.select(F.col("doc_id").alias("a_id"),
                               F.col("shingles").alias("pa")), "a_id")
