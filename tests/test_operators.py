@@ -2280,3 +2280,158 @@ def test_pii_arrow_matches_jvm(spark):
     assert jvm_luhn  # the corpus genuinely exercises the card path
     for i in got:
         assert got[i]["cc_luhn_ok"] == jvm_luhn.get(i), i
+
+
+def test_repetition_arrow_matches_jvm(spark, tmp_path):
+    """The r7 single-Arrow-stage repetition_stats is value-identical to
+    the r6 two-pipeline explode+agg form on an adversarial corpus:
+    duplicate lines (space-padded variants), ellipsis/bullet lines
+    (ASCII and unicode), single-token docs (no 2-gram row), tab-led
+    lines that survive the space-only trim, packed-max ties, non-ASCII
+    text, and a doc whose only content is newlines (no output row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import (
+        _nonempty_lines, repetition_stats)
+
+    texts = [
+        "alpha beta\nalpha beta\n  alpha beta  \ngamma...",
+        "- item one\n* item two\n• item three\nplain tail…",
+        "single",
+        "\tindent kept\nindent kept\n\tindent kept",
+        "a b a b a b a b",
+        "tie aa bb\ntie aa bb",
+        "données déjà vu\ndonnées déjà vu",
+        "数据 分析 数据 分析",
+        "\n\n",
+        "x " + "y z " * 50,
+    ]
+    rows = [{"doc_id": i, "text": t, "lang": "en"}
+            for i, t in enumerate(texts)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r
+           for r in repetition_stats(spark, str(tmp_path)).collect()}
+
+    # the r6 JVM pipeline, inlined verbatim
+    docs = (spark.read.parquet(str(tmp_path / "documents.parquet"))
+            .filter(F.length(F.trim(F.col("text"))) > 0))
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.explode(_nonempty_lines(F.col("text"))).alias("line"))
+    per_line = (base.groupBy("doc_id", "n_chars", "line")
+                .agg(F.count("*").alias("cnt")))
+    llen = F.length("line")
+    is_ellipsis = (F.col("line").endswith("...")
+                   | F.col("line").endswith("…"))
+    is_bullet = (F.col("line").startswith("-")
+                 | F.col("line").startswith("*")
+                 | F.col("line").startswith("•"))
+    line_stats = per_line.groupBy("doc_id", "n_chars").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * llen).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * llen)
+               .otherwise(F.lit(0))).alias("dup_line_chars"),
+        F.sum(F.when(is_ellipsis, F.col("cnt")).otherwise(F.lit(0)))
+         .alias("ellipsis_lines"),
+        F.sum(F.when(is_bullet, F.col("cnt")).otherwise(F.lit(0)))
+         .alias("bullet_lines"))
+    nw = F.size("__ws")
+    grams = (docs
+             .select("doc_id",
+                     F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                      .alias("__ws"))
+             .filter(nw >= 2)
+             .select("doc_id", F.explode(F.zip_with(
+                 F.slice("__ws", 1, nw - 1), F.slice("__ws", 2, nw - 1),
+                 lambda a, b: F.concat(a, F.lit(" "), b))).alias("gram")))
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt"))
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        F.max(F.col("cnt") * F.lit(100000) + F.length("gram"))
+         .alias("packed"))
+    top_frac = F.coalesce(
+        ((F.col("packed") / 100000).cast("long")
+         * (F.col("packed") % 100000)) / F.col("n_chars"), F.lit(0.0))
+    nl = F.col("n_lines").cast("double")
+    want = {r["doc_id"]: r for r in (
+        line_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id", F.col("n_lines"),
+            F.round((F.col("n_lines") - F.col("n_distinct_lines")) / nl,
+                    4).alias("dup_line_frac"),
+            F.round(F.col("dup_line_chars") / F.col("line_chars"), 4)
+             .alias("dup_line_char_frac"),
+            F.round(F.col("ellipsis_lines") / nl, 4)
+             .alias("ellipsis_line_frac"),
+            F.round(F.col("bullet_lines") / nl, 4)
+             .alias("bullet_line_frac"),
+            F.round(top_frac, 4).alias("top2gram_char_frac"))
+        ).collect()}
+
+    assert set(got) == set(want)
+    assert 8 not in got  # newline-only doc: no row, like the r6 explode
+    for i in want:
+        for c in ("n_lines", "dup_line_frac", "dup_line_char_frac",
+                  "ellipsis_line_frac", "bullet_line_frac",
+                  "top2gram_char_frac"):
+            assert got[i][c] == want[i][c], (i, c)
+
+
+def test_char_lm_score_non_ascii(spark, tmp_path):
+    """The r7 zero-copy UTF-8 scoring kernel takes a per-doc UTF-16
+    decode fallback for non-ASCII text. Under a bijective character
+    substitution (ascii lowercase -> fullwidth lowercase, one BMP code
+    unit each) the bigram COUNT structure of a corpus is unchanged, so
+    the trained model probabilities, per-doc n_bigrams, cross-entropy,
+    perplexity and bucket must all be EQUAL to the ascii original —
+    which exercises the fallback path end-to-end against the fast
+    path's values."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import char_lm_perplexity
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "the the the the repeated words here",
+             "zz unseen bigrams qq xx vv",
+             "mixed case Words Are Lowered First"]
+    wide = str.maketrans({c: chr(0xFF41 + ord(c) - ord("a"))
+                          for c in "abcdefghijklmnopqrstuvwxyz"})
+
+    def run(mapped: bool):
+        rows = [(i, t.lower().translate(wide) if mapped else t)
+                for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = docs.filter(F.col("doc_id") < 3)
+        return {r["doc_id"]: r
+                for r in char_lm_perplexity(docs, ref).collect()}
+
+    got_ascii = run(False)
+    got_wide = run(True)
+    assert set(got_ascii) == set(got_wide) == set(range(len(texts)))
+    for i in got_ascii:
+        for c in ("n_bigrams", "cross_entropy", "perplexity",
+                  "ppl_bucket"):
+            assert got_ascii[i][c] == got_wide[i][c], (i, c)
+
+
+def test_char_lm_score_string_ids(spark):
+    """The scoring kernel must preserve the id column's input type: the
+    curation journey (curation_decisions_full) keys it by url STRINGS.
+    Caught live in r7 when the Arrow kernel briefly hard-coded long
+    ids and the curate CLI failed on cast."""
+    from pyspark.sql import functions as F
+
+    from textextract_spark.operators.textdata import char_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [("u://a", "the cat sat"), ("u://b", "on the mat")],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in char_lm_perplexity(
+        docs, docs.select("text")).collect()}
+    assert set(rows) == {"u://a", "u://b"}
+    assert all(r["n_bigrams"] > 0 for r in rows.values())

