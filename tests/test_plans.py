@@ -296,10 +296,13 @@ def test_char_lm_ppl_model_rides_closure(spark, sf_dir):
     scoring UDF's closure (r7 — the lang_trigram / lr broadcast shape;
     the r6 form exploded every corpus character through two broadcast
     joins): the scoring pass must be ONE Arrow stage with no corpus
-    explode, no join, no window, and no sort-merge anywhere."""
+    explode, no join, no window, and no sort-merge anywhere. (Since r7
+    the stage is mapInArrow — zero-copy UTF-8 buffer access — so the
+    plan node is MapInArrow rather than ArrowEvalPython.)"""
     from textextract_spark.operators import textdata
     p = _plan(spark, textdata.char_lm_ppl(spark, sf_dir), "simple")
-    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, \
+    assert any(tag in p for tag in ("ArrowEvalPython", "BatchEvalPython",
+                                    "MapInArrow", "MapInPandas")), \
         f"scoring must be the Arrow closure-model stage:\n{p}"
     assert "Join" not in p, f"model must not join:\n{p}"
     assert "Generate" not in p, f"corpus gram explode crept back:\n{p}"

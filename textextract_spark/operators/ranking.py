@@ -74,10 +74,15 @@ def bm25_search(docs: DataFrame, query: tuple[str, ...],
     # explode_outer (r7): plain explode infers a size(__w)>0 filter that
     # re-evaluates the inlined tokenizer per row; the isin filter below
     # already drops the null row outer emits for token-less docs
+    # lazily checkpointed (r7): tf feeds both the document-frequency
+    # aggregation and the scoring join, and without the cut the corpus
+    # tokenize ran once per reference; the checkpointed table is tiny
+    # (docs matching the query terms only)
     tf = (base.select("doc_id", "__dl", F.explode_outer("__w").alias("w"))
           .filter(F.col("w").isin(*query))
           .groupBy("doc_id", "__dl", "w")
-          .agg(F.count("*").alias("__tf")))
+          .agg(F.count("*").alias("__tf"))
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("__df"))
     idf = F.log(1.0 + (F.col("__n").cast("double") - F.col("__df") + 0.5)
                 / (F.col("__df") + 0.5))
@@ -123,6 +128,12 @@ def tfidf_doc_keywords(docs: DataFrame, per_doc: int = TFIDF_PER_DOC,
     """
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(_words(F.col(text_col))).alias("w")))
+    # NOT checkpointed (r7, measured): tf feeds both the document-
+    # frequency aggregation and the scoring join, so the tokenize runs
+    # twice — but materializing the corpus-sized (doc, word) table cost
+    # MORE than the duplicated codegen pass it saves (1.3s -> 2.5s at a
+    # 50k-doc replica; contrast bm25_search, where the same diamond IS
+    # checkpointed because its tf is pre-filtered to the query terms)
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("__tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("__df"))
     n = docs.agg(F.count("*").alias("__n"))

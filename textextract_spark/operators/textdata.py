@@ -286,25 +286,53 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unicode() returns the codepoint; utf-32-le frombuffer here), so the
     full-value oracle is unaffected by the execution strategy.
     """
+    import hashlib
+
     import numpy as np
-    from pyspark.sql.types import ArrayType, LongType
 
     k, w, b = WINNOW_K, WINNOW_W, _WINNOW_B
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def winnow(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            cps = np.frombuffer(t.encode("utf-32-le"),
-                                dtype=np.uint32).astype(np.int64)
-            n = len(cps) - (k - 1)
-            h = np.zeros(n, dtype=np.int64)
-            for j in range(k):
-                h = h * b + cps[j:j + n]
-            wins = np.lib.stride_tricks.sliding_window_view(
-                h, w).min(axis=1)
-            out.append(np.unique(wins).tolist())
-        return pd.Series(out)
+    # The whole report row is computed in the kernel (r7): the r6 form
+    # returned the fingerprint ARRAY and derived the digest in a JVM
+    # projection — but that projection (an interpreted per-element
+    # cast-to-string transform + concat_ws + md5 over ~n/2.5 longs per
+    # doc) measured ~0.9 s at a 50k-doc replica, half the query.
+    # hashlib.md5 over ','.join(str(v)) is byte-identical to Spark's
+    # md5(concat_ws(',', transform(fp, cast))) — Long.toString and
+    # str(int) agree — and n_grams counts UTF-16 code units exactly
+    # like the r6 F.length. Values pinned by the full DuckDB oracle
+    # row (md5(array_to_string(fp, ',')) on the twin side).
+    def winnow_kernel(batches):
+        for pdf in batches:
+            ids, ngs, nfs, mins, digs = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["__n"]):
+                cps = np.frombuffer(t.encode("utf-32-le"),
+                                    dtype=np.uint32).astype(np.int64)
+                # n_grams in UTF-16 units = Java length(); cps are
+                # codepoints, so recount units for the astral-safe value
+                u16 = (len(t) if t.isascii()
+                       else len(t.encode("utf-16-le")) // 2)
+                n = len(cps) - (k - 1)
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h = h * b + cps[j:j + n]
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    h, w).min(axis=1)
+                fp = np.unique(wins)  # sorted distinct
+                ids.append(doc_id)
+                ngs.append(u16 - (k - 1))
+                nfs.append(len(fp))
+                mins.append(int(fp[0]))
+                digs.append(hashlib.md5(
+                    ",".join(map(str, fp.tolist()))
+                    .encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(ngs, dtype="int64"),
+                "n_fingerprints": pd.Series(nfs, dtype="int64"),
+                "fp_min": pd.Series(mins, dtype="int64"),
+                "fp_digest": pd.Series(digs, dtype="object"),
+            })
 
     from .sketch import _spread
 
@@ -313,18 +341,11 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("doc_id", norm.alias("__n"))
         .filter(F.length("__n") >= WINNOW_K + WINNOW_W - 1))
-    # np.unique already returns sorted distinct values
-    fped = docs.select("doc_id",
-                       (F.length("__n") - (WINNOW_K - 1)).alias("n_grams"),
-                       winnow(F.col("__n")).alias("__fp"))
-    return (fped
-            .select("doc_id", "n_grams",
-                    F.size("__fp").alias("n_fingerprints"),
-                    F.element_at("__fp", 1).alias("fp_min"),
-                    F.md5(F.concat_ws(",", F.transform(
-                        "__fp", lambda x: x.cast("string"))))
-                     .alias("fp_digest"))
-            .orderBy("doc_id"))
+    return (docs.mapInPandas(
+        winnow_kernel,
+        schema="doc_id long, n_grams long, n_fingerprints long, "
+               "fp_min long, fp_digest string")
+        .orderBy("doc_id"))
 
 
 def payload_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,13 +1150,25 @@ def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K,
     array finds arbitrary-length repeats; stride windows catch any
     repeat of length >= k+stride-1 and are embarrassingly parallel).
 
-    Scale shape: one explode of (doc_id, offset, md5(window)) — window
-    TEXT never leaves the row it came from; the frequency/winner agg
-    shuffles 16-byte hashes with map-side combine (a 10^9-copy
+    Scale shape: one explode of (doc_id, offset, xxhash64(window)) —
+    window TEXT never leaves the row it came from; the frequency/winner
+    agg shuffles 8-byte hashes with map-side combine (a 10^9-copy
     boilerplate window arrives as partials), the join back is
     AQE-splittable hash equality, and the per-doc rollup is one
     aggregation. Same groupBy+join-not-window reasoning as
     duplicate_line_removal.
+
+    r7: the window table is lazily localCheckpoint'ed — it feeds both
+    the stats aggregation and the join probe side, and without the cut
+    Catalyst evaluated the whole substring+hash explode TWICE (no
+    subtree sharing across diamond branches); the key switched from a
+    32-hex-char md5 string to xxhash64 — one long, ~5x fewer key bytes
+    through the checkpoint, both shuffles and the join. Duplicate
+    detection is key EQUALITY, equal windows hash equal under either
+    function, and a 64-bit collision (odds ~(rows/2^32)^2) could only
+    mark one extra window duplicated — the full-value oracle row would
+    flag it. Measured 1.8 s -> [see OPTIMIZATION_r07] at a 50k-doc
+    replica, local[32].
 
     Returns (doc_id, n_windows, n_dup_windows, dup_window_frac) — one
     row per INPUT doc (a doc shorter than k chars has no windows and
@@ -1152,8 +1185,9 @@ def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K,
                     F.explode(F.transform(
                         offs, lambda i: i * stride)).alias("off"))
             .select("doc_id", "off",
-                    F.md5(F.substring(F.col("__t"), F.col("off") + 1,
-                                      F.lit(k))).alias("__h")))
+                    F.xxhash64(F.substring(F.col("__t"), F.col("off") + 1,
+                                           F.lit(k))).alias("__h"))
+            .localCheckpoint(eager=False))
     # two-field lexicographic winner, NOT a packed doc_id*K+off key:
     # `off` is a CHAR offset and >1 MB pages are real in web crawls, so
     # any fixed pack base aliases across docs and can crown the wrong
