@@ -71,6 +71,11 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.encode(
         F.concat(F.lit(_CHROME_PRE), F.col("text"), F.lit(_CHROME_POST)),
         "UTF-8")
+    # lazily checkpointed (r7): extract_pages references its input
+    # twice (winner aggregation + dedup semi join) and Catalyst does
+    # not share subtrees, so the chrome synthesis ran twice per driver
+    # row; one materialization feeds both branches (a parquet-backed
+    # pages table gets the same effect from the scan cache for free)
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
          .alias("url"),
@@ -78,7 +83,7 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("warc_ts"),
         html.alias("html"),
         F.col("text"),
-        F.col("lang"))
+        F.col("lang")).localCheckpoint(eager=False)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -140,7 +145,9 @@ def _extract_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 3 == 0, pdf_payload(F.col("doc_id")))
          .otherwise(F.encode("text", "UTF-8")).alias("html"),
         F.col("text"),
-        F.col("lang"))
+        F.col("lang")).localCheckpoint(eager=False)
+    # ^ one materialization: without it the winner/semi diamond ran
+    #   the PDF-build pandas UDF twice per row
     return _extraction_report(extract_pages(pages, num_parts=_num_parts(spark),
                           n_salts=4))
 
@@ -382,7 +389,9 @@ def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("warc_ts"),
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
-        F.col("text"), F.col("lang"))
+        F.col("text"), F.col("lang")).localCheckpoint(eager=False)
+    # ^ one synthesis materialization for extract_pages' winner/semi
+    #   diamond (the _pages_from_documents note)
     from textextract_spark.pipeline import curation_decisions
 
     ex = (extract_pages(pages, num_parts=_num_parts(spark),
@@ -447,7 +456,9 @@ def _curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("warc_ts"),
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
-        F.col("text"), F.col("lang"))
+        F.col("text"), F.col("lang")).localCheckpoint(eager=False)
+    # ^ one synthesis materialization for extract_pages' winner/semi
+    #   diamond (the _pages_from_documents note)
     ex = (extract_pages(pages, num_parts=_num_parts(spark),
                           n_salts=4)
           .select("url", "status", "text"))
@@ -488,7 +499,9 @@ def _curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("warc_ts"),
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
-        F.col("text"), F.col("lang"))
+        F.col("text"), F.col("lang")).localCheckpoint(eager=False)
+    # ^ one synthesis materialization for extract_pages' winner/semi
+    #   diamond (the _pages_from_documents note)
     ex = (extract_pages(pages, num_parts=_num_parts(spark),
                           n_salts=4)
           .select("url", "status", "text"))
@@ -531,7 +544,9 @@ def _trainset_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("warc_ts"),
         F.encode(F.concat(F.lit(_CHROME_PRE), F.col("text"),
                           F.lit(_CHROME_POST)), "UTF-8").alias("html"),
-        F.col("text"), F.col("lang"))
+        F.col("text"), F.col("lang")).localCheckpoint(eager=False)
+    # ^ one synthesis materialization for extract_pages' winner/semi
+    #   diamond (the _pages_from_documents note)
     ex = (extract_pages(pages, num_parts=_num_parts(spark),
                           n_salts=4)
           .select("url", "status", "text"))

@@ -74,15 +74,16 @@ def bm25_search(docs: DataFrame, query: tuple[str, ...],
     # explode_outer (r7): plain explode infers a size(__w)>0 filter that
     # re-evaluates the inlined tokenizer per row; the isin filter below
     # already drops the null row outer emits for token-less docs
-    # lazily checkpointed (r7): tf feeds both the document-frequency
-    # aggregation and the scoring join, and without the cut the corpus
-    # tokenize ran once per reference; the checkpointed table is tiny
-    # (docs matching the query terms only)
+    # NOT checkpointed (r7, measured): tf feeds both the df aggregation
+    # and the scoring join, so the corpus tokenize runs once per
+    # reference — but a localCheckpoint here measured FLAT at a 50k-doc
+    # replica (the duplicated pass is one cheap codegen scan) while
+    # hiding the filter-below-exchange structure from the plan (the
+    # test_bm25_plan_shape assertions); reverted, evidence kept here.
     tf = (base.select("doc_id", "__dl", F.explode_outer("__w").alias("w"))
           .filter(F.col("w").isin(*query))
           .groupBy("doc_id", "__dl", "w")
-          .agg(F.count("*").alias("__tf"))
-          .localCheckpoint(eager=False))
+          .agg(F.count("*").alias("__tf")))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("__df"))
     idf = F.log(1.0 + (F.col("__n").cast("double") - F.col("__df") + 0.5)
                 / (F.col("__df") + 0.5))
