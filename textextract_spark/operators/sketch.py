@@ -509,7 +509,7 @@ def with_simhash(df: DataFrame) -> DataFrame:
     to F.xxhash64 behind a per-batch distinct-token memo) and a numpy
     unpackbits/sum. This replaces tokenize -> explode (one row per
     TOKEN) -> 64-column hash aggregation + its shuffle: measured
-    2.9s -> [see OPTIMIZATION_r07] for the vote stage at 50k docs,
+    2.9s -> 1.6s for the vote stage at 50k docs,
     local[32], zero shuffle left before signature assembly. Token
     semantics replicated exactly (re.ASCII \\s split keeping empty
     tokens like Java split with limit -1; trim/lower stays in the JVM;

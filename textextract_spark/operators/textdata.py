@@ -1167,8 +1167,9 @@ def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K,
     detection is key EQUALITY, equal windows hash equal under either
     function, and a 64-bit collision (odds ~(rows/2^32)^2) could only
     mark one extra window duplicated — the full-value oracle row would
-    flag it. Measured 1.8 s -> [see OPTIMIZATION_r07] at a 50k-doc
-    replica, local[32].
+    flag it. Measured ~flat (1.6-1.8 s) at a 50k-doc replica — the
+    query is stage-latency-bound there — but one corpus pass and ~5x
+    fewer key bytes at scale.
 
     Returns (doc_id, n_windows, n_dup_windows, dup_window_frac) — one
     row per INPUT doc (a doc shorter than k chars has no windows and
@@ -1400,10 +1401,16 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
                        for k in range(n)]))
         # plain explode kept deliberately (r7): outer explode loses
         # whole-stage codegen on the generate — measured 2x worse here
-        # than the inferred filter's duplicated gram-transform eval
+        # than the inferred filter's duplicated gram-transform eval.
+        # Gram key is xxhash64, not md5 (r7, guide §2.3): one long
+        # instead of a 32-hex-char string through the broadcast set and
+        # the join — matching is hash EQUALITY of equal gram text under
+        # either function, so verdicts are unchanged (a 64-bit
+        # collision could only add a phantom overlap at ~1e-9 odds —
+        # the full-value oracle row would flag it).
         return (df.filter(F.size("__toks") >= n)
                 .select(*keep, F.explode(g).alias("g"))
-                .select(*keep, F.md5("g").alias("__h")))
+                .select(*keep, F.xxhash64("g").alias("__h")))
 
     eval_grams = grams(eval_docs).distinct()
     hits = (grams(docs, "doc_id")
@@ -1626,8 +1633,10 @@ def char_lm_perplexity(docs: DataFrame, ref: DataFrame,
     # come from np.add.reduceat — the same int64 additions in a
     # different order-independent grouping, so every (n_bigrams,
     # sum_lpu) is bit-identical (pinned by the oracle row and
-    # test_char_lm_score_non_ascii; measured 3.4 s -> [see
-    # OPTIMIZATION_r07] at a 50k-doc corpus replica, local[32]).
+    # test_char_lm_score_non_ascii). With the memoized model build the
+    # driver row measured 3.5 s -> 2.8 s at a 50k-doc corpus replica,
+    # local[32]; the residual is ~0.8 s of Arrow transfer of the text
+    # itself plus ~0.5 s of JVM pad/plant synthesis.
     import pyarrow as pa
 
     # the id column keeps its input type — the curation journey keys
