@@ -516,12 +516,15 @@ def with_simhash(df: DataFrame) -> DataFrame:
     BMP assumption for the char branch as in with_shingles — Java
     substr slices UTF-16 units, Python codepoints).
 
-    The signature is assembled with bit arithmetic over the 64 vote
-    sums: sum(2^b * [votes_b > 0]) computed as two 32-bit halves then
-    combined, avoiding a 64-deep nested expression tree. The ±1 vote
-    sum is recovered exactly as 2*ones_b - n, so "vote > 0" is the
-    majority test 2*ones_b > n — identical signatures to the explicit
-    ±1 form.
+    The signature is assembled IN the kernel (r7, second pass): the
+    majority test 2*ones_b > n over the per-bit ones-counts, packed
+    little-endian via np.unpackbits' inverse — bit-identical to the
+    former 64-branch JVM CASE ladder (the ±1 vote sum is exactly
+    2*ones_b - n, so "vote > 0" is the majority test), which shipped
+    65 long columns across Arrow and evaluated a 64-term sum per row.
+    One (doc_id, simhash) column pair crosses the boundary instead.
+    Pinned end-to-end by test_simhash_arrow_votes_match_jvm_agg
+    (final signatures vs the r6 JVM explode+agg reference).
     """
     import re
 
@@ -563,35 +566,25 @@ def with_simhash(df: DataFrame) -> DataFrame:
                         axis=0, dtype=np.int64))
                 ids.append(doc_id)
                 ns.append(len(toks))
-            ones = (np.vstack(rows) if rows
-                    else np.empty((0, SIMHASH_BITS), dtype=np.int64))
+            if rows:
+                ones = np.vstack(rows)
+                n_vec = np.asarray(ns, dtype=np.int64)
+                bits = (2 * ones) > n_vec[:, None]
+                # little-endian pack: bit b contributes 1<<b; the
+                # int64 view realizes the top bit as two's complement
+                # exactly like the former JVM assembly
+                sims = np.packbits(bits, axis=1, bitorder="little") \
+                    .view(np.int64).ravel()
+            else:
+                sims = np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
-                 "__n": pd.Series(ns, dtype="int64"),
-                 **{f"o{b}": ones[:, b]
-                    for b in range(SIMHASH_BITS)}})
+                 "simhash": pd.Series(sims, dtype="int64")})
 
     base = _spread(df).select(
         "doc_id", F.trim(F.lower(F.col("text"))).alias("__norm"))
-    votes = base.mapInPandas(
-        votes_kernel,
-        schema=("doc_id long, __n long, "
-                + ", ".join(f"o{b} long" for b in range(SIMHASH_BITS))))
-
-    def pos(b: int):
-        return 2 * F.col(f"o{b}") > F.col("__n")
-
-    lo = sum((F.when(pos(b), F.lit(1 << b).cast("long"))
-               .otherwise(F.lit(0).cast("long"))
-              for b in range(32)), F.lit(0).cast("long"))
-    hi = sum((F.when(pos(32 + b), F.lit(1 << b).cast("long"))
-               .otherwise(F.lit(0).cast("long"))
-              for b in range(31)), F.lit(0).cast("long"))
-    # top bit via two's complement: 1<<63 overflows signed long
-    top = (F.when(pos(SIMHASH_BITS - 1), F.lit(-(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    sim = lo + F.shiftleft(hi, 32) + top
-    return votes.select("doc_id", sim.alias("simhash"))
+    return base.mapInPandas(votes_kernel,
+                            schema="doc_id long, simhash long")
 
 
 def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
