@@ -2435,3 +2435,36 @@ def test_char_lm_score_string_ids(spark):
         docs, docs.select("text")).collect()}
     assert set(rows) == {"u://a", "u://b"}
     assert all(r["n_bigrams"] > 0 for r in rows.values())
+
+
+def test_media_memo_dedups_decode_work(monkeypatch):
+    """The r7 dedup-before-decode memos must call the codec once per
+    DISTINCT source per task and still emit one correct row per input
+    row (pure-function outputs; memoized and unmemoized values equal)."""
+    import pandas as pd
+
+    from textextract_spark.operators import multimodal as mm
+
+    calls = {"n": 0}
+    real = mm.decode_media
+
+    def counting(payload, media_type):
+        calls["n"] += 1
+        return real(payload, media_type)
+
+    monkeypatch.setattr(mm, "decode_media", counting)
+    # 60 rows over 3 distinct payloads (media_id repeats mod 3 synth
+    # params when ids repeat): feed duplicated payloads directly
+    payloads = [mm.build_png(4, 3), mm.build_bmp(5, 2),
+                mm.build_wav(1, 8000, 16, 20)]
+    pdf = pd.DataFrame({
+        "media_id": pd.Series(range(60), dtype="int64"),
+        "media": [payloads[i % 3] for i in range(60)],
+    })
+    out = pd.concat(list(mm._decode_batches(iter([pdf]))))
+    assert len(out) == 60
+    assert calls["n"] == 3  # one decode per distinct payload
+    # values equal the unmemoized decode
+    f = real(payloads[0], "image")
+    assert out.iloc[0]["width"] == f["width"]
+    assert out.iloc[0]["height"] == f["height"]
